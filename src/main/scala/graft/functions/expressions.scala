@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Catalyst expressions for the reference's scalar-function surface
+  * (SURVEY.md §2 A8–A13). Native `Expression`s — not UDFs — so they
+  * participate in Catalyst analysis/optimization; evaluation is
+  * interpreted (CodegenFallback), which is fine off the hot aggregate
+  * path; the hot-path ops (Olap, Text, Dedup) stay on codegen'd
+  * built-ins.
+  */
+
+/** dd_bloom_filter_create(arr [, bits_per_element [, num_hash_functions]])
+  * → BINARY. Per-row filter over a VARCHAR[] (reference
+  * bloom_filter.cpp:53). Null array → null; null elements skipped. */
+case class BloomFilterCreate(arr: Expression, bitsPerElement: Expression,
+                             numHashFuncs: Expression)
+    extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
+  def this(arr: Expression) =
+    this(arr, Literal(BloomBlob.DefaultBitsPerElement), Literal(BloomBlob.DefaultNumHashFuncs))
+  def this(arr: Expression, bpe: Expression) =
+    this(arr, bpe, Literal(BloomBlob.DefaultNumHashFuncs))
+
+  override def first: Expression = arr
+  override def second: Expression = bitsPerElement
+  override def third: Expression = numHashFuncs
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val a = arr.eval(input)
+    if (a == null) return null
+    val ad = a.asInstanceOf[ArrayData]
+    val bpe = Option(bitsPerElement.eval(input)).fold(BloomBlob.DefaultBitsPerElement)(_.asInstanceOf[Int])
+    val k = Option(numHashFuncs.eval(input)).fold(BloomBlob.DefaultNumHashFuncs)(_.asInstanceOf[Int])
+    val elems = new ArrayBuffer[Array[Byte]](ad.numElements())
+    var i = 0
+    while (i < ad.numElements()) {
+      if (!ad.isNullAt(i)) elems += ad.getUTF8String(i).getBytes
+      i += 1
+    }
+    BloomBlob.create(elems, ad.numElements(), bpe, k)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "dd_bloom_filter_create"
+}
+
+/** dd_bloom_filter_contains(blob, value) → BOOLEAN; null on malformed
+  * blob (reference bloom_filter.cpp:160). */
+case class BloomFilterContains(blob: Expression, value: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def left: Expression = blob
+  override def right: Expression = value
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(b: Any, v: Any): Any =
+    BloomBlob.mayContain(b.asInstanceOf[Array[Byte]], v.asInstanceOf[UTF8String]).orNull
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "dd_bloom_filter_contains"
+}
+
+/** dd_bloom_filter_contains_all(blob, values) → BOOLEAN. Empty array →
+  * true; null elements skipped (reference bloom_filter.cpp:233). */
+case class BloomFilterContainsAll(blob: Expression, values: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def left: Expression = blob
+  override def right: Expression = values
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, ArrayType(StringType))
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(b: Any, vs: Any): Any = {
+    val blobBytes = b.asInstanceOf[Array[Byte]]
+    val ad = vs.asInstanceOf[ArrayData]
+    if (ad.numElements() == 0) return true
+    var i = 0
+    while (i < ad.numElements()) {
+      if (!ad.isNullAt(i)) {
+        BloomBlob.mayContain(blobBytes, ad.getUTF8String(i)) match {
+          case None => return null
+          case Some(false) => return false
+          case Some(true) =>
+        }
+      }
+      i += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "dd_bloom_filter_contains_all"
+}
+
+/** dd_array_contains_all(haystack, needle [, bloom]) → BOOLEAN: true iff
+  * every non-null needle element occurs in haystack (reference
+  * array_contains_all.cpp:44). The optional bloom blob is a prefilter:
+  * a definite-miss short-circuits, otherwise membership is re-verified
+  * exactly — so results are identical with or without the filter. */
+case class ArrayContainsAll(haystack: Expression, needle: Expression,
+                            bloom: Expression)
+    extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
+  def this(haystack: Expression, needle: Expression) =
+    this(haystack, needle, Literal(null, BinaryType))
+
+  override def first: Expression = haystack
+  override def second: Expression = needle
+  override def third: Expression = bloom
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType), BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val h = haystack.eval(input)
+    val n = needle.eval(input)
+    if (h == null || n == null) return null
+    val hs = h.asInstanceOf[ArrayData]
+    val ns = n.asInstanceOf[ArrayData]
+    if (ns.numElements() == 0) return true
+    if (hs.numElements() == 0) return false
+    val blobBytes = bloom.eval(input) match {
+      case null => null
+      case b => b.asInstanceOf[Array[Byte]]
+    }
+    var j = 0
+    while (j < ns.numElements()) {
+      if (!ns.isNullAt(j)) {
+        val v = ns.getUTF8String(j)
+        if (blobBytes != null &&
+            BloomBlob.mayContain(blobBytes, v).contains(false)) {
+          return false // definite miss, skip the exact scan
+        }
+        var found = false
+        var k = 0
+        while (!found && k < hs.numElements()) {
+          if (!hs.isNullAt(k) && hs.getUTF8String(k).equals(v)) found = true
+          k += 1
+        }
+        if (!found) return false
+      }
+      j += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+  override def prettyName: String = "dd_array_contains_all"
+}
+
+/** dd_search(column, values) → always TRUE, never null — a pushdown
+  * marker the reference forwards to the server (dd_search.cpp:13). Here
+  * it is a Catalyst expression a scan (or the arrow-endpoint source) can
+  * recognize and serialize; locally it filters nothing, matching the
+  * reference's local behavior. */
+case class DdSearch(column: Expression, values: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = column
+  override def right: Expression = values
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = true
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+  override def prettyName: String = "dd_search"
+}
