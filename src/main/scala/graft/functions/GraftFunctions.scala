@@ -1,20 +1,19 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graft._
 
 /** Public function surface (Column API + SQL registration) mirroring the
-  * reference extension's scalar functions. Use `GraftFunctions.register`
+  * reference extension's scalar functions
+  * (/root/reference/src/scalar_function). Use `GraftFunctions.register`
   * to expose the `dd_*` names to `spark.sql`.
   */
 object GraftFunctions {
   final val Version = "graft-0.1.0"
 
-  private def toCol(e: Expression): Column =
-    org.apache.spark.sql.classic.ExpressionUtils.column(e)
-  private def ex(c: Column): Expression =
-    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+  import Bridge.{column => toCol, expression => ex}
 
   def dd_bloom_filter_create(arr: Column): Column =
     toCol(new BloomFilterCreate(ex(arr)))

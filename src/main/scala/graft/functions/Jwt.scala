@@ -46,17 +46,21 @@ object Jwt {
     s"$header.$payload.$sig"
   }
 
-  /** Verify signature and expiry; returns the decoded payload JSON. */
+  /** Verify signature and expiry; returns the decoded payload JSON.
+    * A token without a parseable numeric `exp` claim is rejected — an
+    * absent expiry must not mean valid-forever. */
   def verify(token: String, secret: String, nowSec: Long): Option[String] = {
     token.split('.') match {
       case Array(h, p, s) =>
         val expected = enc.encodeToString(hmac(secret, s"$h.$p"))
         if (java.security.MessageDigest.isEqual(
               expected.getBytes(UTF_8), s.getBytes(UTF_8))) {
-          val payload = new String(dec.decode(p), UTF_8)
-          // exp check: tiny extraction, payloads are engine-minted
-          val exp = """"exp":(\d+)""".r.findFirstMatchIn(payload).map(_.group(1).toLong)
-          if (exp.forall(_ >= nowSec)) Some(payload) else None
+          scala.util.Try {
+            val payload = new String(dec.decode(p), UTF_8)
+            val exp = """"exp":\s*(\d+)""".r.findFirstMatchIn(payload)
+              .map(_.group(1).toLong) // overflow-length digits → Failure → None
+            exp.filter(_ >= nowSec).map(_ => payload)
+          }.toOption.flatten
         } else None
       case _ => None
     }

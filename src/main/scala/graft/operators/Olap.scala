@@ -21,12 +21,15 @@ import graft.Tables
   * order and flap the driver's hash compare. Ratios divide two exact
   * values in IEEE double, which is also deterministic.
   *
-  * Scale notes (100 TB): every query shuffles the fact table at most once,
-  * on its aggregation/join key; dimension tables (region/nation/supplier/
-  * part/customer at TPC-H ratios) are broadcast — `broadcast()` hints keep
-  * that explicit rather than relying on size estimates surviving a
-  * filter. Top-k uses orderBy+limit, which Spark executes as
-  * TakeOrderedAndProject (per-partition partial top-k, no global sort).
+  * Scale notes (100 TB): every query shuffles each fact table at most
+  * once, on its aggregation/join key; true dimension tables (region/
+  * nation/supplier/part) are broadcast — `broadcast()` hints keep that
+  * explicit rather than relying on size estimates surviving a filter.
+  * Customer is fact-scale at TPC-H ratios (sf×150k rows) and is NEVER
+  * force-broadcast; AQE converts those joins to broadcast at small sf
+  * and keeps them as shuffles at scale. Top-k uses orderBy+limit, which
+  * Spark executes as TakeOrderedAndProject (per-partition partial
+  * top-k, no global sort).
   */
 object Olap {
 
@@ -100,9 +103,10 @@ object Olap {
       |  AND l_quantity < 24""".stripMargin
 
   // ---------------------------------------------------------------- B3
-  /** TPC-H Q3 shipping priority: 3-way join + agg + top-k. The customer
-    * side (filtered dim) is broadcast; lineitem shuffles once on
-    * l_orderkey. Top-10 via TakeOrderedAndProject, not a global sort. */
+  /** TPC-H Q3 shipping priority: 3-way join + agg + top-k. Customer is
+    * fact-scale at TPC-H ratios, so no broadcast hint — AQE picks the
+    * join strategy from runtime sizes (broadcast locally, shuffle at
+    * 100 TB). Top-10 via TakeOrderedAndProject, not a global sort. */
   def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -111,7 +115,7 @@ object Olap {
     val li = Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").cast("string").as("orderdate"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
@@ -161,8 +165,9 @@ object Olap {
       |ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- B5
-  /** TPC-H Q5-style local-supplier revenue: 5-way star join. All dims
-    * broadcast; only lineitem⋈orders shuffles (single fact shuffle). */
+  /** TPC-H Q5-style local-supplier revenue: 5-way star join. True dims
+    * (supplier/nation/region) broadcast; customer is fact-scale so it
+    * joins un-hinted (AQE chooses; shuffle-hash at 100 TB). */
   def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
     val ord = Tables(spark, dir, "orders")
@@ -173,7 +178,7 @@ object Olap {
     val nat = Tables(spark, dir, "nation")
     val reg = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(supp),
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
@@ -320,7 +325,8 @@ object Olap {
 
   // ---------------------------------------------------------------- B10
   /** TPC-H Q10-style returned-items report: join + filter + agg + top-k
-    * by revenue. Customer is broadcast after the fact aggregation. */
+    * by revenue. Customer joins the post-aggregation (custkey-grouped)
+    * side un-hinted — both sides are custkey-scale, AQE decides. */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
     val ord = Tables(spark, dir, "orders")
@@ -331,7 +337,7 @@ object Olap {
       .groupBy(col("o_custkey"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
         .cast("double").as("revenue"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)

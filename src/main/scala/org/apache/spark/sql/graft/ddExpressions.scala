@@ -1,11 +1,14 @@
-package graft.functions
+package org.apache.spark.sql.graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.BloomBlob
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -15,7 +18,22 @@ import scala.collection.mutable.ArrayBuffer
   * interpreted (CodegenFallback), which is fine off the hot aggregate
   * path; the hot-path ops (Olap, Text, Dedup) stay on codegen'd
   * built-ins.
+  *
+  * This file lives in `package org.apache.spark.sql.graft` (not
+  * `graft.functions`) because `AbstractDataType` and the
+  * Column⇄Expression bridge (`classic.ExpressionUtils`) are
+  * `private[sql]` in Spark 4.
   */
+
+/** Column⇄Expression bridge — the only place that touches
+  * `private[sql]` Spark internals. Public signatures use only public
+  * types, so callers outside the sql package are fine. */
+object Bridge {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
 
 /** dd_bloom_filter_create(arr [, bits_per_element [, num_hash_functions]])
   * → BINARY. Per-row filter over a VARCHAR[] (reference
