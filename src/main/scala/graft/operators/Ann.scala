@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+import graft.Tables
+import graft.functions.TopKAgg
+
+/** Approximate-nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2 C6/C7).
+  *
+  * Scale design (100 TB): the query side (a handful of vectors) is
+  * broadcast; the corpus is scanned exactly once and never collected.
+  * Top-k uses [[graft.functions.TopKAgg]], a partial-aggregating
+  * Catalyst aggregate — each map task ships at most k candidates per
+  * query to the reducer, so the shuffle is O(queries × k × partitions),
+  * independent of corpus size. C7 additionally prunes the scanned rows
+  * with sign-random-projection LSH bucket equality before scoring.
+  */
+object Ann {
+
+  private val K = 10
+  private val NumQueries = 5
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def topK(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKAgg(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+
+  /** Explode an array<struct<score,id>> top-k result into ranked rows. */
+  private def rankRows(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("q_id"), posexplode(col("topk")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).cast("long").as("nn_rank"),
+        col("col.id").as("vec_id"),
+        round(col("col.score"), 6).as("cosine"))
+      .orderBy(col("q_id"), col("nn_rank"))
+
+  // ---------------------------------------------------------------- C6
+  /** Brute-force exact cosine top-k: broadcast queries × corpus scan,
+    * partial top-k merge. This is the exactness baseline C7 is measured
+    * against. */
+  def bruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+    rankRows(
+      scored.groupBy(col("q_id"))
+        .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
+  }
+
+  val bruteforceSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, v.vec_id,
+       |    list_inner_product(q.qe, v.e) /
+       |      (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(v.e, v.e))) AS cos
+       |  FROM q CROSS JOIN v WHERE v.vec_id <> q.q_id)
+       |SELECT q_id, nn_rank, vec_id, round(cos, 6) AS cosine FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+
+  // ---------------------------------------------------------------- C7
+  /** LSH-bucketed ANN: 16-bit sign-random-projection signature split in
+    * two 8-bit bands; a corpus vector is scored only if it shares a band
+    * with the query. Same deterministic hyperplanes as C5
+    * ([[Dedup.planes]]). Approximate (recall < 1 by design) → rows-only
+    * check; AnnSpec asserts recall against C6 on planted neighbors. */
+  def lsh(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val sigBits = Dedup.planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(col("e"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val withBands = c.withColumn("sig", sigBits)
+      .withColumn("band0", col("sig").bitwiseAND(0xFFL))
+      .withColumn("band1", shiftright(col("sig"), 8).bitwiseAND(0xFFL))
+    val q = withBands.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("band0").as("qb0"), col("band1").as("qb1"))
+    val scored = withBands.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id") &&
+        (col("band0") === col("qb0") || col("band1") === col("qb1")))
+      .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+    rankRows(
+      scored.groupBy(col("q_id"))
+        .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> bruteforce _,
+    "ann_lsh" -> lsh _)
+
+  /** ann_lsh is approximate by design → no SQL oracle (rows-only). */
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> bruteforceSql)
+}

@@ -1,0 +1,280 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md §2
+  * C1–C5): exact hash dedup, MinHash+LSH, SimHash, exact n-gram Jaccard,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup shuffles only (hash, doc_id) pairs — the text never
+  *    moves after the map-side md5.
+  *  - MinHash-LSH and embedding-LSH never compare all pairs: candidates
+  *    come from an equi-join on band/bucket keys, which Spark executes as
+  *    a hash join on the bucket key. The candidate count is bounded by
+  *    the LSH collision structure, not |docs|².
+  *  - exact n-gram Jaccard (C4) IS quadratic in the worst case by
+  *    definition (it's the exact-verification primitive); at scale it is
+  *    only ever run on LSH-candidate pairs. The standalone entry exists
+  *    because it is the SQL-oracle-checkable ground truth.
+  *
+  * Hash parity: all signature hashes are md5-derived (identical in Spark
+  * and DuckDB). MinHash uses Kirsch-Mitzenmacher double hashing
+  * h_j = h1 + j·(2·h2+1) from two 28-bit md5 slices — one md5 per
+  * shingle, 64 derived hash functions, no 64× hashing cost.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Distinct word-3-gram shingles (0-based token indexing). Documents
+    * with <3 tokens are dropped on BOTH engines. */
+  private def withShingles(d: DataFrame): DataFrame =
+    d.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", col("toks")(i), col("toks")(i + 1), col("toks")(i + 2)))))
+
+  private val shinglesSql =
+    """SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |WHERE len(toks) >= 3""".stripMargin
+
+  /** Exact Jaccard pairs over distinct shingle sets at `threshold`,
+    * shared by the C4 oracle and the C2 oracle (LSH + exact verification
+    * returns exactly the true-pair set when band recall is 1, which holds
+    * for the planted near-dup structure — verified empirically at every
+    * test SF; see DedupSpec). */
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH sh AS ($shinglesSql),
+       |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM (
+       |  SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jacc
+       |  FROM shared JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
+       |WHERE jacc >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- C1
+  /** Exact dedup: md5 groupBy, keep-first. Only (hash, doc_id) shuffles. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val exactSql: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- C4
+  /** Exact n-gram-Jaccard near-dup pairs at 0.5 — explode + equi-join on
+    * gram + group. Exact by construction; the oracle is the same algebra
+    * in DuckDB. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+    val grams = sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jacc", col("c") / (col("sa.n") + col("sb.n") - col("c")))
+      .filter(col("jacc") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val ngramJaccardSql: String = jaccardPairsSql(0.5)
+
+  // ---------------------------------------------------------------- C2
+  private val MinhashK = 64
+  private val MinhashBands = 16
+  private val MinhashRows = 4 // K / Bands
+
+  /** doc_id + 64 genuinely independent 28-bit minhashes: 16 seeded md5s
+    * per shingle, 4 disjoint 7-hex slices each. (Derived double-hashing
+    * h1+j·h2 is cheaper but its dependence broke the 1-(1-s⁴)ᵇ recall
+    * bound on a real 0.95-Jaccard pair — independence matters here.) */
+  private def withMinhashes(sh: DataFrame): DataFrame = {
+    val hmd = transform(col("shingles"), s =>
+      transform(sequence(lit(0), lit(MinhashK / 4 - 1)),
+        g => md5(concat(g.cast("string"), lit(":"), s))))
+    val minhashCols = (0 until MinhashK).map { j =>
+      val g = j / 4
+      val sl = j % 4
+      array_min(transform(col("hmd"), hs =>
+        conv(substring(element_at(hs, g + 1), 1 + 8 * sl, 7), 16, 10).cast("long")))
+    }
+    sh.withColumn("hmd", hmd)
+      .withColumn("minhashes", array(minhashCols: _*))
+  }
+
+  /** MinHash + LSH banding: 16 bands × 4 rows; candidates = pairs
+    * sharing any band key (equi-join, never cross-join); candidates are
+    * then exactly verified on their shingle sets and filtered at 0.8.
+    * The oracle is the pure exact-Jaccard SQL — equal because band
+    * recall at the planted similarity level (≥0.9) is 1-(1-s⁴)¹⁶ ≈
+    * 1-6e-14 and the data is fixed. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+    val mh = withMinhashes(sh).select(col("doc_id"), col("minhashes"))
+    val bands = mh.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),
+          b => concat_ws("_", transform(
+            slice(col("minhashes"), b * MinhashRows + 1, lit(MinhashRows)),
+            m => m.cast("string"))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification on shingle sets
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jacc",
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))) /
+        size(array_union(col("sa.shingles"), col("sb.shingles"))))
+      .filter(col("jacc") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val minhashLshSql: String = jaccardPairsSql(0.8)
+
+  // ---------------------------------------------------------------- C3
+  private val SimhashBits = 60
+
+  /** 60-bit SimHash over md5 token hashes (15 hex chars = 60 bits), plus
+    * four 15-bit band keys for hamming-distance bucketing: two docs with
+    * hamming distance ≤ 3 share at least one of the 4 bands
+    * (pigeonhole). Per-doc projection only — no shuffle. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val th = transform(col("toks"),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val d = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("th", th)
+    val sim = (0 until SimhashBits).map { b =>
+      when(aggregate(col("th"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    d.withColumn("simhash", sim)
+      .select(col("doc_id"), col("simhash"),
+        col("simhash").bitwiseAND((1L << 15) - 1).as("band0"),
+        shiftright(col("simhash"), 15).bitwiseAND((1L << 15) - 1).as("band1"),
+        shiftright(col("simhash"), 30).bitwiseAND((1L << 15) - 1).as("band2"),
+        shiftright(col("simhash"), 45).bitwiseAND((1L << 15) - 1).as("band3"))
+  }
+
+  val simhashSql: String = {
+    val bandSel = (0 until 4)
+      .map(i => s"CAST((simhash >> ${i * 15}) & ${(1L << 15) - 1} AS BIGINT) AS band$i")
+      .mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '),
+       |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS th
+       |FROM documents),
+       |s AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, ${SimhashBits - 1}),
+       |  b -> CASE WHEN list_sum(list_transform(th,
+       |         h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+       |FROM t)
+       |SELECT doc_id, simhash,
+       |  $bandSel
+       |FROM s""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- C5
+  private val EmbPlanes = 16
+  private val EmbDim = 64
+  private val CosineThreshold = 0.8
+
+  /** Deterministic ±1 random hyperplanes (fixed seed — same planes on
+    * every executor and every run). */
+  private[operators] val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(EmbPlanes, EmbDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Embedding-cosine near-dup: sign-random-projection LSH (16 bits, two
+    * 8-bit bands) → candidate pairs by band equi-join → exact cosine
+    * verification at 0.8. Corpus is never cross-joined. The oracle is
+    * the brute-force exact SQL (band recall 1 on the fixed data —
+    * vacuously at SFs where no pair reaches 0.8). */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val sigBits = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(col("e"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sig = emb.withColumn("sig", sigBits)
+      .withColumn("band0", col("sig").bitwiseAND(0xFFL))
+      .withColumn("band1", shiftright(col("sig"), 8).bitwiseAND(0xFFL))
+    val b0 = sig.select(col("vec_id"), col("e"), lit(0).as("band"), col("band0").as("key"))
+    val b1 = sig.select(col("vec_id"), col("e"), lit(1).as("band"), col("band1").as("key"))
+    val bands = b0.unionAll(b1)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.e").as("ea"), col("b.e").as("eb"))
+      .dropDuplicates("vec_a", "vec_b")
+    cand
+      .withColumn("cos",
+        dot(col("ea"), col("eb")) /
+          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+      .filter(col("cos") >= CosineThreshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val embeddingDedupSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  round(list_inner_product(a.e, b.e) /
+       |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE list_inner_product(a.e, b.e) /
+       |      (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> exact _,
+    "dedup_ngram_jaccard" -> ngramJaccard _,
+    "dedup_minhash_lsh" -> minhashLsh _,
+    "dedup_simhash" -> simhash _,
+    "dedup_embedding" -> embeddingDedup _)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactSql,
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_minhash_lsh" -> minhashLshSql,
+    "dedup_simhash" -> simhashSql,
+    "dedup_embedding" -> embeddingDedupSql)
+}

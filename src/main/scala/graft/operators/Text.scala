@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md §2
+  * C9–C12): language ID, quality scoring, token counting, document
+  * fingerprinting. All are single-pass projections over `documents` —
+  * no shuffle, no UDFs, pure codegen-able built-ins + higher-order
+  * functions, so they scale linearly with input splits at 100 TB.
+  *
+  * Oracle-parity discipline: every formula is expressed with the exact
+  * same operation tree on the Spark and DuckDB sides (same associativity,
+  * same integer→double division points), and fractional outputs are
+  * rounded to 6 dp so the comparison is stable. Counting is integer and
+  * exact. Hashes are md5-derived on both engines (identical by
+  * definition).
+  */
+object Text {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Count of tokens that appear in `words`. */
+  private def wordCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
+
+  private def sqlWordCount(words: Seq[String]): String =
+    s"len(list_filter(toks, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
+
+  // ---------------------------------------------------------------- C9
+  /** Language-ID markers. The reference corpus is synthetic, so the
+    * discriminative power is irrelevant — the contract is a
+    * deterministic, engine-portable scoring function of the text. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** n-gram-heuristic language ID: marker-word hit counts per language,
+    * argmax with a fixed priority-order tie-break. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val withToks = docs(spark, dir).withColumn("toks", toks(col("text")))
+    val scored = langMarkers.foldLeft(withToks) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l", wordCount(col("toks"), ws))
+    }
+    val scoreCols = langMarkers.map { case (l, _) => col(s"s_$l") }
+    val m = greatest(scoreCols: _*)
+    val predCol = langMarkers.reverse.foldLeft(lit("und"): Column) { case (els, (l, _)) =>
+      when(col(s"s_$l") === col("m"), lit(l)).otherwise(els)
+    }
+    scored.withColumn("m", m)
+      .withColumn("pred_lang", predCol)
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("m").cast("long").as("score"))
+  }
+
+  val langIdSql: String = {
+    val scoreSelect = langMarkers
+      .map { case (l, ws) => s"${sqlWordCount(ws)} AS s_$l" }.mkString(",\n  ")
+    val m = s"greatest(${langMarkers.map { case (l, _) => s"s_$l" }.mkString(",")})"
+    val pred = langMarkers
+      .map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |  $scoreSelect
+       |FROM t),
+       |g AS (SELECT *, $m AS m FROM s)
+       |SELECT doc_id, lang, $pred AS pred_lang, CAST(m AS BIGINT) AS score FROM g""".stripMargin
+  }
+
+  // --------------------------------------------------------------- C10
+  private val enStops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  /** Quality scoring: length/stopword/alpha ratios combined into one
+    * deterministic score. Same formula tree on both engines. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("toks", toks(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("stop_cnt", wordCount(col("toks"), enStops).cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+    d.select(
+      col("doc_id"), col("n_chars"), col("n_words"), col("stop_cnt"),
+      round(col("stop_cnt") / col("n_words"), 6).as("stop_ratio"),
+      round(col("alpha_chars") / col("n_chars"), 6).as("alpha_ratio"),
+      round(
+        least(col("n_words") / lit(50.0), lit(1.0)) * 0.3 +
+        (col("stop_cnt") / col("n_words")) * 0.35 +
+        (col("alpha_chars") / col("n_chars")) * 0.35, 6).as("quality"))
+  }
+
+  val qualitySql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |f AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(toks) AS BIGINT) AS n_words,
+       |  CAST(${sqlWordCount(enStops)} AS BIGINT) AS stop_cnt,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars
+       |FROM t)
+       |SELECT doc_id, n_chars, n_words, stop_cnt,
+       |  round(stop_cnt / n_words, 6) AS stop_ratio,
+       |  round(alpha_chars / n_chars, 6) AS alpha_ratio,
+       |  round(least(n_words / 50.0, 1.0) * 0.3 +
+       |        (stop_cnt / n_words) * 0.35 +
+       |        (alpha_chars / n_chars) * 0.35, 6) AS quality
+       |FROM f""".stripMargin
+
+  // --------------------------------------------------------------- C11
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation). */
+  def tokens(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    docs(spark, dir)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens", size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("ws_tokens"), col("re_tokens"),
+        round(col("n_chars") / col("re_tokens"), 6).as("chars_per_token"))
+  }
+
+  val tokensSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+      |  round(CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT), 6) AS chars_per_token
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------------- C12
+  /** Document fingerprinting: a 64-bit-hex md5 prefix plus a polynomial
+    * rolling hash over character codes (base 31 mod 1e9+7) — the classic
+    * Rabin-Karp-style fingerprint, left-folded so both engines produce
+    * the identical value. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val codes = transform(sequence(lit(1), length(col("text"))),
+      i => ascii(col("text").substr(i, lit(1))).cast("long"))
+    docs(spark, dir)
+      .withColumn("codes", codes)
+      .select(
+        col("doc_id"),
+        substring(md5(col("text")), 1, 16).as("fp_md5"),
+        aggregate(
+          slice(col("codes"), lit(2), size(col("codes")) - 1),
+          element_at(col("codes"), 1),
+          (acc, x) => (acc * 31 + x) % 1000000007L).as("fp_poly"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  substr(md5(text), 1, 16) AS fp_md5,
+      |  list_reduce(
+      |    list_transform(generate_series(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_poly
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> langId _,
+    "text_quality" -> quality _,
+    "text_tokens" -> tokens _,
+    "text_fingerprint" -> fingerprint _)
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> langIdSql,
+    "text_quality" -> qualitySql,
+    "text_tokens" -> tokensSql,
+    "text_fingerprint" -> fingerprintSql)
+}
