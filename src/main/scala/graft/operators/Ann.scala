@@ -82,25 +82,21 @@ object Ann {
 
   // ---------------------------------------------------------------- C7
   /** LSH-bucketed ANN: 16-bit sign-random-projection signature split in
-    * two 8-bit bands; a corpus vector is scored only if it shares a band
-    * with the query. Same deterministic hyperplanes as C5
-    * ([[Dedup.planes]]). Approximate (recall < 1 by design) → rows-only
-    * check; AnnSpec asserts recall against C6 on planted neighbors. */
+    * four 4-bit bands; a corpus vector is scored only if it shares a
+    * band with the query. Same deterministic hyperplanes + banding as C5
+    * ([[Dedup.signBits]]/[[Dedup.bandKey]]). Approximate (recall < 1 by
+    * design) → rows-only check; DedupSpec asserts planted-neighbor
+    * recall. */
   def lsh(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val sigBits = Dedup.planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit(_)): _*)
-      when(dot(col("e"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val withBands = c.withColumn("sig", sigBits)
-      .withColumn("band0", col("sig").bitwiseAND(0xFFL))
-      .withColumn("band1", shiftright(col("sig"), 8).bitwiseAND(0xFFL))
-    val q = withBands.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"),
-        col("band0").as("qb0"), col("band1").as("qb1"))
-    val scored = withBands.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("q_id") &&
-        (col("band0") === col("qb0") || col("band1") === col("qb1")))
+    val withSig = c.withColumn("sig", Dedup.signBits(col("e")))
+    val q = withSig.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("sig").as("qsig"))
+    val bandMatch = (0 until Dedup.EmbBands)
+      .map(b => Dedup.bandKey(col("sig"), b) === Dedup.bandKey(col("qsig"), b))
+      .reduce(_ || _)
+    val scored = withSig.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id") && bandMatch)
       .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
     rankRows(
       scored.groupBy(col("q_id"))

@@ -220,24 +220,33 @@ object Dedup {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** Embedding-cosine near-dup: sign-random-projection LSH (16 bits, two
-    * 8-bit bands) → candidate pairs by band equi-join → exact cosine
-    * verification at 0.8. Corpus is never cross-joined. The oracle is
-    * the brute-force exact SQL (band recall 1 on the fixed data —
-    * vacuously at SFs where no pair reaches 0.8). */
+  /** 16-bit sign signature from the fixed hyperplanes. */
+  private[operators] def signBits(e: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit(_)): _*)
+      when(dot(e, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** 4 bands × 4 bits from a 16-bit signature. For a pair at cosine c the
+    * per-bit agreement is 1-acos(c)/π, so band recall ≈ 1-(1-p⁴)⁴ —
+    * ~0.99 at c=0.95 and →1 as c→1; true near-dups are found, mid-range
+    * similarities are (by design) pruned. */
+  private[operators] val EmbBands = 4
+  private[operators] def bandKey(sig: Column, b: Int): Column =
+    shiftright(sig, 4 * b).bitwiseAND(0xFL)
+
+  /** Embedding-cosine near-dup: sign-random-projection LSH → candidate
+    * pairs by band equi-join → exact cosine verification at 0.8. Corpus
+    * is never cross-joined. The oracle is the brute-force exact SQL
+    * (band recall 1 on the fixed data — vacuously at SFs where no pair
+    * reaches 0.8). */
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
-    val sigBits = planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit(_)): _*)
-      when(dot(col("e"), planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val sig = emb.withColumn("sig", sigBits)
-      .withColumn("band0", col("sig").bitwiseAND(0xFFL))
-      .withColumn("band1", shiftright(col("sig"), 8).bitwiseAND(0xFFL))
-    val b0 = sig.select(col("vec_id"), col("e"), lit(0).as("band"), col("band0").as("key"))
-    val b1 = sig.select(col("vec_id"), col("e"), lit(1).as("band"), col("band1").as("key"))
-    val bands = b0.unionAll(b1)
+    val sig = emb.withColumn("sig", signBits(col("e")))
+    val bands = (0 until EmbBands).map { b =>
+      sig.select(col("vec_id"), col("e"), lit(b).as("band"), bandKey(col("sig"), b).as("key"))
+    }.reduce(_ unionAll _)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -35,6 +35,13 @@ object Bridge {
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
 
+private[graft] object DdTypes {
+  /** A string array — also admitting the empty/all-null `array()`
+    * literal (ARRAY<VOID>), which the reference's `[]` tests exercise. */
+  val StringArray: AbstractDataType =
+    TypeCollection(ArrayType(StringType), ArrayType(NullType))
+}
+
 /** dd_bloom_filter_create(arr [, bits_per_element [, num_hash_functions]])
   * → BINARY. Per-row filter over a VARCHAR[] (reference
   * bloom_filter.cpp:53). Null array → null; null elements skipped. */
@@ -50,7 +57,7 @@ case class BloomFilterCreate(arr: Expression, bitsPerElement: Expression,
   override def second: Expression = bitsPerElement
   override def third: Expression = numHashFuncs
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(StringType), IntegerType, IntegerType)
+    Seq(DdTypes.StringArray, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
@@ -98,7 +105,7 @@ case class BloomFilterContainsAll(blob: Expression, values: Expression)
     extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
   override def left: Expression = blob
   override def right: Expression = values
-  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, ArrayType(StringType))
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, DdTypes.StringArray)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
@@ -125,11 +132,14 @@ case class BloomFilterContainsAll(blob: Expression, values: Expression)
   override def prettyName: String = "dd_bloom_filter_contains_all"
 }
 
-/** dd_array_contains_all(haystack, needle [, bloom]) → BOOLEAN: true iff
-  * every non-null needle element occurs in haystack (reference
-  * array_contains_all.cpp:44). The optional bloom blob is a prefilter:
-  * a definite-miss short-circuits, otherwise membership is re-verified
-  * exactly — so results are identical with or without the filter. */
+/** dd_array_contains_all(haystack, needle [, bloom_or_flag]) → BOOLEAN:
+  * true iff every non-null needle element occurs in haystack (reference
+  * array_contains_all.cpp:44). The optional third argument mirrors the
+  * reference's two overloads (array_contains_all.cpp:273,304): a BOOLEAN
+  * is the columnar-processing flag (result-neutral, ignored here — Spark
+  * picks its own vectorization), while a BINARY bloom blob is a
+  * prefilter: a definite-miss short-circuits, otherwise membership is
+  * re-verified exactly — so results are identical with or without it. */
 case class ArrayContainsAll(haystack: Expression, needle: Expression,
                             bloom: Expression)
     extends TernaryExpression with CodegenFallback with ExpectsInputTypes {
@@ -140,7 +150,8 @@ case class ArrayContainsAll(haystack: Expression, needle: Expression,
   override def second: Expression = needle
   override def third: Expression = bloom
   override def inputTypes: Seq[AbstractDataType] =
-    Seq(ArrayType(StringType), ArrayType(StringType), BinaryType)
+    Seq(DdTypes.StringArray, DdTypes.StringArray,
+      TypeCollection(BinaryType, BooleanType))
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
@@ -153,8 +164,8 @@ case class ArrayContainsAll(haystack: Expression, needle: Expression,
     if (ns.numElements() == 0) return true
     if (hs.numElements() == 0) return false
     val blobBytes = bloom.eval(input) match {
-      case null => null
-      case b => b.asInstanceOf[Array[Byte]]
+      case b: Array[Byte] => b
+      case _ => null // absent, null, or the reference's boolean mode flag
     }
     var j = 0
     while (j < ns.numElements()) {

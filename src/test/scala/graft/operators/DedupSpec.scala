@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Dedup/ANN operator specs: planted-near-dup recovery, LSH recall vs
+  * the exact ground truth, and no-cartesian plan guarantees. */
+class DedupSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  test("minhash-LSH finds exactly the exact-Jaccard>=0.8 pairs (recall 1 on planted dups)") {
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(lsh.nonEmpty) // the corpus has planted near-dups
+  }
+
+  test("minhash-LSH plan has no cartesian product") {
+    val plan = Dedup.minhashLsh(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("simhash: hamming<=3 pairs always share a band; near-dups mostly do") {
+    val sim = Dedup.simhash(spark, dir)
+    val pairs = Dedup.ngramJaccard(spark, dir).filter(col("jaccard") >= 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val byId = sim.collect().map(r => r.getLong(0) -> r).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    var close = 0
+    var bandClose = 0
+    var bandNear = 0
+    pairs.foreach { case (a, b) =>
+      val ra = byId(a); val rb = byId(b)
+      val sharesBand = (1 to 4).exists(i => ra.getLong(i + 1) === rb.getLong(i + 1))
+      if (hamming(ra.getLong(1), rb.getLong(1)) <= 3) {
+        close += 1
+        if (sharesBand) bandClose += 1
+      }
+      if (sharesBand) bandNear += 1
+    }
+    // pigeonhole: hamming<=3 over 4 bands MUST share one
+    assert(bandClose === close)
+    // and the banding must recover the bulk of the planted near-dups
+    assert(bandNear.toDouble / pairs.length > 0.8,
+      s"band recall $bandNear/${pairs.length}")
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tmp_docs")
+    val res = docs.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(res === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("embedding dedup finds planted high-cosine pairs and no cartesian") {
+    import spark.implicits._
+    // plant: v0 ≈ v1 (cosine ~1), v2 orthogonal-ish
+    val dim = 64
+    val base = Array.tabulate(dim)(i => math.sin(i + 1))
+    val near = base.map(x => (x * 1.0001).toFloat)
+    val far = Array.tabulate(dim)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq(
+      (0L, base.map(_.toFloat).toSeq), (1L, near.toSeq), (2L, far.toSeq)
+    ).toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    df.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val res = Dedup.embeddingDedup(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res === Set((0L, 1L)))
+    val plan = Dedup.embeddingDedup(spark, tmp).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ann-lsh finds a planted near neighbor that bruteforce ranks #1") {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val near = base.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat)
+    // queries are vec_id < 5; make vec_id 0 the query and 99 its neighbor
+    val noise = (1L to 98L).filter(_ != 0L).map { i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+    }
+    val df = (Seq((0L, base.map(_.toFloat).toSeq), (99L, near.toSeq)) ++ noise)
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    df.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val bfTop = Ann.bruteforce(spark, tmp)
+      .filter(col("q_id") === 0 && col("nn_rank") === 1).head
+    assert(bfTop.getLong(2) === 99L)
+    val lshHits = Ann.lsh(spark, tmp).filter(col("q_id") === 0)
+      .collect().map(_.getLong(2)).toSet
+    assert(lshHits.contains(99L), "LSH must recover the planted near neighbor")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Text operator specs: engine-parity edge cases and basic invariants. */
+class TextSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  test("langid scores + argmax are deterministic and total") {
+    val res = Text.langId(spark, dir)
+    assert(res.filter(col("pred_lang").isNull).count() === 0)
+    assert(res.count() === 500)
+  }
+
+  test("quality ratios bounded [0,1] and score bounded") {
+    val bad = Text.quality(spark, dir).filter(
+      col("stop_ratio") < 0 || col("stop_ratio") > 1 ||
+      col("alpha_ratio") < 0 || col("alpha_ratio") > 1 ||
+      col("quality") < 0 || col("quality") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("token counts: ws_tokens equals wordcount of single-spaced text") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "one"), (3L, "x  y")).toDF("doc_id", "text")
+    val counts = df.select(size(split(col("text"), " "))).collect().map(_.getInt(0)).toSeq
+    assert(counts === Seq(3, 1, 3)) // double space → empty token, like DuckDB string_split
+  }
+
+  test("fingerprint poly-hash: known value and md5 prefix") {
+    import spark.implicits._
+    // "ab" → codes [97, 98]; fold: init 97, (97*31+98) % 1e9+7 = 3105
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("fp_tmp")
+    val codes = transform(sequence(lit(1), length(col("text"))),
+      i => ascii(col("text").substr(i, lit(1))).cast("long"))
+    val out = df.withColumn("codes", codes)
+      .select(aggregate(slice(col("codes"), lit(2), size(col("codes")) - 1),
+        element_at(col("codes"), 1), (acc, x) => (acc * 31 + x) % 1000000007L))
+      .head.getLong(0)
+    assert(out === 3105L)
+  }
+
+  test("text ops are shuffle-free single-pass projections") {
+    Seq("text_langid", "text_quality", "text_tokens", "text_fingerprint").foreach { q =>
+      val plan = Text.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
+    }
+  }
+}
