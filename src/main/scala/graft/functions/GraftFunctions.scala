@@ -29,6 +29,10 @@ object GraftFunctions {
     toCol(ArrayContainsAll(ex(haystack), ex(needle), ex(bloom)))
   def dd_search(column: Column, values: Column): Column =
     toCol(DdSearch(ex(column), ex(values)))
+  def dd_login(url: Column, user: Column, pass: Column): Column =
+    toCol(new DdLogin(ex(url), ex(user), ex(pass)))
+  def dd_login(url: Column, user: Column, pass: Column, claims: Column): Column =
+    toCol(DdLogin(ex(url), ex(user), ex(pass), ex(claims)))
   def dd_version(): Column = lit(Version)
 
   /** Register the dd_* functions in the session's FunctionRegistry so they
@@ -54,6 +58,12 @@ object GraftFunctions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("dd_search",
       { args => DdSearch(args(0), args(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("dd_login", {
+      case Seq(u, usr, pw) => new DdLogin(u, usr, pw)
+      case Seq(u, usr, pw, c) => DdLogin(u, usr, pw, c)
+      case args => throw new IllegalArgumentException(
+        s"dd_login expects 3-4 args, got ${args.size}")
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("dd_version",
       { _ => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(Version)) }, "scala_udf")
   }

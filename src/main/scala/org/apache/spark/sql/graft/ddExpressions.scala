@@ -193,6 +193,51 @@ case class ArrayContainsAll(haystack: Expression, needle: Expression,
   override def prettyName: String = "dd_array_contains_all"
 }
 
+/** dd_login(url, username, password [, claims_json]) → JWT string, null
+  * on failed login (reference /root/reference/src/scalar_function/
+  * dd_login.cpp:18-27 — POSTs {username, password, claims:{...}} to
+  * url/v1/login and returns the accessToken). Zero-egress here: the url
+  * resolves against [[graft.functions.GraftAuth]]'s provider registry
+  * instead of the network; claims is a flat JSON object of string
+  * fields, copied into the token like BuildLoginJson does. */
+case class DdLogin(url: Expression, user: Expression, pass: Expression,
+                   claims: Expression)
+    extends Expression with CodegenFallback with ExpectsInputTypes {
+  def this(url: Expression, user: Expression, pass: Expression) =
+    this(url, user, pass, Literal(UTF8String.fromString(""), StringType))
+
+  override def children: Seq[Expression] = Seq(url, user, pass, claims)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(StringType, StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  private val claimPair = """"([^"]+)"\s*:\s*"([^"]*)"""".r
+
+  override def eval(input: InternalRow): Any = {
+    val u = url.eval(input)
+    val usr = user.eval(input)
+    val pw = pass.eval(input)
+    if (u == null || usr == null || pw == null) return null
+    val claimStr = claims.eval(input) match {
+      case null => ""
+      case c => c.toString
+    }
+    val claimSeq = claimPair.findAllMatchIn(claimStr)
+      .map(m => m.group(1) -> m.group(2)).toSeq
+    graft.functions.GraftAuth.resolve(u.toString)
+      .flatMap(_.login(usr.toString, pw.toString, claimSeq,
+        graft.functions.GraftAuth.nowSec()))
+      .map(UTF8String.fromString)
+      .orNull
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+  override def prettyName: String = "dd_login"
+}
+
 /** dd_search(column, values) → always TRUE, never null — a pushdown
   * marker the reference forwards to the server (dd_search.cpp:13). Here
   * it is a Catalyst expression a scan (or the arrow-endpoint source) can
