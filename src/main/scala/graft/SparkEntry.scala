@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, Dedup, Functions, Olap, Text}
+import graft.operators.{Ann, ArrowOps, Dedup, Functions, Olap, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Olap.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++ Functions.queries
+    Olap.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
+      Functions.queries ++ ArrowOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Olap.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++ Functions.oracles
+    Olap.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
+      Functions.oracles ++ ArrowOps.oracles
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftArrow
+
+/** Oracle-checked entries for the graft-arrow DSv2 source (SURVEY.md §2
+  * A1–A6): the same rows must come back through endpoint → Arrow IPC →
+  * bridge as a plain SQL scan of the parquet file produces. The oracle
+  * is deliberately the *plain* query — pushdown must be semantically
+  * invisible. */
+object ArrowOps {
+
+  /** A1–A3: projected + filtered scan through the endpoint. */
+  def scan(spark: SparkSession, dir: String): DataFrame =
+    GraftArrow.read(spark, dir, "lineitem")
+      .filter(col("l_quantity") < 3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  val scanSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem WHERE l_quantity < 3""".stripMargin
+
+  /** A4: pushed COUNT/SUM/MIN/MAX partials merged by Spark. */
+  def aggPushdown(spark: SparkSession, dir: String): DataFrame =
+    GraftArrow.read(spark, dir, "lineitem")
+      .filter(col("l_discount") > 0.02)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+
+  val aggPushdownSql: String =
+    """SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM lineitem WHERE l_discount > 0.02""".stripMargin
+
+  /** A6: the split plan itself. One packed split at test SFs (row groups
+    * are ≤1M rows), so the oracle is the full row count. */
+  def splits(spark: SparkSession, dir: String): DataFrame =
+    GraftArrow.splits(spark, dir, "lineitem", splitSize = Long.MaxValue / 4)
+      .select(col("split_id"), col("split_rows"))
+
+  val splitsSql: String =
+    "SELECT CAST(0 AS BIGINT) AS split_id, CAST(count(*) AS BIGINT) AS split_rows FROM lineitem"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "arrow_scan" -> scan _,
+    "arrow_agg_pushdown" -> aggPushdown _,
+    "arrow_splits" -> splits _)
+
+  val oracles: Map[String, String] = Map(
+    "arrow_scan" -> scanSql,
+    "arrow_agg_pushdown" -> aggPushdownSql,
+    "arrow_splits" -> splitsSql)
+}

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The arrow-endpoint contract (SURVEY.md §2 A1): the Spark-first
+  * re-expression of the reference's remote Arrow-IPC server surface
+  * (`dd_read_arrow(url, sql|table, …)` in
+  * /root/reference/src/scanner/read_arrow_dd.cpp plus the `/plan` split
+  * API in /root/reference/src/http/split_info.cpp).
+  *
+  * An endpoint can describe a table, plan a split set for a scan, and
+  * stream each split back as Arrow IPC record-batch messages. The only
+  * in-repo implementation is [[LocalParquetEndpoint]] (zero egress); an
+  * HTTP implementation would speak the same trait over the reference's
+  * REST protocol.
+  */
+trait Endpoint extends Serializable {
+  /** Table schema, as Spark types. */
+  def schema(table: String): StructType
+
+  /** Plan the scan: one [[SplitInfo]] per parallel unit, row-group
+    * aligned, each targeting ≤ splitSizeBytes of on-disk data (the
+    * reference's `split_size` named parameter). */
+  def plan(table: String, query: QuerySpec, splitSizeBytes: Long): Seq[SplitInfo]
+
+  /** Stream one split as Arrow IPC record-batch message bytes. */
+  def scan(split: SplitInfo, query: QuerySpec): Iterator[Array[Byte]]
+
+  /** Stream the partial-aggregate row for one split (aggregation
+    * pushdown, reference optimizer/aggregation_pushdown.cpp: partials
+    * are merged across splits by the caller — here, by Spark's final
+    * aggregation). */
+  def scanAgg(split: SplitInfo, query: QuerySpec, agg: AggSpec): Iterator[Array[Byte]]
+}
+
+/** What the scan asks of the endpoint: projected columns + filters, both
+  * structurally (for execution) and as ANSI SQL (the wire protocol the
+  * reference sends to the server — surfaced by `dd_splits`). */
+case class QuerySpec(table: String, requiredColumns: Array[String],
+                     filters: Array[Filter]) {
+  /** The SQL the reference would send over the wire. */
+  def toSql: String = {
+    val cols = if (requiredColumns.isEmpty) "*" else requiredColumns.mkString(", ")
+    val where = FilterSql.toWhere(filters)
+    s"SELECT $cols FROM $table$where"
+  }
+}
+
+/** One pushed aggregate: op ∈ count_star|count|sum|min|max. */
+case class AggCall(op: String, column: String)
+case class AggSpec(calls: Seq[AggCall]) {
+  def toSql(table: String, filters: Array[Filter]): String = {
+    val exprs = calls.map {
+      case AggCall("count_star", _) => "count(*)"
+      case AggCall(op, c) => s"$op($c)"
+    }
+    s"SELECT ${exprs.mkString(", ")} FROM $table${FilterSql.toWhere(filters)}"
+  }
+}
+
+/** A planned split (reference split_info.cpp / dd_splits.cpp): an
+  * endpoint locator plus the row-group range it covers. */
+case class SplitInfo(
+    endpoint: String,       // locator ("local://<path>" here; URL remotely)
+    queryId: Long,
+    producerId: String,
+    query: String,          // serialized SQL sent to the server
+    queryChecksum: String,
+    splitId: Int,
+    rowGroups: Seq[Int],    // row-group ordinals this split covers
+    startByte: Long,        // file range [startByte, endByte) — row-group aligned
+    endByte: Long,
+    rowCount: Long)
+
+/** Spark DSv2 [[Filter]] → ANSI SQL serializer (SURVEY.md §2 A3): the
+  * reference serializes pushed filters back to SQL and sends them to the
+  * server (read_arrow_dd.cpp; expression-to-SQL also in
+  * optimizer/aggregation_pushdown.cpp:44-127). Unsupported filters are
+  * simply not serialized — the caller keeps them local. */
+object FilterSql {
+  def toWhere(filters: Array[Filter]): String = {
+    val parts = filters.flatMap(toSql)
+    if (parts.isEmpty) "" else parts.mkString(" WHERE ", " AND ", "")
+  }
+
+  def toSql(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => Some(s"$a = ${lit(v)}")
+    case EqualNullSafe(a, v) => Some(s"$a IS NOT DISTINCT FROM ${lit(v)}")
+    case GreaterThan(a, v) => Some(s"$a > ${lit(v)}")
+    case GreaterThanOrEqual(a, v) => Some(s"$a >= ${lit(v)}")
+    case LessThan(a, v) => Some(s"$a < ${lit(v)}")
+    case LessThanOrEqual(a, v) => Some(s"$a <= ${lit(v)}")
+    case In(a, vs) => Some(s"$a IN (${vs.map(lit).mkString(", ")})")
+    case IsNull(a) => Some(s"$a IS NULL")
+    case IsNotNull(a) => Some(s"$a IS NOT NULL")
+    case StringStartsWith(a, v) => Some(s"$a LIKE ${lit(v + "%")}")
+    case StringEndsWith(a, v) => Some(s"$a LIKE ${lit("%" + v)}")
+    case StringContains(a, v) => Some(s"$a LIKE ${lit("%" + v + "%")}")
+    case And(l, r) => for (ls <- toSql(l); rs <- toSql(r)) yield s"($ls AND $rs)"
+    case Or(l, r) => for (ls <- toSql(l); rs <- toSql(r)) yield s"($ls OR $rs)"
+    case Not(c) => toSql(c).map(s => s"(NOT $s)")
+    case _ => None
+  }
+
+  private def lit(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case s: org.apache.spark.unsafe.types.UTF8String => lit(s.toString)
+    case t: java.sql.Timestamp => s"TIMESTAMP '${t.toString.stripSuffix(".0")}'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case i: java.time.Instant => s"TIMESTAMP '${i.toString.replace("T", " ").stripSuffix("Z")}'"
+    case ld: java.time.LocalDate => s"DATE '$ld'"
+    case ldt: java.time.LocalDateTime => s"TIMESTAMP '${ldt.toString.replace("T", " ")}'"
+    case other => other.toString
+  }
+}

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** User-facing surface of the arrow-endpoint source. */
+object GraftArrow {
+  val Format = "graft.sources.GraftArrowTableProvider"
+
+  /** `dd_read_arrow` equivalent: scan `table` through the endpoint. */
+  def read(spark: SparkSession, dir: String, table: String,
+           splitSize: Long = 128L * 1024 * 1024): DataFrame =
+    spark.read.format(Format)
+      .option("dir", dir)
+      .option("table", table)
+      .option("split_size", splitSize)
+      .load()
+
+  /** `dd_splits` equivalent (SURVEY.md §2 A6; reference
+    * /root/reference/src/table_function/dd_splits.cpp:1-170): expose the
+    * split plan the endpoint would hand to a scan — endpoints, query id,
+    * serialized query, producer, split size and checksum, plus the
+    * row-group range/row count of each split. Driver-side metadata (the
+    * reference's table function is too), so a plain createDataFrame. */
+  def splits(spark: SparkSession, dir: String, table: String,
+             splitSize: Long = 128L * 1024 * 1024,
+             columns: Seq[String] = Nil): DataFrame = {
+    val endpoint = new LocalParquetEndpoint(dir)
+    val cols = if (columns.isEmpty) endpoint.schema(table).fieldNames.toSeq else columns
+    val plan = endpoint.plan(table,
+      QuerySpec(table, cols.toArray, Array.empty), splitSize)
+    val schema = StructType(Seq(
+      StructField("endpoints", StringType, nullable = false),
+      StructField("query_id", LongType, nullable = false),
+      StructField("query", StringType, nullable = false),
+      StructField("producer_id", StringType, nullable = false),
+      StructField("split_size", LongType, nullable = false),
+      StructField("query_checksum", StringType, nullable = false),
+      StructField("split_id", LongType, nullable = false),
+      StructField("split_rows", LongType, nullable = false)))
+    val rows = plan.map(s => Row(s.endpoint, s.queryId, s.query, s.producerId,
+      splitSize, s.queryChecksum, s.splitId.toLong, s.rowCount))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+}

@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.graft.ArrowBridge
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 "graft-arrow" (SURVEY.md §2 A1–A5): the Spark-native
+  * re-expression of `dd_read_arrow` (reference
+  * /root/reference/src/scanner/read_arrow_dd.cpp — bind/named-params at
+  * :29-49, parallel split scan; optimizer extension
+  * aggregation_pushdown.cpp).
+  *
+  * Options: `dir` (endpoint root), `table`, `split_size` (bytes,
+  * default 128 MiB — reference's split_size named parameter).
+  *
+  * Scale design: `planInputPartitions` emits one partition per endpoint
+  * split (row-group aligned byte ranges), so a 1000-executor cluster
+  * scans 1000 splits concurrently and each split decodes only the
+  * projected columns of its own byte range. Projection and filters are
+  * pushed through the endpoint to the parquet layer; aggregation
+  * pushdown ships one partial row per split instead of the data
+  * (AVG/COUNT-DISTINCT/grouped aggs are NOT pushed — same all-or-nothing
+  * fallback contract as the reference optimizer).
+  */
+class GraftArrowTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val endpoint = GraftArrowTableProvider.endpoint(options)
+    endpoint.schema(options.get("table"))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new GraftArrowTable(
+      GraftArrowTableProvider.endpoint(options),
+      options.get("table"),
+      schema,
+      options.getLong("split_size", 128L * 1024 * 1024))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftArrowTableProvider {
+  private def endpoint(options: CaseInsensitiveStringMap): Endpoint = {
+    val dir = options.get("dir")
+    require(dir != null, "graft-arrow requires a 'dir' option")
+    new LocalParquetEndpoint(dir)
+  }
+}
+
+class GraftArrowTable(endpoint: Endpoint, table: String, tschema: StructType,
+                      splitSize: Long) extends Table with SupportsRead {
+  override def name(): String = s"graft-arrow:$table"
+  override def schema(): StructType = tschema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftArrowScanBuilder(endpoint, table, tschema, splitSize)
+}
+
+class GraftArrowScanBuilder(endpoint: Endpoint, table: String,
+                            fullSchema: StructType, splitSize: Long)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var aggSpec: Option[AggSpec] = None
+  private var aggSchema: Option[StructType] = None
+
+  // A2: projection pushdown → endpoint SELECT list
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // A3: filter pushdown. We accept every filter the SQL serializer can
+  // express (that's what goes over the wire / prunes row groups) but
+  // return them all for Spark re-evaluation — the endpoint's record
+  // filter covers the translated subset only, so correctness never
+  // depends on pushdown (same safety net as Spark's parquet source).
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => FilterSql.toSql(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  // A4: aggregation pushdown — COUNT(*)/COUNT/SUM/MIN/MAX, no group-by,
+  // all-or-nothing (one unsupported aggregate ⇒ nothing pushed), partial
+  // per split with Spark merging (the reference's split-safe contract).
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    def colName(refs: Array[NamedReference]): Option[String] =
+      refs.headOption.collect {
+        case r if r.fieldNames().length == 1 => r.fieldNames()(0)
+      }
+    val calls = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(AggCall("count_star", ""))
+      case c: Count if !c.isDistinct =>
+        colName(c.column.references()).map(AggCall("count", _))
+      case s: Sum if !s.isDistinct =>
+        colName(s.column.references()).map(AggCall("sum", _))
+      case m: Min => colName(m.column.references()).map(AggCall("min", _))
+      case m: Max => colName(m.column.references()).map(AggCall("max", _))
+      case _ => None // AVG, COUNT(DISTINCT), UDAFs… ⇒ whole query local
+    }
+    if (calls.exists(_.isEmpty)) return false
+    val spec = AggSpec(calls.flatten)
+    val fieldsByName = fullSchema.fields.map(f => f.name -> f).toMap
+    val outFields = spec.calls.zipWithIndex.map { case (c, i) =>
+      val colType = if (c.op == "count_star") org.apache.spark.sql.types.LongType
+        else fieldsByName(c.column).dataType
+      StructField(s"${c.op}_$i", PartialAgg.outputType(c.op, colType), nullable = true)
+    }
+    aggSpec = Some(spec)
+    aggSchema = Some(StructType(outFields))
+    true
+  }
+
+  override def build(): Scan =
+    new GraftArrowScan(endpoint, table, required, pushed, aggSpec, aggSchema, splitSize)
+}
+
+class GraftArrowScan(endpoint: Endpoint, table: String, required: StructType,
+                     filters: Array[Filter], aggSpec: Option[AggSpec],
+                     aggSchema: Option[StructType], splitSize: Long)
+    extends Scan with Batch {
+
+  private val query = QuerySpec(table, required.fieldNames, filters)
+
+  override def readSchema(): StructType = aggSchema.getOrElse(required)
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val aggDesc = aggSpec.map(a => s", PushedAggregates: ${a.toSql(table, filters)}").getOrElse("")
+    s"graft-arrow ${query.toSql}$aggDesc"
+  }
+
+  // A5: one InputPartition per endpoint split
+  override def planInputPartitions(): Array[InputPartition] =
+    endpoint.plan(table, query, splitSize)
+      .map(s => GraftArrowPartition(s): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftArrowReaderFactory(endpoint, query, aggSpec, readSchema())
+}
+
+case class GraftArrowPartition(split: SplitInfo) extends InputPartition
+
+class GraftArrowReaderFactory(endpoint: Endpoint, query: QuerySpec,
+                              aggSpec: Option[AggSpec], schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[GraftArrowPartition].split
+    // the wire: endpoint streams Arrow IPC record batches; the reader
+    // decodes them through the A14 bridge
+    val ipc = aggSpec match {
+      case Some(a) => endpoint.scanAgg(split, query, a)
+      case None => endpoint.scan(split, query)
+    }
+    val rows = ArrowBridge.fromIpc(ipc, schema)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,402 @@
+package graft.sources
+
+import java.util.Locale
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ArrowBridge
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** The in-process Arrow endpoint over a directory of parquet tables —
+  * the zero-egress stand-in for a DazzleDuck server (SURVEY.md §6): it
+  * executes the pushed projection + filters against
+  * `<dir>/<table>.parquet` and streams Arrow IPC record batches, just
+  * like the reference server answers `dd_read_arrow`'s HTTP query.
+  *
+  * Pushdown is real, not cosmetic: the projection becomes the parquet
+  * requested-schema (unread columns are never decoded), filters become
+  * parquet FilterPredicates (row groups are skipped on statistics and
+  * records filtered at read), and splits are row-group byte ranges so N
+  * splits decode disjoint data — the same parallel-split contract as the
+  * reference's `/plan` API (split_info.cpp).
+  */
+class LocalParquetEndpoint(dir: String) extends Endpoint {
+
+  private def path(table: String) = new Path(s"$dir/$table.parquet")
+
+  @transient private lazy val hadoopConf = new Configuration()
+
+  private def footer(table: String) =
+    ParquetFileReader.readFooter(hadoopConf, path(table))
+
+  private def fileSchema(table: String): MessageType =
+    footer(table).getFileMetaData.getSchema
+
+  override def schema(table: String): StructType =
+    ArrowBridge.parquetToSparkSchema(fileSchema(table), hadoopConf)
+
+  // ------------------------------------------------------------- plan
+  override def plan(table: String, query: QuerySpec,
+                    splitSizeBytes: Long): Seq[SplitInfo] = {
+    val blocks = footer(table).getBlocks.asScala.toSeq
+    val sql = query.toSql
+    val checksum = java.security.MessageDigest.getInstance("MD5")
+      .digest(sql.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val queryId = java.util.UUID.nameUUIDFromBytes(sql.getBytes("UTF-8"))
+      .getMostSignificantBits.abs
+    // greedily pack consecutive row groups into ≤ splitSizeBytes splits
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+    var current = Vector.empty[Int]
+    var currentBytes = 0L
+    blocks.zipWithIndex.foreach { case (b, i) =>
+      if (current.nonEmpty && currentBytes + b.getCompressedSize > splitSizeBytes) {
+        groups += current; current = Vector.empty; currentBytes = 0L
+      }
+      current = current :+ i
+      currentBytes += b.getCompressedSize
+    }
+    if (current.nonEmpty) groups += current
+    groups.zipWithIndex.map { case (rgs, sid) =>
+      val bs = rgs.map(blocks(_))
+      SplitInfo(
+        endpoint = s"local://${path(table)}",
+        queryId = queryId,
+        producerId = "graft-local",
+        query = sql,
+        queryChecksum = checksum,
+        splitId = sid,
+        rowGroups = rgs,
+        startByte = bs.map(_.getStartingPos).min,
+        endByte = bs.map(b => b.getStartingPos + b.getCompressedSize).max,
+        rowCount = bs.map(_.getRowCount).sum)
+    }.toSeq
+  }
+
+  // ------------------------------------------------------------- scan
+  override def scan(split: SplitInfo, query: QuerySpec): Iterator[Array[Byte]] = {
+    val (rows, sparkSchema) = readRows(split, query)
+    ArrowBridge.toIpc(rows, sparkSchema)
+  }
+
+  override def scanAgg(split: SplitInfo, query: QuerySpec,
+                       agg: AggSpec): Iterator[Array[Byte]] = {
+    val cols = agg.calls.collect { case AggCall(op, c) if op != "count_star" => c }.distinct
+    val (rows, sparkSchema) = readRows(split, query.copy(requiredColumns = cols.toArray))
+    val idx = cols.zipWithIndex.toMap
+    val fieldIdx = agg.calls.map(c => if (c.op == "count_star") -1 else idx(c.column))
+    val types = agg.calls.zip(fieldIdx).map {
+      case (AggCall("count_star", _), _) => LongType
+      case (AggCall("count", _), _) => LongType
+      case (AggCall(_, _), i) => sparkSchema.fields(i).dataType
+    }
+    val acc = PartialAgg.compute(rows, agg.calls, fieldIdx, types)
+    val outSchema = StructType(agg.calls.zip(types).zipWithIndex.map {
+      case ((c, t), i) => StructField(s"${c.op}_$i", PartialAgg.outputType(c.op, t), nullable = true)
+    })
+    ArrowBridge.toIpc(Iterator.single(acc), outSchema)
+  }
+
+  /** Read the split's records with projection + filter applied by the
+    * parquet layer itself. */
+  private def readRows(split: SplitInfo, query: QuerySpec): (Iterator[InternalRow], StructType) = {
+    val fs = fileSchema(query.table)
+    val projected: MessageType =
+      if (query.requiredColumns.isEmpty) Types.buildMessage().named(fs.getName)
+      else {
+        val b = Types.buildMessage()
+        query.requiredColumns.foreach(c => b.addField(fs.getType(fs.getFieldIndex(c))))
+        b.named(fs.getName)
+      }
+    val sparkSchema = ArrowBridge.parquetToSparkSchema(
+      if (query.requiredColumns.isEmpty) fs else projected, hadoopConf)
+    val conf = new Configuration(hadoopConf)
+    if (query.requiredColumns.nonEmpty)
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
+    var builder = ParquetReader.builder(new GroupReadSupport(), path(query.table))
+      .withConf(conf)
+      .withFileRange(split.startByte, split.endByte)
+    ParquetFilters.translate(query.filters, fs)
+      .foreach(p => builder = builder.withFilter(FilterCompat.get(p)))
+    val reader = builder.build()
+    val conv = new GroupRowConverter(
+      if (query.requiredColumns.isEmpty) fs else projected, sparkSchema)
+    val it = new Iterator[InternalRow] {
+      private var nextGroup: Group = reader.read()
+      override def hasNext: Boolean = {
+        if (nextGroup == null) reader.close()
+        nextGroup != null
+      }
+      override def next(): InternalRow = {
+        val g = nextGroup
+        nextGroup = reader.read()
+        conv.convert(g)
+      }
+    }
+    (it, sparkSchema)
+  }
+}
+
+/** Spark [[Filter]] → parquet [[FilterPredicate]]. Conservative: only
+  * types with unambiguous value mapping are translated (int32/int64/
+  * float/double/string); everything else stays a Spark-side filter.
+  * Record-level semantics of the translated subset are exact. */
+object ParquetFilters {
+  def translate(filters: Array[Filter], schema: MessageType): Option[FilterPredicate] = {
+    val ps = filters.flatMap(one(_, schema))
+    ps.reduceOption(FilterApi.and)
+  }
+
+  def translatable(f: Filter, schema: MessageType): Boolean = one(f, schema).isDefined
+
+  private def primitive(schema: MessageType, name: String): Option[PrimitiveType] = {
+    if (!schema.containsField(name)) return None
+    schema.getType(schema.getFieldIndex(name)) match {
+      case p: PrimitiveType if p.getLogicalTypeAnnotation == null ||
+        p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        Some(p)
+      case _ => None
+    }
+  }
+
+  private def one(f: Filter, schema: MessageType): Option[FilterPredicate] = f match {
+    case EqualTo(a, v) => cmp(schema, a, v, "eq")
+    case GreaterThan(a, v) => cmp(schema, a, v, "gt")
+    case GreaterThanOrEqual(a, v) => cmp(schema, a, v, "gtEq")
+    case LessThan(a, v) => cmp(schema, a, v, "lt")
+    case LessThanOrEqual(a, v) => cmp(schema, a, v, "ltEq")
+    case In(a, vs) if vs.nonEmpty =>
+      val eqs = vs.toSeq.map(v => cmp(schema, a, v, "eq"))
+      if (eqs.exists(_.isEmpty)) None else Some(eqs.flatten.reduce(FilterApi.or))
+    case And(l, r) => for (lp <- one(l, schema); rp <- one(r, schema)) yield FilterApi.and(lp, rp)
+    case Or(l, r) => for (lp <- one(l, schema); rp <- one(r, schema)) yield FilterApi.or(lp, rp)
+    case _ => None
+  }
+
+  private def cmp(schema: MessageType, name: String, v: Any,
+                  op: String): Option[FilterPredicate] = {
+    if (v == null) return None
+    primitive(schema, name).flatMap { p =>
+      try {
+        (p.getPrimitiveTypeName, op) match {
+          case (INT64, _) =>
+            val c = FilterApi.longColumn(name)
+            val x = java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+            Some(op match {
+              case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
+              case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
+              case "ltEq" => FilterApi.ltEq(c, x)
+            })
+          case (INT32, _) =>
+            val c = FilterApi.intColumn(name)
+            val x = java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())
+            Some(op match {
+              case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
+              case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
+              case "ltEq" => FilterApi.ltEq(c, x)
+            })
+          case (DOUBLE, _) =>
+            val c = FilterApi.doubleColumn(name)
+            val x = java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+            Some(op match {
+              case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
+              case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
+              case "ltEq" => FilterApi.ltEq(c, x)
+            })
+          case (FLOAT, _) =>
+            val c = FilterApi.floatColumn(name)
+            val x = java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())
+            Some(op match {
+              case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
+              case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
+              case "ltEq" => FilterApi.ltEq(c, x)
+            })
+          case (BINARY, _) if v.isInstanceOf[String] =>
+            val c = FilterApi.binaryColumn(name)
+            val x = Binary.fromString(v.asInstanceOf[String])
+            Some(op match {
+              case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
+              case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
+              case "ltEq" => FilterApi.ltEq(c, x)
+            })
+          case _ => None
+        }
+      } catch { case _: ClassCastException => None }
+    }
+  }
+}
+
+/** parquet example Group → Spark InternalRow for the engine's column
+  * repertoire (SURVEY.md §3): int32/int64/float/double/string/bool/
+  * timestamp(ns|us|ms)/list-of-float-or-double. */
+class GroupRowConverter(mt: MessageType, sparkSchema: StructType) {
+  private val fields = mt.getFields.asScala.toArray
+
+  private val getters: Array[(Group, Int) => Any] = fields.zipWithIndex.map { case (f, i) =>
+    fieldGetter(f, sparkSchema.fields(i).dataType)
+  }.toArray
+
+  private def tsDivisor(ann: LogicalTypeAnnotation): Long = ann match {
+    case t: TimestampLogicalTypeAnnotation => t.getUnit match {
+      case LogicalTypeAnnotation.TimeUnit.NANOS => 1000L
+      case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+      case LogicalTypeAnnotation.TimeUnit.MILLIS => -1000L // multiply
+    }
+    case _ => 1L
+  }
+
+  private def fieldGetter(f: Type, dt: DataType): (Group, Int) => Any = f match {
+    case p: PrimitiveType =>
+      p.getPrimitiveTypeName match {
+        case INT64 if dt == TimestampType || dt == TimestampNTZType =>
+          val d = tsDivisor(p.getLogicalTypeAnnotation)
+          if (d >= 0) (g, i) => g.getLong(i, 0) / d
+          else (g, i) => g.getLong(i, 0) * (-d)
+        case INT64 => (g, i) => g.getLong(i, 0)
+        case INT32 => (g, i) => g.getInteger(i, 0)
+        case DOUBLE => (g, i) => g.getDouble(i, 0)
+        case FLOAT => (g, i) => g.getFloat(i, 0)
+        case BOOLEAN => (g, i) => g.getBoolean(i, 0)
+        case BINARY | FIXED_LEN_BYTE_ARRAY =>
+          if (dt == StringType) (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+          else (g, i) => g.getBinary(i, 0).getBytes
+        case other => throw new UnsupportedOperationException(
+          s"graft-arrow: unsupported parquet type $other for field ${f.getName}")
+      }
+    case gt: GroupType =>
+      dt match {
+        case ArrayType(elemType, _) =>
+          // 3-level list encoding: field { repeated group list { element } }
+          (g, i) => {
+            val lg = g.getGroup(i, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var k = 0
+            while (k < n) {
+              val item = lg.getGroup(0, k)
+              out(k) =
+                if (item.getFieldRepetitionCount(0) == 0) null
+                else elemType match {
+                  case FloatType => item.getFloat(0, 0)
+                  case DoubleType => item.getDouble(0, 0)
+                  case LongType => item.getLong(0, 0)
+                  case IntegerType => item.getInteger(0, 0)
+                  case StringType => UTF8String.fromBytes(item.getBinary(0, 0).getBytes)
+                  case t => throw new UnsupportedOperationException(
+                    s"graft-arrow: unsupported list element type $t")
+                }
+              k += 1
+            }
+            new GenericArrayData(out)
+          }
+        case t => throw new UnsupportedOperationException(
+          s"graft-arrow: unsupported nested type $t for field ${gt.getName}")
+      }
+  }
+
+  def convert(g: Group): InternalRow = {
+    val values = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      values(i) = if (g.getFieldRepetitionCount(i) == 0) null else getters(i)(g, i)
+      i += 1
+    }
+    new GenericInternalRow(values)
+  }
+}
+
+/** Streaming partial-aggregate computation for aggregation pushdown. */
+object PartialAgg {
+  def outputType(op: String, colType: DataType): DataType = op match {
+    case "count_star" | "count" => LongType
+    case "sum" => colType match {
+      case LongType | IntegerType => LongType
+      case _ => DoubleType
+    }
+    case "min" | "max" => colType
+  }
+
+  def compute(rows: Iterator[InternalRow], calls: Seq[AggCall],
+              fieldIdx: Seq[Int], types: Seq[DataType]): InternalRow = {
+    val n = calls.length
+    val counts = new Array[Long](n)
+    val sumsL = new Array[Long](n)
+    val sumsD = new Array[Double](n)
+    val mins = new Array[Any](n)
+    val maxs = new Array[Any](n)
+    val ords: Seq[Ordering[Any]] = types.map {
+      case LongType => Ordering.Long.asInstanceOf[Ordering[Any]]
+      case IntegerType => Ordering.Int.asInstanceOf[Ordering[Any]]
+      case DoubleType => Ordering.Double.TotalOrdering.asInstanceOf[Ordering[Any]]
+      case FloatType => Ordering.Float.TotalOrdering.asInstanceOf[Ordering[Any]]
+      case StringType => Ordering.by[Any, UTF8String](_.asInstanceOf[UTF8String])
+      case TimestampType | TimestampNTZType => Ordering.Long.asInstanceOf[Ordering[Any]]
+      case t => throw new UnsupportedOperationException(s"agg over $t")
+    }
+    rows.foreach { r =>
+      var i = 0
+      while (i < n) {
+        calls(i).op match {
+          case "count_star" => counts(i) += 1
+          case "count" => if (!r.isNullAt(fieldIdx(i))) counts(i) += 1
+          case "sum" =>
+            if (!r.isNullAt(fieldIdx(i))) {
+              types(i) match {
+                case LongType => sumsL(i) += r.getLong(fieldIdx(i)); counts(i) += 1
+                case IntegerType => sumsL(i) += r.getInt(fieldIdx(i)); counts(i) += 1
+                case DoubleType => sumsD(i) += r.getDouble(fieldIdx(i)); counts(i) += 1
+                case FloatType => sumsD(i) += r.getFloat(fieldIdx(i)); counts(i) += 1
+                case _ =>
+              }
+            }
+          case "min" | "max" =>
+            if (!r.isNullAt(fieldIdx(i))) {
+              val v = r.get(fieldIdx(i), types(i))
+              val cur = if (calls(i).op == "min") mins(i) else maxs(i)
+              val better = cur == null ||
+                (calls(i).op == "min" && ords(i).lt(v, cur)) ||
+                (calls(i).op == "max" && ords(i).gt(v, cur))
+              if (better) {
+                if (calls(i).op == "min") mins(i) = v else maxs(i) = v
+              }
+            }
+        }
+        i += 1
+      }
+    }
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = calls(i).op match {
+        case "count_star" | "count" => counts(i)
+        case "sum" =>
+          if (counts(i) == 0) null
+          else types(i) match {
+            case LongType | IntegerType => sumsL(i)
+            case _ => sumsD(i)
+          }
+        case "min" => mins(i)
+        case "max" => maxs(i)
+      }
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+}

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end spec for the graft-arrow DSv2 source: scan parity with
+  * spark.read.parquet, projection/filter pushdown visible in the plan
+  * and effective at the endpoint, split planning, and aggregation
+  * pushdown partial-merge parity. Mirrors the reference's
+  * test/sql/dd_read_arrow*.test coverage. */
+class GraftArrowSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  private def arrow(table: String) = GraftArrow.read(spark, dir, table)
+  private def plain(table: String) = spark.read.parquet(s"$dir/$table.parquet")
+
+  test("full scan parity with the native parquet reader (all tables)") {
+    Seq("region", "nation", "customer", "orders", "documents", "embeddings")
+      .foreach { t =>
+        val a = arrow(t)
+        val p = plain(t)
+        assert(a.schema === p.schema, s"$t schema")
+        assert(a.count() === p.count(), s"$t count")
+        assert(a.exceptAll(p).count() === 0, s"$t rows differ")
+        assert(p.exceptAll(a).count() === 0, s"$t rows differ (reverse)")
+      }
+  }
+
+  test("reads TIMESTAMP(NANOS) parquet that Spark's native reader rejects") {
+    // the reference engine reads nanos timestamps; Spark's parquet
+    // reader throws PARQUET_TYPE_ILLEGAL — graft-arrow handles them
+    intercept[Exception] { plain("events").collect() }
+    val ev = arrow("events")
+    import org.apache.spark.sql.types.TimestampNTZType
+    assert(ev.schema("ts").dataType === TimestampNTZType)
+    assert(ev.count() === 1000)
+    val mx = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+    assert(mx.getYear >= 2020 && mx.getYear <= 2030, s"sane timestamp range, got $mx")
+  }
+
+  test("projection pushdown reaches the scan (A2)") {
+    val df = arrow("lineitem").select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    // BatchScan prints ReadSchema; unprojected columns must be absent
+    assert(scan.contains("l_orderkey"))
+    assert(!scan.contains("l_comment"))
+    val rows = df.limit(5).collect()
+    assert(rows.length === 5 && rows.head.length === 2)
+  }
+
+  test("filter pushdown: serialized to SQL, effective at endpoint, result exact (A3)") {
+    val df = arrow("lineitem").filter(col("l_quantity") < 3)
+    val expected = plain("lineitem").filter(col("l_quantity") < 3)
+    assert(df.count() === expected.count())
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("graft-arrow") && desc.contains("l_quantity < 3.0"),
+      s"pushed filter should appear in scan description:\n$desc")
+  }
+
+  test("string and in-list filters push and stay exact") {
+    val a = arrow("documents").filter(col("lang").isin("en", "fr") && col("n_chars") > 100)
+    val p = plain("documents").filter(col("lang").isin("en", "fr") && col("n_chars") > 100)
+    assert(a.count() === p.count())
+    assert(a.exceptAll(p).count() === 0)
+  }
+
+  test("split planning is row-group aligned and exhaustive (A5)") {
+    // write a multi-row-group file: small block size forces several groups
+    val tmp = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try plain("lineitem").repartition(1).write.mode("overwrite").parquet(s"$tmp/out")
+    finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    // the endpoint serves single files like the testdata layout
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/li.parquet"))
+    val endpoint = new LocalParquetEndpoint(tmp)
+    // splitSize=1 byte → one split per row group
+    val plan = endpoint.plan("li", QuerySpec("li", Array("l_orderkey"), Array.empty), 1L)
+    assert(plan.length > 1, s"expected multiple splits, got ${plan.length}")
+    assert(plan.map(_.rowCount).sum === plain("lineitem").count())
+    // byte ranges must not overlap
+    val sorted = plan.sortBy(_.startByte)
+    sorted.sliding(2).foreach {
+      case Seq(x, y) => assert(x.endByte <= y.startByte)
+      case _ =>
+    }
+    // a large split budget packs multiple row groups per split
+    val packed = endpoint.plan("li", QuerySpec("li", Array("l_orderkey"), Array.empty), 1L << 30)
+    assert(packed.length < plan.length)
+    // and the scan through the source sees every row exactly once
+    val viaSource = GraftArrow.read(spark, tmp, "li", splitSize = 1L)
+    assert(viaSource.rdd.getNumPartitions === plan.length)
+    assert(viaSource.count() === plain("lineitem").count())
+  }
+
+  test("dd_splits surface (A6)") {
+    val s = GraftArrow.splits(spark, dir, "lineitem")
+    val row = s.head()
+    assert(s.columns.toSeq === Seq("endpoints", "query_id", "query", "producer_id",
+      "split_size", "query_checksum", "split_id", "split_rows"))
+    assert(row.getAs[String]("query").startsWith("SELECT "))
+    assert(row.getAs[String]("endpoints").startsWith("local://"))
+    assert(s.select(sum(col("split_rows"))).head.getLong(0) === plain("lineitem").count())
+  }
+
+  test("aggregation pushdown: partials per split merge to exact totals (A4)") {
+    val df = arrow("lineitem").agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity")).as("sq"),
+      min(col("l_orderkey")).as("mn"),
+      max(col("l_orderkey")).as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") || plan.contains("count(*)"),
+      s"aggregation should be pushed:\n$plan")
+    val expected = plain("lineitem").agg(
+      count(lit(1)), sum(col("l_quantity")), min(col("l_orderkey")), max(col("l_orderkey"))).head
+    assert(df.head === expected)
+  }
+
+  test("AVG pushes as decomposed SUM+COUNT; group-by falls back local") {
+    // the reference computes AVG locally in split mode; Spark goes one
+    // better and decomposes it into pushable SUM+COUNT partials
+    val avg = arrow("lineitem").agg(org.apache.spark.sql.functions.avg(col("l_quantity")))
+    val avgPlan = avg.queryExecution.executedPlan.toString
+    assert(avgPlan.contains("sum(l_quantity)") && avgPlan.contains("count(l_quantity)"),
+      s"AVG should decompose into pushed sum+count:\n$avgPlan")
+    val grouped = arrow("lineitem").groupBy(col("l_returnflag")).count()
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(!gPlan.contains("PushedAggregates"), "grouped agg must not push")
+    // and both still compute correctly
+    val a = avg.head.getDouble(0)
+    val e = plain("lineitem").agg(org.apache.spark.sql.functions.avg(col("l_quantity"))).head.getDouble(0)
+    assert(math.abs(a - e) < 1e-9)
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
+      plain("lineitem").groupBy(col("l_returnflag")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("filter + aggregation pushdown compose") {
+    val df = arrow("lineitem").filter(col("l_quantity") < 10)
+      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+    val expected = plain("lineitem").filter(col("l_quantity") < 10)
+      .agg(count(lit(1)), sum(col("l_extendedprice"))).head
+    assert(df.head === expected)
+  }
+
+  test("FilterSql serializes the reference's WHERE surface") {
+    import org.apache.spark.sql.sources._
+    assert(FilterSql.toSql(EqualTo("a", 1)) === Some("a = 1"))
+    assert(FilterSql.toSql(In("s", Array("x", "y'z"))) === Some("s IN ('x', 'y''z')"))
+    assert(FilterSql.toSql(And(GreaterThan("a", 1), LessThan("a", 9)))
+      === Some("(a > 1 AND a < 9)"))
+    assert(FilterSql.toSql(Or(IsNull("a"), StringStartsWith("s", "pre")))
+      === Some("(a IS NULL OR s LIKE 'pre%')"))
+    assert(FilterSql.toWhere(Array(EqualTo("a", 1), IsNotNull("b")))
+      === " WHERE a = 1 AND b IS NOT NULL")
+  }
+}
