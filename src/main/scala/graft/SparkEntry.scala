@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, ArrowOps, Dedup, Functions, Olap, Text}
+import graft.operators.{Ann, ArrowOps, Dedup, Functions, Multimodal, Olap, Text}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Olap.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
-      Functions.queries ++ ArrowOps.queries
+      Functions.queries ++ ArrowOps.queries ++ Streams.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Olap.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
-      Functions.oracles ++ ArrowOps.oracles
+      Functions.oracles ++ ArrowOps.oracles ++ Streams.oracles ++ Multimodal.oracles
 }

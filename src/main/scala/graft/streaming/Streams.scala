@@ -1,0 +1,194 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.sources.GraftArrow
+
+/** Structured-streaming operators over the events table (SURVEY.md §2
+  * D1/D2).
+  *
+  * The events parquet uses TIMESTAMP(NANOS), which only the graft-arrow
+  * source can read; the stream entry re-materializes it as a micros
+  * parquet dir and drives a REAL file streaming source through
+  * watermark → tumbling window → aggregation into a memory sink. At
+  * production scale the same pipeline reads Kafka/file streams — the
+  * query shape (watermark + windowed partial aggregation) is what
+  * scales, state is bounded by watermark eviction.
+  *
+  * Sessionization exists twice with one shared semantics: a typed batch
+  * implementation (groupByKey → flatMapGroups) used by the oracle-
+  * checked entry, and a flatMapGroupsWithState streaming variant
+  * (spec-tested with an in-memory stream) — the classic
+  * batch-backfill / streaming-serving pair.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: LocalDateTime, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class Session(user_id: Long, sess_seq: Long, start_ts: String,
+                     end_ts: String, n_events: Long, total_value: Double)
+
+  private val SessionGapMicros = 30L * 60 * 1000 * 1000
+
+  /** events via graft-arrow (ns-timestamp capable) as a typed Dataset. */
+  def events(spark: SparkSession, dir: String): Dataset[Event] = {
+    import spark.implicits._
+    GraftArrow.read(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+  }
+
+  // ---------------------------------------------------------------- D1
+  /** The D1 query shape, applicable to a batch OR streaming frame.
+    * Event-time columns must be TIMESTAMP (not NTZ) for watermarks; the
+    * session runs in UTC so the cast is value-preserving vs the oracle. */
+  def windowAggQuery(ev0: DataFrame): DataFrame = {
+    val ev = ev0.withColumn("ts", col("ts").cast("timestamp"))
+    ev.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("decimal(20,6)").cast("double").as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** D1 entry: drive a real file-stream through the windowed aggregation
+    * and return the completed result. */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val ev = events(spark, dir)
+    ev.write.mode("overwrite").parquet(s"$tmp/events")
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .parquet(s"$tmp/events")
+    val sinkName = s"graft_d1_${System.nanoTime()}"
+    val q = windowAggQuery(stream)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(sinkName)
+  }
+
+  /** Exact-decimal sum (inputs have ≤2 decimals) so the hash compare is
+    * stable — mirrored in the oracle. */
+  val windowAggSql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M') AS win_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- D2
+  /** Shared sessionizer: events of one user, ascending (ts, event_id);
+    * a >30-minute gap opens a new session. */
+  private[streaming] def sessionize(userId: Long, evs: Iterator[Event]): Iterator[Session] = {
+    val sorted = evs.toVector.sortBy(e => (micros(e.ts), e.event_id))
+    if (sorted.isEmpty) return Iterator.empty
+    val out = Vector.newBuilder[Session]
+    var seq = 0L
+    var bucket = Vector.empty[Event]
+    def flush(): Unit = if (bucket.nonEmpty) {
+      seq += 1
+      out += Session(userId, seq,
+        fmt(bucket.head.ts), fmt(bucket.last.ts), bucket.size.toLong,
+        bucket.map(e => BigDecimal(e.value).setScale(6)).sum.toDouble)
+      bucket = Vector.empty
+    }
+    sorted.foreach { e =>
+      if (bucket.nonEmpty && micros(e.ts) - micros(bucket.last.ts) > SessionGapMicros) flush()
+      bucket = bucket :+ e
+    }
+    flush()
+    out.result().iterator
+  }
+
+  private def micros(t: LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+
+  private def fmt(t: LocalDateTime): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").format(t)
+
+  /** D2 entry (batch semantics of the session operator). */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    events(spark, dir)
+      .groupByKey(_.user_id)
+      .flatMapGroups((uid, evs) => sessionize(uid, evs))
+      .toDF()
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tagged AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+      |  FROM flagged)
+      |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_ts,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_ts,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      |FROM tagged
+      |GROUP BY user_id, sess_seq""".stripMargin
+
+  /** D2 streaming variant: the same session semantics through
+    * flatMapGroupsWithState (spec-tested with an in-memory stream). A
+    * session closes when a later event for the user proves the gap; a
+    * production deployment would add a processing-time timeout to also
+    * flush idle users — with continuous traffic the output is
+    * identical, and NoTimeout keeps the micro-batch scheduler quiescent
+    * between inputs. */
+  def sessionizeStreaming(ev: Dataset[Event]): Dataset[Session] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[Event], Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, in: Iterator[Event], state: GroupState[Vector[Event]]) =>
+          if (state.hasTimedOut) {
+            val done = sessionize(uid, state.get.iterator)
+            state.remove()
+            done
+          } else {
+            val all = state.getOption.getOrElse(Vector.empty) ++ in
+            // close every session whose gap to the latest event exceeds
+            // the session gap; keep only the open tail in state
+            val sorted = all.sortBy(e => (micros(e.ts), e.event_id))
+            val lastTs = micros(sorted.last.ts)
+            var open = Vector.empty[Event]
+            var closed = Vector.empty[Vector[Event]]
+            var bucket = Vector.empty[Event]
+            sorted.foreach { e =>
+              if (bucket.nonEmpty && micros(e.ts) - micros(bucket.last.ts) > SessionGapMicros) {
+                closed = closed :+ bucket; bucket = Vector.empty
+              }
+              bucket = bucket :+ e
+            }
+            if (lastTs - micros(bucket.last.ts) > SessionGapMicros) {
+              closed = closed :+ bucket
+            } else open = bucket
+            state.update(open)
+            closed.iterator.flatMap(b => sessionize(uid, b.iterator))
+          }
+      }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_window_agg" -> windowAgg _,
+    "stream_sessionize" -> sessionizeBatch _)
+
+  val oracles: Map[String, String] = Map(
+    "stream_window_agg" -> windowAggSql,
+    "stream_sessionize" -> sessionizeSql)
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.streaming.Streams.{Event, Session}
+
+/** D1/D2: the streaming pipelines against their batch-equivalent
+  * semantics. */
+class StreamsSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  test("D1: streaming windowed agg equals the batch computation") {
+    val streamed = Streams.windowAgg(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Streams.windowAggQuery(Streams.events(spark, dir).toDF())
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("D2: batch sessionization splits on >30min gaps with exact bounds") {
+    import spark.implicits._
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val evs = Seq(
+      Event(1, t0, 7L, "click", 1.0),
+      Event(2, t0.plusMinutes(10), 7L, "click", 2.0),
+      Event(3, t0.plusMinutes(41), 7L, "buy", 3.0), // 31min gap → new session
+      Event(4, t0.plusMinutes(50), 7L, "click", 4.0),
+      Event(5, t0, 8L, "click", 5.0))
+    val ds = evs.toDS()
+    val sessions = ds.groupByKey(_.user_id)
+      .flatMapGroups((uid, it) => Streams.sessionize(uid, it))
+      .collect().sortBy(s => (s.user_id, s.sess_seq))
+    assert(sessions.map(s => (s.user_id, s.sess_seq, s.n_events)).toSeq ===
+      Seq((7L, 1L, 2L), (7L, 2L, 2L), (8L, 1L, 1L)))
+    assert(sessions.head.start_ts === "2024-01-01 00:00:00")
+    assert(sessions.head.end_ts === "2024-01-01 00:10:00")
+    assert(sessions.head.total_value === 3.0)
+  }
+
+  test("D2: flatMapGroupsWithState emits closed sessions matching batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStreaming(input.toDS())
+      .writeStream.format("memory").queryName("d2_sessions")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(
+        Event(1, t0, 7L, "click", 1.0),
+        Event(2, t0.plusMinutes(10), 7L, "click", 2.0))
+      q.processAllAvailable()
+      // a later event closes the first session
+      input.addData(Event(3, t0.plusHours(2), 7L, "buy", 3.0))
+      q.processAllAvailable()
+      val closed = spark.table("d2_sessions").as[Session].collect()
+      assert(closed.length === 1)
+      assert(closed.head.n_events === 2 && closed.head.total_value === 3.0)
+      assert(closed.head.start_ts === "2024-01-01 00:00:00")
+    } finally q.stop()
+  }
+
+  test("D1 sessionize entry matches DuckDB-shaped recomputation in Spark SQL") {
+    // independent recomputation of the session assignment with window
+    // functions (the oracle's algebra) — guards the imperative walk
+    val ev = Streams.events(spark, dir).toDF()
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = ev.withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000, 1).otherwise(0))
+      .withColumn("sess_seq", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val viaSql = flagged.groupBy("user_id", "sess_seq")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaTyped = Streams.sessionizeBatch(spark, dir)
+      .select("user_id", "sess_seq", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaTyped === viaSql)
+  }
+}
