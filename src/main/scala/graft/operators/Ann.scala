@@ -23,6 +23,11 @@ object Ann {
   private val K = 10
   private val NumQueries = 5
 
+  /** Sequential-fold dot product (same order as the oracle's
+    * list_inner_product → bit-identical values). The HOF form wins over
+    * a 64-term unrolled expression, which blows the generated method
+    * past JIT limits and deoptimizes the whole stage (measured 8×
+    * slower at sf0.1). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 

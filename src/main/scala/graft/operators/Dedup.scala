@@ -221,6 +221,10 @@ object Dedup {
     Array.fill(EmbPlanes, EmbDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
   }
 
+  /** Sequential-fold dot product (bit-identical to the oracle's
+    * list_inner_product). Deliberately NOT unrolled: a 64-term expression
+    * × 32 planes blows generated code past JIT method limits and
+    * deoptimizes the stage (measured 12× slower at sf0.1). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
