@@ -86,8 +86,17 @@ object Dedup {
     val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
     val grams = sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-    val shared = grams.as("a")
-      .join(grams.as("b"),
+    // exact prefilter: a gram occurring in a single document joins only
+    // with itself and contributes no (a<b) pair — semi-join against the
+    // df>=2 gram set before the self-join. The hot set is tiny on
+    // mostly-unique corpora (only genuinely shared content survives), so
+    // AQE broadcasts it and the self-join input shrinks by an order of
+    // magnitude without changing any result.
+    val hotGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select(col("gram"))
+    val pruned = grams.join(hotGrams, Seq("gram"), "left_semi")
+    val shared = pruned.as("a")
+      .join(pruned.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))

@@ -61,12 +61,31 @@ case class BloomFilterCreate(arr: Expression, bitsPerElement: Expression,
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
+  /** The reference only honors CONSTANT bits_per_element /
+    * num_hash_functions vectors (bloom_filter.cpp: ConstantVector reads,
+    * silent defaults otherwise) — require foldable args instead of
+    * silently diverging per row. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else if (!bitsPerElement.foldable || !numHashFuncs.foldable) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "dd_bloom_filter_create: bits_per_element and num_hash_functions must be constant")
+    } else base
+  }
+
+  // constant by checkInputDataTypes; evaluated once
+  private lazy val bpeConst: Int =
+    Option(bitsPerElement.eval(null)).fold(BloomBlob.DefaultBitsPerElement)(_.asInstanceOf[Int])
+  private lazy val kConst: Int =
+    Option(numHashFuncs.eval(null)).fold(BloomBlob.DefaultNumHashFuncs)(_.asInstanceOf[Int])
+
   override def eval(input: InternalRow): Any = {
     val a = arr.eval(input)
     if (a == null) return null
     val ad = a.asInstanceOf[ArrayData]
-    val bpe = Option(bitsPerElement.eval(input)).fold(BloomBlob.DefaultBitsPerElement)(_.asInstanceOf[Int])
-    val k = Option(numHashFuncs.eval(input)).fold(BloomBlob.DefaultNumHashFuncs)(_.asInstanceOf[Int])
+    val bpe = bpeConst
+    val k = kConst
     val elems = new ArrayBuffer[Array[Byte]](ad.numElements())
     var i = 0
     while (i < ad.numElements()) {
