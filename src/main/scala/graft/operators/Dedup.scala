@@ -292,7 +292,70 @@ object Dedup {
        |      (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // --------------------------------------------------------------- C13
+  /** Near-dup cluster assignment: connected components over the
+    * LSH-verified pair graph by iterative min-label propagation — the
+    * standard large-scale CC algorithm (each round: label ← min(label,
+    * neighbors' labels); rounds ≈ component diameter, which for dup
+    * clusters is tiny). Output: every doc with its cluster id (the
+    * smallest doc_id in its component) and whether it is the kept
+    * canonical. The driver-side loop checks only a changed-count per
+    * round — O(diameter) tiny actions, data never collected. */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+      .cache()
+    var labels = docs(spark, dir).select(col("doc_id"),
+      col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbors = labels.join(edges, col("doc_id") === col("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_canonical", (col("doc_id") === col("cluster_id")))
+  }
+
+  /** Oracle: transitive closure by recursive CTE over the exact-Jaccard
+    * pair graph (equal to the LSH graph at band recall 1). */
+  val clustersSql: String =
+    s"""WITH RECURSIVE sh AS ($shinglesSql),
+       |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM shared
+       |  JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |  WHERE c / (sa.n + sb.n - c) >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, min(b) AS cluster_id,
+       |       a = min(b) AS is_canonical
+       |FROM reach GROUP BY a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> clusters _,
     "dedup_exact" -> exact _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
@@ -300,6 +363,7 @@ object Dedup {
     "dedup_embedding" -> embeddingDedup _)
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersSql,
     "dedup_exact" -> exactSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,

@@ -51,6 +51,25 @@ class DedupSpec extends SparkSpec {
       s"band recall $bandNear/${pairs.length}")
   }
 
+  test("cluster assignment is transitive and canonical-per-component") {
+    import spark.implicits._
+    // doc 1 ~ doc 2 ~ doc 3 (chain; 1 and 3 differ more) + isolated doc 4
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val mid = (1 to 60).map(i => if (i == 30) "XX" else s"tok$i").mkString(" ")
+    val far = (1 to 60).map(i => if (i == 30 || i == 31) "XX" else s"tok$i").mkString(" ")
+    val other = (100 to 160).map(i => s"z$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clu").toString
+    Seq((1L, base), (2L, mid), (3L, far), (4L, other))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val res = Dedup.clusters(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(res(1L) === ((1L, true)))
+    assert(res(2L) === ((1L, false)))
+    assert(res(3L) === ((1L, false))) // transitivity through doc 2
+    assert(res(4L) === ((4L, true)))
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
