@@ -33,7 +33,10 @@ import scala.jdk.CollectionConverters._
   * (AVG/COUNT-DISTINCT/grouped aggs are NOT pushed — same all-or-nothing
   * fallback contract as the reference optimizer).
   */
-class GraftArrowTableProvider extends TableProvider {
+class GraftArrowTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-arrow"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val endpoint = GraftArrowTableProvider.endpoint(options)
     endpoint.schema(options.get("table"))
@@ -65,7 +68,7 @@ class GraftArrowTable(endpoint: Endpoint, table: String, tschema: StructType,
   override def name(): String = s"graft-arrow:$table"
   override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftArrowScanBuilder(endpoint, table, tschema, splitSize)
 }
@@ -155,6 +158,41 @@ class GraftArrowScan(endpoint: Endpoint, table: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftArrowReaderFactory(endpoint, query, aggSpec, readSchema())
+
+  /** Micro-batch read over the endpoint snapshot: the offset space is
+    * the split ordinal, so each split is delivered exactly once and the
+    * stream idles at the end — the streaming-file-source contract over
+    * an arrow endpoint. */
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new GraftArrowMicroBatchStream(endpoint, table, query, required, splitSize)
+}
+
+case class GraftArrowOffset(split: Int) extends streaming.Offset {
+  override def json(): String = split.toString
+}
+
+class GraftArrowMicroBatchStream(endpoint: Endpoint, table: String,
+                                 query: QuerySpec, required: StructType,
+                                 splitSize: Long)
+    extends streaming.MicroBatchStream {
+  private lazy val splits = endpoint.plan(table, query, splitSize)
+
+  override def initialOffset(): streaming.Offset = GraftArrowOffset(0)
+  override def latestOffset(): streaming.Offset = GraftArrowOffset(splits.length)
+  override def deserializeOffset(json: String): streaming.Offset =
+    GraftArrowOffset(json.trim.toInt)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftArrowOffset].split
+    val e = end.asInstanceOf[GraftArrowOffset].split
+    splits.slice(s, e).map(x => GraftArrowPartition(x): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftArrowReaderFactory(endpoint, query, None, required)
 }
 
 case class GraftArrowPartition(split: SplitInfo) extends InputPartition

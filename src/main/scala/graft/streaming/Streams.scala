@@ -58,15 +58,15 @@ object Streams {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
-  /** D1 entry: drive a real file-stream through the windowed aggregation
-    * and return the completed result. */
+  /** D1 entry: drive a real micro-batch stream (the graft-arrow source's
+    * MICRO_BATCH_READ surface — one micro-batch per endpoint split)
+    * through the windowed aggregation and return the completed result. */
   def windowAgg(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
-    val ev = events(spark, dir)
-    ev.write.mode("overwrite").parquet(s"$tmp/events")
-    val stream = spark.readStream
-      .schema(ev.schema)
-      .parquet(s"$tmp/events")
+    val stream = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "events")
+      .load()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val sinkName = s"graft_d1_${System.nanoTime()}"
     val q = windowAggQuery(stream)
       .writeStream.format("memory").queryName(sinkName)

@@ -151,6 +151,23 @@ class GraftArrowSpec extends SparkSpec {
     assert(df.head === expected)
   }
 
+  test("registered under the short name graft-arrow (DataSourceRegister)") {
+    val df = spark.read.format("graft-arrow")
+      .option("dir", dir).option("table", "nation").load()
+    assert(df.count() === plain("nation").count())
+  }
+
+  test("micro-batch streaming read delivers every split exactly once") {
+    val stream = spark.readStream.format("graft-arrow")
+      .option("dir", dir).option("table", "documents").load()
+    val name = s"arrow_stream_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name)
+    assert(streamed.count() === plain("documents").count())
+    assert(streamed.exceptAll(plain("documents")).count() === 0)
+  }
+
   test("FilterSql serializes the reference's WHERE surface") {
     import org.apache.spark.sql.sources._
     assert(FilterSql.toSql(EqualTo("a", 1)) === Some("a = 1"))
