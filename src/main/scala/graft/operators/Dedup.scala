@@ -302,11 +302,13 @@ object Dedup {
     * canonical. The driver-side loop checks only a changed-count per
     * round — O(diameter) tiny actions, data never collected. */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    // cache the verified pairs: the unionAll below has two branches and
+    // every propagation round joins edges — without this the whole
+    // minhash lineage re-executes per reference
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-      .cache()
     var labels = docs(spark, dir).select(col("doc_id"),
       col("doc_id").as("cluster_id"))
     var changed = 1L
@@ -326,7 +328,7 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    edges.unpersist()
+    pairs.unpersist()
     labels.withColumn("is_canonical", (col("doc_id") === col("cluster_id")))
   }
 
