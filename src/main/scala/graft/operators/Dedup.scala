@@ -83,8 +83,19 @@ object Dedup {
     * gram + group. Exact by construction; the oracle is the same algebra
     * in DuckDB. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // the shingle table feeds four consumers (sizes + hot-gram set +
+    // both self-join sides); persist it or the tokenize/shingle
+    // projection re-executes per consumer (MEMORY_AND_DISK: spills
+    // rather than OOMs at scale, evicted by LRU when done)
     val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join/shuffle on the 64-bit gram hash, not the gram string: ~5×
+    // fewer shuffle bytes and long-key joins. Distinctness per doc is
+    // preserved by array_distinct upstream; a cross-gram collision
+    // (p ≈ n²/2⁶⁴ ≈ 1e-7 here) would surface instantly as an oracle
+    // mismatch — it is checked at every test SF.
     val grams = sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
     val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
     // exact prefilter: a gram occurring in a single document joins only
     // with itself and contributes no (a<b) pair — semi-join against the
@@ -145,7 +156,10 @@ object Dedup {
     * recall at the planted similarity level (≥0.9) is 1-(1-s⁴)¹⁶ ≈
     * 1-6e-14 and the data is fixed. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // persist: shingles feed the minhash pipeline and both exact-verify
+    // joins; the band table feeds both sides of the candidate self-join
     val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = withMinhashes(sh).select(col("doc_id"), col("minhashes"))
     val bands = mh.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),
@@ -154,6 +168,7 @@ object Dedup {
             m => m.cast("string"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
