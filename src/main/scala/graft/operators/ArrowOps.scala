@@ -46,13 +46,32 @@ object ArrowOps {
   val splitsSql: String =
     "SELECT CAST(0 AS BIGINT) AS split_id, CAST(count(*) AS BIGINT) AS split_rows FROM lineitem"
 
+  /** SQL-through-catalog: the reference's `SELECT … FROM
+    * dd_read_arrow(…)` usage, as `SELECT … FROM graft.<table>`. */
+  def sqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.dir", dir)
+    spark.sql(
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM graft.lineitem
+        |WHERE l_discount > 0.05
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
+  val sqlCatalogSql: String =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+      |FROM lineitem WHERE l_discount > 0.05
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arrow_scan" -> scan _,
     "arrow_agg_pushdown" -> aggPushdown _,
-    "arrow_splits" -> splits _)
+    "arrow_splits" -> splits _,
+    "arrow_sql_catalog" -> sqlCatalog _)
 
   val oracles: Map[String, String] = Map(
     "arrow_scan" -> scanSql,
     "arrow_agg_pushdown" -> aggPushdownSql,
-    "arrow_splits" -> splitsSql)
+    "arrow_splits" -> splitsSql,
+    "arrow_sql_catalog" -> sqlCatalogSql)
 }
