@@ -194,20 +194,25 @@ object Dedup {
 
   /** 60-bit SimHash over md5 token hashes (15 hex chars = 60 bits), plus
     * four 15-bit band keys for hamming-distance bucketing: two docs with
-    * hamming distance ≤ 3 share at least one of the 4 bands
-    * (pigeonhole). Per-doc projection only — no shuffle. */
+    * hamming distance ≤ 3 share at least one of the 4 bands (pigeonhole).
+    * One shuffle of map-side-combined (doc_id, 60 bit-sums) rows. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val th = transform(col("toks"),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    val d = docs(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("th", th)
+    // explode tokens → one md5-derived 60-bit hash per token (codegen'd)
+    // → groupBy(doc) with 60 per-bit ±1 sums (map-side partials) →
+    // recombine. Same math and hash as the (slower, interpreted) nested
+    // HOF formulation, so the SQL oracle is unchanged.
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val agged = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until SimhashBits).map { b =>
-      when(aggregate(col("th"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << b)).otherwise(lit(0L))
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    d.withColumn("simhash", sim)
+    agged.withColumn("simhash", sim)
       .select(col("doc_id"), col("simhash"),
         col("simhash").bitwiseAND((1L << 15) - 1).as("band0"),
         shiftright(col("simhash"), 15).bitwiseAND((1L << 15) - 1).as("band1"),
