@@ -29,14 +29,14 @@ object Text {
   private def wordCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
 
-  private def sqlWordCount(words: Seq[String]): String =
+  private[operators] def sqlWordCount(words: Seq[String]): String =
     s"len(list_filter(toks, x -> list_contains([${words.map("'" + _ + "'").mkString(",")}], x)))"
 
   // ---------------------------------------------------------------- C9
   /** Language-ID markers. The reference corpus is synthetic, so the
     * discriminative power is irrelevant — the contract is a
     * deterministic, engine-portable scoring function of the text. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "es" -> Seq("el", "los", "las", "y", "es"),
@@ -76,7 +76,7 @@ object Text {
   }
 
   // --------------------------------------------------------------- C10
-  private val enStops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+  private[operators] val enStops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
   /** Quality scoring: length/stopword/alpha ratios combined into one
     * deterministic score. Same formula tree on both engines. */
