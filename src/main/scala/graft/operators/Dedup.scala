@@ -260,7 +260,7 @@ object Dedup {
   /** 32-bit sign signature from the fixed hyperplanes. */
   private[operators] def signBits(e: Column): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit(_)): _*)
+      val planeCol = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit(_))): _*)
       when(dot(e, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

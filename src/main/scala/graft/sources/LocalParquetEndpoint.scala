@@ -44,8 +44,11 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
 
   @transient private lazy val hadoopConf = new Configuration()
 
-  private def footer(table: String) =
-    ParquetFileReader.readFooter(hadoopConf, path(table))
+  private def footer(table: String) = {
+    val in = HadoopInputFile.fromPath(path(table), hadoopConf)
+    val r = ParquetFileReader.open(in)
+    try r.getFooter finally r.close()
+  }
 
   private def fileSchema(table: String): MessageType =
     footer(table).getFileMetaData.getSchema
