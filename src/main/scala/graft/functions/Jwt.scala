@@ -110,4 +110,20 @@ object GraftAuth {
   /** Pin the clock (deterministic tokens); pass None to restore. */
   def fixClock(at: Option[Long]): Unit =
     clock = at.fold(() => System.currentTimeMillis() / 1000)(t => () => t)
+
+  /** Resolve a login-call URL of the form `base[?clock=<epochSec>]`.
+    * The optional clock query parameter pins the mint time for THAT
+    * call only — deterministic tokens (correctness gate, reproducible
+    * runs) without mutating the process-global clock, so concurrent
+    * queries in the same JVM are unaffected. */
+  def resolveCall(url: String): Option[(AuthProvider, Long)] = {
+    val qIdx = url.indexOf('?')
+    val base = if (qIdx < 0) url else url.substring(0, qIdx)
+    val pinned =
+      if (qIdx < 0) None
+      else url.substring(qIdx + 1).split('&').collectFirst {
+        case p if p.startsWith("clock=") => p.stripPrefix("clock=").toLong
+      }
+    providers.get(base).map(p => (p, pinned.getOrElse(nowSec())))
+  }
 }

@@ -41,9 +41,15 @@ case class TopKAgg(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     new ArrayBuffer[(Double, Long)](k + 1)
 
-  /** (score desc, id asc): a is strictly better than b. */
-  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** (score desc, id asc): a is strictly better than b. Scores compare
+    * via Double.compare — a total order, so sortWith stays a strict weak
+    * order even if a NaN slips in (IEEE < / > are all-false on NaN and
+    * make TimSort throw). NaN scores are additionally dropped at
+    * update(), so they can't occupy top-k slots. */
+  @inline private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def compact(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
     if (buf.length <= k) buf
@@ -56,7 +62,7 @@ case class TopKAgg(
   override def update(buf: ArrayBuffer[(Double, Long)], input: InternalRow): ArrayBuffer[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) {
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
       buf += ((s.asInstanceOf[Double], i.asInstanceOf[Long]))
       if (buf.length > 4 * k) compact(buf)
     }

@@ -86,12 +86,13 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
 
   // ---------------------------------------------------------------- C7
-  /** LSH-bucketed ANN: 16-bit sign-random-projection signature split in
-    * four 4-bit bands; a corpus vector is scored only if it shares a
+  /** LSH-bucketed ANN: 32-bit sign-random-projection signature split in
+    * four 8-bit bands; a corpus vector is scored only if it shares a
     * band with the query. Same deterministic hyperplanes + banding as C5
-    * ([[Dedup.signBits]]/[[Dedup.bandKey]]). Approximate (recall < 1 by
-    * design) → rows-only check; DedupSpec asserts planted-neighbor
-    * recall. */
+    * ([[Dedup.signBits]]/[[Dedup.bandKey]]). Approximate vs ground truth
+    * (recall < 1 by design — DedupSpec asserts planted-neighbor recall),
+    * but fully deterministic, so [[lshSql]] reproduces the algorithm in
+    * SQL for an exact oracle. */
   def lsh(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
     val withSig = c.withColumn("sig", Dedup.signBits(col("e")))
@@ -108,11 +109,47 @@ object Ann {
         .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
   }
 
+  /** Algorithm-parity oracle for C7: the SAME fixed ±1 hyperplanes
+    * (inlined as SQL literals), sign signature, 4×8-bit band match, and
+    * exact cosine rerank, reproduced in pure DuckDB SQL. Every stage is
+    * deterministic — the plane dot products fold in identical order on
+    * both engines (list_inner_product ≡ the sequential aggregate/zip_with
+    * fold) — so the approximate operator gets an EXACT oracle: it checks
+    * the algorithm end-to-end, not just row counts. */
+  val lshSql: String = {
+    val planesLit = Dedup.planes
+      .map(p => p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .mkString("[", ",\n  ", "]")
+    val bandMatch = (0 until Dedup.EmbBands)
+      .map(b => s"((s.sig >> ${8 * b}) & 255) = ((q.qsig >> ${8 * b}) & 255)")
+      .mkString(" OR ")
+    s"""WITH p AS (SELECT $planesLit AS ps),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |s AS (SELECT vec_id, e,
+       |  CAST(list_sum(list_transform(generate_series(1, ${Dedup.planes.length}),
+       |    i -> CASE WHEN list_inner_product(e, ps[i]) > 0
+       |         THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN p),
+       |q AS (SELECT vec_id AS q_id, e AS qe, sig AS qsig FROM s WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.q_id, s.vec_id,
+       |    list_inner_product(q.qe, s.e) /
+       |      (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(s.e, s.e))) AS cos
+       |  FROM q CROSS JOIN s
+       |  WHERE s.vec_id <> q.q_id AND ($bandMatch))
+       |SELECT q_id, nn_rank, vec_id, round(cos, 6) AS cosine FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _)
 
-  /** ann_lsh is approximate by design → no SQL oracle (rows-only). */
   val oracles: Map[String, String] = Map(
-    "ann_bruteforce" -> bruteforceSql)
+    "ann_bruteforce" -> bruteforceSql,
+    "ann_lsh" -> lshSql)
 }

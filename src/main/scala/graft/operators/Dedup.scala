@@ -328,28 +328,45 @@ object Dedup {
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-    var labels = docs(spark, dir).select(col("doc_id"),
-      col("doc_id").as("cluster_id"))
+      .toDF("src", "dst")
+      .cache()
+    // propagate only over vertices that appear in the pair graph — on a
+    // mostly-unique corpus that is orders of magnitude smaller than the
+    // doc set (dup-cluster members only); every other doc is trivially
+    // its own canonical singleton and joins back in at the end. The
+    // per-round frames are dup-graph-sized, so at 100 TB the iteration
+    // cost tracks the duplicate mass, not the corpus.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .cache()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
-      val viaNeighbors = labels.join(edges, col("doc_id") === col("dst"))
+      // min label over self ∪ neighbors; edges are bidirectional so the
+      // dst side carries every neighbor label. The old label rides along
+      // so the changed-count needs no second join against the previous
+      // frame.
+      val next = labels.join(edges, col("doc_id") === col("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .join(labels, Seq("doc_id"))
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+          least(col("cluster_id"), col("nbr_min")).as("cluster_id"),
+          col("cluster_id").as("old"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).count()
+      changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
+    val out = docs(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")))
     pairs.unpersist()
-    labels.withColumn("is_canonical", (col("doc_id") === col("cluster_id")))
+    edges.unpersist()
+    out
   }
 
   /** Oracle: transitive closure by recursive CTE over the exact-Jaccard

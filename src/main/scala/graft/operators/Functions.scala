@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{GraftAuth, GraftFunctions}
+import graft.functions.GraftFunctions
 
 /** Oracle-checked query entries for the reference's scalar-function
   * surface (SURVEY.md §2 A7–A13), exercised over the documents table.
@@ -80,14 +80,16 @@ object Functions {
   val versionSql: String = s"SELECT '${GraftFunctions.Version}' AS version"
 
   // ------------------------------------------------------------- A7
-  /** dd_login with a pinned clock; the minted JWT is decoded back with
-    * pure SQL (base64url → JSON) so the whole pipeline stays
-    * declarative and the claims are oracle-checkable constants. */
+  /** dd_login with the mint time pinned via the URL's `clock` query
+    * parameter (scoped to this call — no process-global clock mutation,
+    * and it holds at execution time no matter when the lazy plan runs);
+    * the minted JWT is decoded back with pure SQL (base64url → JSON) so
+    * the whole pipeline stays declarative and the claims are
+    * oracle-checkable constants. */
   def login(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    GraftAuth.fixClock(Some(1700000000L))
     val tok = spark.sql(
-      """SELECT dd_login('local://auth', 'admin', 'admin',
+      """SELECT dd_login('local://auth?clock=1700000000', 'admin', 'admin',
         |  '{"database":"demo_catalog","schema":"main","table":"transaction"}') AS token""".stripMargin)
     val payloadB64 = element_at(split(col("token"), "\\."), 2)
     val padded = concat(translate(payloadB64, "-_", "+/"),

@@ -16,7 +16,13 @@ import graft.Tables
   *
   * avg_quality sums the 6-dp quality scores in DECIMAL so the mean is
   * independent of partial-aggregation order — same discipline as the
-  * OLAP money columns. */
+  * OLAP money columns. The mean itself is left as the raw double
+  * quotient (exact-decimal numerator ÷ exact count): a final
+  * `round(…, 6)` of a double is NOT cross-engine-stable — Spark rounds
+  * the exact binary expansion (BigDecimal HALF_UP) while DuckDB rounds
+  * via scaled float math, and r2's correctness gate caught them
+  * disagreeing on one source's mean. The quotient of two
+  * identically-derived doubles is bit-identical by IEEE 754. */
 object Pipeline {
 
   private val QualityFloor = 0.5
@@ -34,7 +40,7 @@ object Pipeline {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),
-        round(sum(col("quality").cast(DecimalType(10, 6))).cast("double") / count(lit(1)), 6)
+        (sum(col("quality").cast(DecimalType(10, 6))).cast("double") / count(lit(1)))
           .as("avg_quality"))
       .orderBy(col("source"))
   }
@@ -65,7 +71,7 @@ object Pipeline {
        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
        |SELECT source, count(*) AS n_docs,
        |  sum(n_words) AS total_words,
-       |  round(CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS avg_quality
+       |  CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS avg_quality
        |FROM f JOIN keepers USING (doc_id)
        |WHERE pred_lang = lang AND quality >= $QualityFloor
        |GROUP BY source

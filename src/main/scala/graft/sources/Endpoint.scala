@@ -24,14 +24,33 @@ trait Endpoint extends Serializable {
     * reference's `split_size` named parameter). */
   def plan(table: String, query: QuerySpec, splitSizeBytes: Long): Seq[SplitInfo]
 
-  /** Stream one split as Arrow IPC record-batch message bytes. */
-  def scan(split: SplitInfo, query: QuerySpec): Iterator[Array[Byte]]
+  /** Stream one split as Arrow IPC record-batch message bytes. The
+    * caller MUST close() the stream (Spark does, via
+    * PartitionReader.close) — exhaustion also releases resources, but
+    * early-terminated scans (limit/take/cancelled tasks) only release
+    * through close(). */
+  def scan(split: SplitInfo, query: QuerySpec): IpcStream
 
   /** Stream the partial-aggregate row for one split (aggregation
     * pushdown, reference optimizer/aggregation_pushdown.cpp: partials
     * are merged across splits by the caller — here, by Spark's final
     * aggregation). */
-  def scanAgg(split: SplitInfo, query: QuerySpec, agg: AggSpec): Iterator[Array[Byte]]
+  def scanAgg(split: SplitInfo, query: QuerySpec, agg: AggSpec): IpcStream
+}
+
+/** An Arrow-IPC message stream that owns upstream resources (open
+  * parquet readers here; an HTTP response there). close() is idempotent
+  * and safe at any point of consumption. */
+trait IpcStream extends Iterator[Array[Byte]] with AutoCloseable
+
+object IpcStream {
+  def apply(it: Iterator[Array[Byte]], onClose: () => Unit): IpcStream =
+    new IpcStream {
+      private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      override def hasNext: Boolean = it.hasNext
+      override def next(): Array[Byte] = it.next()
+      override def close(): Unit = if (closed.compareAndSet(false, true)) onClose()
+    }
 }
 
 /** What the scan asks of the endpoint: projected columns + filters, both

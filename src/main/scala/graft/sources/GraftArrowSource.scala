@@ -214,7 +214,10 @@ class GraftArrowReaderFactory(endpoint: Endpoint, query: QuerySpec,
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      // Spark calls close() on task completion whether or not the scan
+      // was exhausted — this is what releases the endpoint's parquet
+      // reader on limit/take/cancelled tasks
+      override def close(): Unit = ipc.close()
     }
   }
 }

@@ -94,15 +94,15 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
   }
 
   // ------------------------------------------------------------- scan
-  override def scan(split: SplitInfo, query: QuerySpec): Iterator[Array[Byte]] = {
-    val (rows, sparkSchema) = readRows(split, query)
-    ArrowBridge.toIpc(rows, sparkSchema)
+  override def scan(split: SplitInfo, query: QuerySpec): IpcStream = {
+    val (rows, sparkSchema, close) = readRows(split, query)
+    IpcStream(ArrowBridge.toIpc(rows, sparkSchema), close)
   }
 
   override def scanAgg(split: SplitInfo, query: QuerySpec,
-                       agg: AggSpec): Iterator[Array[Byte]] = {
+                       agg: AggSpec): IpcStream = {
     val cols = agg.calls.collect { case AggCall(op, c) if op != "count_star" => c }.distinct
-    val (rows, sparkSchema) = readRows(split, query.copy(requiredColumns = cols.toArray))
+    val (rows, sparkSchema, close) = readRows(split, query.copy(requiredColumns = cols.toArray))
     val idx = cols.zipWithIndex.toMap
     val fieldIdx = agg.calls.map(c => if (c.op == "count_star") -1 else idx(c.column))
     val types = agg.calls.zip(fieldIdx).map {
@@ -110,16 +110,19 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
       case (AggCall("count", _), _) => LongType
       case (AggCall(_, _), i) => sparkSchema.fields(i).dataType
     }
-    val acc = PartialAgg.compute(rows, agg.calls, fieldIdx, types)
+    // compute consumes the rows eagerly, so the reader is exhausted and
+    // released here; the explicit close is the cancellation path
+    val acc = try PartialAgg.compute(rows, agg.calls, fieldIdx, types) finally close()
     val outSchema = StructType(agg.calls.zip(types).zipWithIndex.map {
       case ((c, t), i) => StructField(s"${c.op}_$i", PartialAgg.outputType(c.op, t), nullable = true)
     })
-    ArrowBridge.toIpc(Iterator.single(acc), outSchema)
+    IpcStream(ArrowBridge.toIpc(Iterator.single(acc), outSchema), () => ())
   }
 
   /** Read the split's records with projection + filter applied by the
-    * parquet layer itself. */
-  private def readRows(split: SplitInfo, query: QuerySpec): (Iterator[InternalRow], StructType) = {
+    * parquet layer itself. The third element closes the underlying
+    * parquet reader (idempotent — exhaustion also triggers it). */
+  private def readRows(split: SplitInfo, query: QuerySpec): (Iterator[InternalRow], StructType, () => Unit) = {
     val fs = fileSchema(query.table)
     val projected: MessageType =
       if (query.requiredColumns.isEmpty) Types.buildMessage().named(fs.getName)
@@ -139,12 +142,14 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
     ParquetFilters.translate(query.filters, fs)
       .foreach(p => builder = builder.withFilter(FilterCompat.get(p)))
     val reader = builder.build()
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val closeOnce: () => Unit = () => if (closed.compareAndSet(false, true)) reader.close()
     val conv = new GroupRowConverter(
       if (query.requiredColumns.isEmpty) fs else projected, sparkSchema)
     val it = new Iterator[InternalRow] {
       private var nextGroup: Group = reader.read()
       override def hasNext: Boolean = {
-        if (nextGroup == null) reader.close()
+        if (nextGroup == null) closeOnce()
         nextGroup != null
       }
       override def next(): InternalRow = {
@@ -153,7 +158,7 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
         conv.convert(g)
       }
     }
-    (it, sparkSchema)
+    (it, sparkSchema, closeOnce)
   }
 }
 

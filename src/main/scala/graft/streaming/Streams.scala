@@ -52,7 +52,9 @@ object Streams {
     ev.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).cast("decimal(20,6)").cast("double").as("total_value"))
+        // cast BEFORE the sum: decimal partials are associativity-proof,
+        // a double sum cast after the fact is partial-order dependent
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("total_value"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
         col("event_type"), col("n_events"), col("total_value"))
@@ -98,7 +100,7 @@ object Streams {
       seq += 1
       out += Session(userId, seq,
         fmt(bucket.head.ts), fmt(bucket.last.ts), bucket.size.toLong,
-        bucket.map(e => BigDecimal(e.value).setScale(6)).sum.toDouble)
+        bucket.map(e => BigDecimal(e.value).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
       bucket = Vector.empty
     }
     sorted.foreach { e =>

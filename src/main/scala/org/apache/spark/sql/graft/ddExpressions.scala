@@ -244,9 +244,10 @@ case class DdLogin(url: Expression, user: Expression, pass: Expression,
     }
     val claimSeq = claimPair.findAllMatchIn(claimStr)
       .map(m => m.group(1) -> m.group(2)).toSeq
-    graft.functions.GraftAuth.resolve(u.toString)
-      .flatMap(_.login(usr.toString, pw.toString, claimSeq,
-        graft.functions.GraftAuth.nowSec()))
+    graft.functions.GraftAuth.resolveCall(u.toString)
+      .flatMap { case (provider, issuedAt) =>
+        provider.login(usr.toString, pw.toString, claimSeq, issuedAt)
+      }
       .map(UTF8String.fromString)
       .orNull
   }
