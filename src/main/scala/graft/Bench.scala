@@ -21,8 +21,12 @@ object Bench {
     // doesn't absorb JVM compilation for the whole session
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // optional comma-separated entry filter for focused perf iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     var failed = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

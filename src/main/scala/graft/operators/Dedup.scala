@@ -321,52 +321,100 @@ object Dedup {
     * smallest doc_id in its component) and whether it is the kept
     * canonical. The driver-side loop checks only a changed-count per
     * round — O(diameter) tiny actions, data never collected. */
+  /** Above this many verified pairs the component computation stays
+    * fully distributed (label propagation); at or below it the pair
+    * graph is collected and solved with union-find on the driver — the
+    * same size-gated tradeoff as Spark's broadcast-join threshold, and
+    * safe for the same reason: the gate is on the DUP-PAIR mass (tiny on
+    * real corpora — only verified near-dup pairs survive), never on the
+    * corpus. 4M pairs ≈ 64 MB of longs on the driver. */
+  private val BroadcastPairLimit = 4L * 1000 * 1000
+
   def clusters(spark: SparkSession, dir: String): DataFrame = {
-    // cache the verified pairs: the unionAll below has two branches and
-    // every propagation round joins edges — without this the whole
-    // minhash lineage re-executes per reference
+    // cache the verified pairs: both the size gate and the component
+    // computation consume them — without this the whole minhash lineage
+    // re-executes per reference
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val nPairs = pairs.count()
+    val small = nPairs <= BroadcastPairLimit
+    val labels: DataFrame =
+      if (small) broadcastComponents(spark, pairs)
+      else propagateComponents(spark, pairs)
+    // every doc outside the pair graph is trivially its own canonical
+    // singleton — a left join against the label map. The broadcast hint
+    // is only attached when the size gate proved the map small; on the
+    // scale path AQE decides (a forced broadcast of an unbounded side
+    // is exactly the r1 scale-killer).
+    val labelSide = if (small) broadcast(labels) else labels
+    val out = docs(spark, dir).select(col("doc_id"))
+      .join(labelSide, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")))
+    pairs.unpersist()
+    out
+  }
+
+  /** Fast path: union-find over the collected pair list (exact, one
+    * job). Only reachable under [[BroadcastPairLimit]]. */
+  private[operators] def broadcastComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      // record both endpoints (roots included — the label map must
+      // cover every pair-graph vertex, not just the demoted ones)
+      parent.getOrElseUpdate(ra, ra)
+      parent.getOrElseUpdate(rb, rb)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots are unioned min-first, so find() is the min doc_id directly
+    val rows = parent.keysIterator.map(v => (v, find(v))).toSeq
+    import spark.implicits._
+    rows.toDF("doc_id", "cluster_id")
+  }
+
+  /** Scale path: iterative min-label propagation over the pair graph
+    * (each round: label ← min(label, neighbors' labels); rounds ≈
+    * component diameter, tiny for dup clusters). Frames are
+    * dup-graph-sized, so at 100 TB the cost tracks the duplicate mass,
+    * not the corpus. */
+  private[operators] def propagateComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .cache()
-    // propagate only over vertices that appear in the pair graph — on a
-    // mostly-unique corpus that is orders of magnitude smaller than the
-    // doc set (dup-cluster members only); every other doc is trivially
-    // its own canonical singleton and joins back in at the end. The
-    // per-round frames are dup-graph-sized, so at 100 TB the iteration
-    // cost tracks the duplicate mass, not the corpus.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .cache()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
-      // min label over self ∪ neighbors; edges are bidirectional so the
-      // dst side carries every neighbor label. The old label rides along
-      // so the changed-count needs no second join against the previous
-      // frame.
-      val next = labels.join(edges, col("doc_id") === col("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("cluster_id")).as("nbr_min"))
-        .join(labels, Seq("doc_id"))
-        .select(col("doc_id"),
-          least(col("cluster_id"), col("nbr_min")).as("cluster_id"),
-          col("cluster_id").as("old"))
+      // min label over self ∪ neighbors in ONE aggregation: the self
+      // branch carries the old label through the same groupBy (min over
+      // the flagged branch), so a round is one join + one shuffle and
+      // the changed-count needs no second join.
+      val contrib = labels
+        .select(col("doc_id"), col("cluster_id"), lit(true).as("self"))
+        .unionAll(labels.join(edges, col("doc_id") === col("dst"))
+          .select(col("src"), col("cluster_id"), lit(false)))
+      val next = contrib.groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"),
+          min(when(col("self"), col("cluster_id"))).as("old"))
         .cache()
       changed = next.filter(col("cluster_id") =!= col("old")).count()
       labels.unpersist()
       labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }
-    val out = docs(spark, dir).select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")))
-    pairs.unpersist()
     edges.unpersist()
-    out
+    labels
   }
 
   /** Oracle: transitive closure by recursive CTE over the exact-Jaccard

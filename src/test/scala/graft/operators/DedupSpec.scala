@@ -70,6 +70,17 @@ class DedupSpec extends SparkSpec {
     assert(res(4L) === ((4L, true)))
   }
 
+  test("broadcast union-find and distributed propagation paths agree") {
+    val pairs = Dedup.minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
+    val fast = Dedup.broadcastComponents(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.propagateComponents(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.unpersist()
+    assert(fast.nonEmpty) // the corpus has planted dup clusters
+    assert(fast === dist)
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
