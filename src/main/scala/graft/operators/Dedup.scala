@@ -283,9 +283,14 @@ object Dedup {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
     val sig = emb.withColumn("sig", signBits(col("e")))
-    val bands = (0 until EmbBands).map { b =>
-      sig.select(col("vec_id"), col("e"), lit(b).as("band"), bandKey(col("sig"), b).as("key"))
-    }.reduce(_ unionAll _)
+    // posexplode over the band keys: ONE signature evaluation per row
+    // (a unionAll of per-band selects re-evaluates the 32 hyperplane
+    // dot products once per band — 4× the dominant scan cost)
+    val bands = sig
+      .select(col("vec_id"), col("e"),
+        posexplode(array((0 until EmbBands).map(b => bandKey(col("sig"), b)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "key")
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

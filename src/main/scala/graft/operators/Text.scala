@@ -138,20 +138,19 @@ object Text {
   // --------------------------------------------------------------- C12
   /** Document fingerprinting: a 64-bit-hex md5 prefix plus a polynomial
     * rolling hash over character codes (base 31 mod 1e9+7) — the classic
-    * Rabin-Karp-style fingerprint, left-folded so both engines produce
-    * the identical value. */
+    * Rabin-Karp-style fingerprint. The rolling hash is a native codegen
+    * [[org.apache.spark.sql.graft.PolyFingerprint]] expression: the
+    * equivalent declarative fold (`aggregate` over per-char `ascii`
+    * codes) is interpreted per element and dominated the scan. Same left
+    * fold as the oracle's `list_reduce`. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val codes = transform(sequence(lit(1), length(col("text"))),
-      i => ascii(col("text").substr(i, lit(1))).cast("long"))
+    import org.apache.spark.sql.graft.{Bridge, PolyFingerprint}
     docs(spark, dir)
-      .withColumn("codes", codes)
       .select(
         col("doc_id"),
         substring(md5(col("text")), 1, 16).as("fp_md5"),
-        aggregate(
-          slice(col("codes"), lit(2), size(col("codes")) - 1),
-          element_at(col("codes"), 1),
-          (acc, x) => (acc * 31 + x) % 1000000007L).as("fp_poly"))
+        Bridge.column(new PolyFingerprint(
+          Bridge.expression(col("text")))).as("fp_poly"))
   }
 
   val fingerprintSql: String =

@@ -123,6 +123,12 @@ class GraftArrowScanBuilder(endpoint: Endpoint, table: String,
     if (calls.exists(_.isEmpty)) return false
     val spec = AggSpec(calls.flatten)
     val fieldsByName = fullSchema.fields.map(f => f.name -> f).toMap
+    // decline the WHOLE pushdown if any aggregate folds a type the
+    // partial-aggregator can't handle (all-or-nothing, like the
+    // reference optimizer) — never silently compute a wrong partial
+    if (!spec.calls.forall(c => c.op == "count_star" ||
+        (fieldsByName.contains(c.column) &&
+          PartialAgg.supports(c.op, fieldsByName(c.column).dataType)))) return false
     val outFields = spec.calls.zipWithIndex.map { case (c, i) =>
       val colType = if (c.op == "count_star") org.apache.spark.sql.types.LongType
         else fieldsByName(c.column).dataType

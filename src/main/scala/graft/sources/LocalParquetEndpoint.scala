@@ -272,20 +272,33 @@ class GroupRowConverter(mt: MessageType, sparkSchema: StructType) {
 
   private def fieldGetter(f: Type, dt: DataType): (Group, Int) => Any = f match {
     case p: PrimitiveType =>
-      p.getPrimitiveTypeName match {
-        case INT64 if dt == TimestampType || dt == TimestampNTZType =>
+      (p.getPrimitiveTypeName, dt) match {
+        case (INT64, TimestampType) | (INT64, TimestampNTZType) =>
           val d = tsDivisor(p.getLogicalTypeAnnotation)
           if (d >= 0) (g, i) => g.getLong(i, 0) / d
           else (g, i) => g.getLong(i, 0) * (-d)
-        case INT64 => (g, i) => g.getLong(i, 0)
-        case INT32 => (g, i) => g.getInteger(i, 0)
-        case DOUBLE => (g, i) => g.getDouble(i, 0)
-        case FLOAT => (g, i) => g.getFloat(i, 0)
-        case BOOLEAN => (g, i) => g.getBoolean(i, 0)
-        case BINARY | FIXED_LEN_BYTE_ARRAY =>
-          if (dt == StringType) (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-          else (g, i) => g.getBinary(i, 0).getBytes
-        case other => throw new UnsupportedOperationException(
+        case (INT64, t: DecimalType) =>
+          (g, i) => Decimal(g.getLong(i, 0), t.precision, t.scale)
+        case (INT64, _) => (g, i) => g.getLong(i, 0)
+        case (INT32, t: DecimalType) =>
+          (g, i) => Decimal(g.getInteger(i, 0).toLong, t.precision, t.scale)
+        case (INT32, ByteType) => (g, i) => g.getInteger(i, 0).toByte
+        case (INT32, ShortType) => (g, i) => g.getInteger(i, 0).toShort
+        // DateType is epoch-day int both in parquet and internally
+        case (INT32, _) => (g, i) => g.getInteger(i, 0)
+        case (DOUBLE, _) => (g, i) => g.getDouble(i, 0)
+        case (FLOAT, _) => (g, i) => g.getFloat(i, 0)
+        case (BOOLEAN, _) => (g, i) => g.getBoolean(i, 0)
+        case (BINARY | FIXED_LEN_BYTE_ARRAY, t: DecimalType) =>
+          (g, i) => Decimal(
+            new java.math.BigDecimal(
+              new java.math.BigInteger(g.getBinary(i, 0).getBytes), t.scale),
+            t.precision, t.scale)
+        case (BINARY, StringType) | (FIXED_LEN_BYTE_ARRAY, StringType) =>
+          (g, i) => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+        case (BINARY, _) | (FIXED_LEN_BYTE_ARRAY, _) =>
+          (g, i) => g.getBinary(i, 0).getBytes
+        case (other, _) => throw new UnsupportedOperationException(
           s"graft-arrow: unsupported parquet type $other for field ${f.getName}")
       }
     case gt: GroupType =>
@@ -332,14 +345,44 @@ class GroupRowConverter(mt: MessageType, sparkSchema: StructType) {
 
 /** Streaming partial-aggregate computation for aggregation pushdown. */
 object PartialAgg {
+  /** Spark's expected result type for a pushed aggregate (must line up
+    * with the final-aggregation plan Spark builds over the partials). */
   def outputType(op: String, colType: DataType): DataType = op match {
     case "count_star" | "count" => LongType
     case "sum" => colType match {
-      case LongType | IntegerType => LongType
+      case LongType | IntegerType | ShortType | ByteType => LongType
+      case d: DecimalType => DecimalType(math.min(38, d.precision + 10), d.scale)
       case _ => DoubleType
     }
     case "min" | "max" => colType
   }
+
+  /** Types this partial-aggregator can fold for the given op; anything
+    * else declines pushdown (whole query stays local — the reference's
+    * all-or-nothing fallback contract). */
+  def supports(op: String, colType: DataType): Boolean = op match {
+    case "count_star" | "count" => true
+    case "sum" => colType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | _: DecimalType => true
+      case _ => false
+    }
+    case "min" | "max" => ordFor(colType).isDefined
+    case _ => false
+  }
+
+  private def ordFor(t: DataType): Option[Ordering[Any]] = (t match {
+    case LongType | TimestampType | TimestampNTZType => Some(Ordering.Long)
+    case IntegerType | DateType => Some(Ordering.Int)
+    case ShortType => Some(Ordering.Short)
+    case ByteType => Some(Ordering.Byte)
+    case BooleanType => Some(Ordering.Boolean)
+    case DoubleType => Some(Ordering.Double.TotalOrdering)
+    case FloatType => Some(Ordering.Float.TotalOrdering)
+    case StringType => Some(Ordering.by[Any, UTF8String](_.asInstanceOf[UTF8String]))
+    case _: DecimalType => Some(Ordering.ordered[Decimal].on[Any](_.asInstanceOf[Decimal]))
+    case _ => None
+  }).asInstanceOf[Option[Ordering[_]]].map(_.asInstanceOf[Ordering[Any]])
 
   def compute(rows: Iterator[InternalRow], calls: Seq[AggCall],
               fieldIdx: Seq[Int], types: Seq[DataType]): InternalRow = {
@@ -347,17 +390,11 @@ object PartialAgg {
     val counts = new Array[Long](n)
     val sumsL = new Array[Long](n)
     val sumsD = new Array[Double](n)
+    val sumsB = new Array[java.math.BigDecimal](n)
     val mins = new Array[Any](n)
     val maxs = new Array[Any](n)
-    val ords: Seq[Ordering[Any]] = types.map {
-      case LongType => Ordering.Long.asInstanceOf[Ordering[Any]]
-      case IntegerType => Ordering.Int.asInstanceOf[Ordering[Any]]
-      case DoubleType => Ordering.Double.TotalOrdering.asInstanceOf[Ordering[Any]]
-      case FloatType => Ordering.Float.TotalOrdering.asInstanceOf[Ordering[Any]]
-      case StringType => Ordering.by[Any, UTF8String](_.asInstanceOf[UTF8String])
-      case TimestampType | TimestampNTZType => Ordering.Long.asInstanceOf[Ordering[Any]]
-      case t => throw new UnsupportedOperationException(s"agg over $t")
-    }
+    val ords: Seq[Ordering[Any]] = types.map(t => ordFor(t).getOrElse(
+      throw new UnsupportedOperationException(s"agg over $t")))
     rows.foreach { r =>
       var i = 0
       while (i < n) {
@@ -369,8 +406,14 @@ object PartialAgg {
               types(i) match {
                 case LongType => sumsL(i) += r.getLong(fieldIdx(i)); counts(i) += 1
                 case IntegerType => sumsL(i) += r.getInt(fieldIdx(i)); counts(i) += 1
+                case ShortType => sumsL(i) += r.getShort(fieldIdx(i)); counts(i) += 1
+                case ByteType => sumsL(i) += r.getByte(fieldIdx(i)); counts(i) += 1
                 case DoubleType => sumsD(i) += r.getDouble(fieldIdx(i)); counts(i) += 1
                 case FloatType => sumsD(i) += r.getFloat(fieldIdx(i)); counts(i) += 1
+                case d: DecimalType =>
+                  val v = r.getDecimal(fieldIdx(i), d.precision, d.scale).toJavaBigDecimal
+                  sumsB(i) = if (sumsB(i) == null) v else sumsB(i).add(v)
+                  counts(i) += 1
                 case _ =>
               }
             }
@@ -397,7 +440,10 @@ object PartialAgg {
         case "sum" =>
           if (counts(i) == 0) null
           else types(i) match {
-            case LongType | IntegerType => sumsL(i)
+            case LongType | IntegerType | ShortType | ByteType => sumsL(i)
+            case d: DecimalType =>
+              val ot = outputType("sum", d).asInstanceOf[DecimalType]
+              Decimal(sumsB(i), ot.precision, ot.scale)
             case _ => sumsD(i)
           }
         case "min" => mins(i)

@@ -186,11 +186,39 @@ object Streams {
       }
   }
 
+  // ---------------------------------------------------------------- D3
+  /** Streaming exact dedup — the ingest-side of the C1 batch operator:
+    * content-hash `dropDuplicates` over a documents stream (graft-arrow
+    * micro-batches). State is one row per distinct hash; a production
+    * deployment with event time would use dropDuplicatesWithinWatermark
+    * so state is evicted instead of unbounded. The surviving hash SET is
+    * order-insensitive (unlike keep-first doc ids across racing
+    * micro-batches), so the entry is exactly oracle-checkable. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "documents")
+      .load()
+      .select(md5(col("text")).as("h"))
+      .dropDuplicates("h")
+    val sinkName = s"graft_d3_${System.nanoTime()}"
+    val q = stream
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(sinkName)
+  }
+
+  val streamDedupSql: String = "SELECT DISTINCT md5(text) AS h FROM documents"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _,
-    "stream_sessionize" -> sessionizeBatch _)
+    "stream_sessionize" -> sessionizeBatch _,
+    "stream_dedup" -> streamDedup _)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggSql,
-    "stream_sessionize" -> sessionizeSql)
+    "stream_sessionize" -> sessionizeSql,
+    "stream_dedup" -> streamDedupSql)
 }

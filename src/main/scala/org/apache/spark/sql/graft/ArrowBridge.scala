@@ -38,6 +38,9 @@ object ArrowBridge {
     new org.apache.spark.sql.execution.datasources.parquet
       .ParquetToSparkSchemaConverter(org.apache.spark.sql.internal.SQLConf.get)
       .convert(nanosAsMicros(mt))
+      // spark.read.parquet relaxes REQUIRED fields to nullable (files
+      // merged into one table may disagree); match that convention
+      .asNullable.asInstanceOf[StructType]
 
   /** Rewrite INT64 TIMESTAMP(NANOS) fields to TIMESTAMP(MICROS) so the
     * stock converter accepts them (top-level primitives only — nested

@@ -43,6 +43,35 @@ class TextSpec extends SparkSpec {
     assert(out === 3105L)
   }
 
+  test("PolyFingerprint codegen expression equals the declarative fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{Bridge, PolyFingerprint}
+    val df = Seq((1L, "ab"), (3L, "的是了 mixed 文本"), (4L, "a"),
+      (5L, "The quick brown fox: 123!")).toDF("doc_id", "text")
+    val codes = transform(sequence(lit(1), length(col("text"))),
+      i => ascii(col("text").substr(i, lit(1))).cast("long"))
+    def vals(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1))
+    val declarative = df.withColumn("codes", codes)
+      .select(col("doc_id"),
+        aggregate(slice(col("codes"), lit(2), size(col("codes")) - 1),
+          element_at(col("codes"), 1), (acc, x) => (acc * 31 + x) % 1000000007L).as("fp"))
+      .collect().map(vals).toMap
+    val native = df
+      .select(col("doc_id"),
+        Bridge.column(new PolyFingerprint(Bridge.expression(col("text")))).as("fp"))
+      .collect().map(vals).toMap
+    assert(native === declarative)
+    assert(native(1L) === 3105L) // 97*31 + 98
+    // empty text → NULL by design (the declarative fold accidentally
+    // yields 0 through Spark's sequence(1,0) = [1,0] quirk; no engine
+    // pair agrees on empty, and the corpus excludes it)
+    val empty = Seq((9L, "")).toDF("doc_id", "text")
+      .select(Bridge.column(new PolyFingerprint(Bridge.expression(col("text")))).as("fp"))
+      .head
+    assert(empty.isNullAt(0))
+  }
+
   test("text ops are shuffle-free single-pass projections") {
     Seq("text_langid", "text_quality", "text_tokens", "text_fingerprint").foreach { q =>
       val plan = Text.queries(q)(spark, dir).queryExecution.executedPlan.toString

@@ -151,6 +151,48 @@ class GraftArrowSpec extends SparkSpec {
     assert(df.head === expected)
   }
 
+  test("all-types scan + aggregation parity (tiny/small/decimal/date, like the reference all_types suite)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-alltypes").toString
+    val src = Seq(
+      (1, 10, 100, 1000L, 1.5f, 2.5, "3.25", "123.456789", "2024-01-05", "a", true),
+      (2, -20, -200, -2000L, -0.5f, 0.25, "10.75", "0.000001", "2023-06-30", "b", false),
+      (3, 30, 300, 3000L, 2.0f, 4.0, "99.99", "7777.125000", "2025-12-31", "c", true))
+      .toDF("tiny0", "small0", "int_col", "big_col", "float_col", "double_col",
+        "dec0", "bigdec0", "date0", "str_col", "bool_col")
+      .select(
+        col("tiny0").cast(ByteType).as("tiny_col"),
+        col("small0").cast(ShortType).as("small_col"),
+        col("int_col"), col("big_col"), col("float_col"), col("double_col"),
+        col("dec0").cast(DecimalType(9, 2)).as("dec_small"),
+        col("bigdec0").cast(DecimalType(24, 6)).as("dec_big"),
+        col("date0").cast(DateType).as("date_col"),
+        col("str_col"), col("bool_col"))
+    src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/all_types.parquet"))
+    val a = GraftArrow.read(spark, tmp, "all_types")
+    val p = spark.read.parquet(s"$tmp/all_types.parquet")
+    assert(a.schema === p.schema)
+    assert(a.exceptAll(p).count() === 0 && p.exceptAll(a).count() === 0)
+    // aggregation pushdown over every numeric repertoire member
+    val agg = a.agg(
+      sum(col("tiny_col")).as("st"), sum(col("small_col")).as("ss"),
+      sum(col("dec_small")).as("sd"), sum(col("dec_big")).as("sb"),
+      min(col("date_col")).as("mnd"), max(col("str_col")).as("mxs"),
+      min(col("bool_col")).as("mnb"), max(col("dec_big")).as("mxd"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "all-types aggregates should push")
+    val exp = p.agg(
+      sum(col("tiny_col")), sum(col("small_col")),
+      sum(col("dec_small")), sum(col("dec_big")),
+      min(col("date_col")), max(col("str_col")),
+      min(col("bool_col")), max(col("dec_big"))).head
+    assert(agg.head === exp)
+  }
+
   test("registered under the short name graft-arrow (DataSourceRegister)") {
     val df = spark.read.format("graft-arrow")
       .option("dir", dir).option("table", "nation").load()

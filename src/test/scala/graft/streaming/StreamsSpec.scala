@@ -23,6 +23,16 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("D3: streaming content-hash dedup equals batch distinct") {
+    val streamed = Streams.streamDedup(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    val batch = spark.read.parquet(s"$dir/documents.parquet")
+      .select(md5(col("text")).as("h")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("D2: batch sessionization splits on >30min gaps with exact bounds") {
     import spark.implicits._
     val t0 = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
