@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
@@ -145,11 +146,97 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- C15
+  private val Dim = 64
+  private val IvfK = 8        // coarse centroids
+  private val IvfSeedBase = 10L
+  private val IvfProbe = 2
+
+  /** Squared-L2 distance as the same parity-safe sequential fold as
+    * [[dot]] (0.0-seeded left fold ≡ DuckDB's first-element-seeded
+    * list_reduce, bit-exactly: 0.0 + x = x). */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** IVF-Flat ANN — the inverted-file scale path: a fixed coarse
+    * quantizer (deterministic corpus sample — production trains it
+    * offline), the corpus partitioned into inverted lists by nearest
+    * centroid, and each query scanning only its `nprobe` nearest lists
+    * before exact cosine rerank.
+    *
+    * Scale design: assignment is ONE map-side-combined aggregation
+    * (min-struct argmin over k broadcast centroids — no window shuffle
+    * of the k× exploded corpus); search scans nprobe/k of the corpus,
+    * shuffled once on the list id; queries and probe lists are
+    * broadcast. Fully deterministic (ties broken by centroid id, then
+    * vec_id) → exact algorithm-parity oracle in [[ivfSql]]. */
+  def ivf(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val cents = c
+      .filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    // index build: argmin over k centroids via min(struct) — partial
+    // aggregation ships one (vec_id, best) pair per map task
+    val assigned = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cid"), l2(col("e"), col("ce")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"), first(col("e")).as("e"))
+      .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
+    // query side (tiny): nprobe nearest lists per query
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
+    val probes = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cid"), l2(col("qe"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= IvfProbe)
+      .select(col("q_id"), col("qe"), col("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+    rankRows(
+      scored.groupBy(col("q_id"))
+        .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
+  }
+
+  /** Algorithm-parity oracle for C15 (same structure as [[lshSql]]):
+    * centroid selection, L2 list assignment, nprobe probing, and exact
+    * rerank reproduced in SQL with identical fold order. */
+  val ivfSql: String = {
+    val l2Sql = (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, $Dim), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
+       |ad AS (SELECT v.vec_id, v.e, c.cid, ${l2Sql("v.e", "c.ce")} AS d
+       |       FROM v CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, e, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |qd AS (SELECT v.vec_id AS q_id, v.e AS qe, c.cid, ${l2Sql("v.e", "c.ce")} AS d
+       |       FROM v CROSS JOIN cents c WHERE v.vec_id < $NumQueries),
+       |probes AS (SELECT q_id, qe, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn FROM qd)
+       |  WHERE rn <= $IvfProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    list_inner_product(p.qe, a.e) /
+       |      (sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(a.e, a.e))) AS cos
+       |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, nn_rank, vec_id, round(cos, 6) AS cosine FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> bruteforce _,
-    "ann_lsh" -> lsh _)
+    "ann_lsh" -> lsh _,
+    "ann_ivf" -> ivf _)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> bruteforceSql,
-    "ann_lsh" -> lshSql)
+    "ann_lsh" -> lshSql,
+    "ann_ivf" -> ivfSql)
 }

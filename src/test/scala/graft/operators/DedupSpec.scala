@@ -130,5 +130,11 @@ class DedupSpec extends SparkSpec {
     val lshHits = Ann.lsh(spark, tmp).filter(col("q_id") === 0)
       .collect().map(_.getLong(2)).toSet
     assert(lshHits.contains(99L), "LSH must recover the planted near neighbor")
+    // IVF: the near-identical pair lands in the same inverted list, and
+    // the query probes its own list first — the planted neighbor must
+    // survive the nprobe pruning
+    val ivfHits = Ann.ivf(spark, tmp).filter(col("q_id") === 0)
+      .collect().map(_.getLong(2)).toSet
+    assert(ivfHits.contains(99L), "IVF must recover the planted near neighbor")
   }
 }
