@@ -38,6 +38,33 @@ trait Endpoint extends Serializable {
   def scanAgg(split: SplitInfo, query: QuerySpec, agg: AggSpec): IpcStream
 }
 
+/** Token-enforcing endpoint decorator — the server side of the
+  * reference's `auth_token` named parameter (read_arrow_dd.cpp:309-363
+  * sends the token with every HTTP request; the server rejects
+  * missing/invalid/expired ones). Verification happens on EVERY request
+  * — schema, plan, and each split scan — and on whichever node runs it:
+  * the token and secret ship with the serialized endpoint exactly like
+  * the reference attaches them to each split request. */
+class AuthEndpoint(inner: Endpoint, secret: String,
+                   token: Option[String]) extends Endpoint {
+  private def check(): Unit =
+    token.flatMap(t =>
+      graft.functions.Jwt.verify(t, secret, System.currentTimeMillis() / 1000))
+      .getOrElse(throw new SecurityException(
+        "graft-arrow: missing, invalid, or expired auth token"))
+
+  override def schema(table: String): StructType = { check(); inner.schema(table) }
+  override def plan(table: String, query: QuerySpec, splitSizeBytes: Long): Seq[SplitInfo] = {
+    check(); inner.plan(table, query, splitSizeBytes)
+  }
+  override def scan(split: SplitInfo, query: QuerySpec): IpcStream = {
+    check(); inner.scan(split, query)
+  }
+  override def scanAgg(split: SplitInfo, query: QuerySpec, agg: AggSpec): IpcStream = {
+    check(); inner.scanAgg(split, query, agg)
+  }
+}
+
 /** An Arrow-IPC message stream that owns upstream resources (open
   * parquet readers here; an HTTP response there). close() is idempotent
   * and safe at any point of consumption. */

@@ -56,10 +56,17 @@ class GraftArrowTableProvider extends TableProvider
 }
 
 object GraftArrowTableProvider {
+  /** `auth=required` models the remote server's policy locally; `token`
+    * is the reference's `auth_token` named parameter (a dd_login JWT),
+    * verified by the endpoint on every request. */
   private def endpoint(options: CaseInsensitiveStringMap): Endpoint = {
     val dir = options.get("dir")
     require(dir != null, "graft-arrow requires a 'dir' option")
-    new LocalParquetEndpoint(dir)
+    val base = new LocalParquetEndpoint(dir)
+    if (options.getBoolean("auth", false))
+      new AuthEndpoint(base, graft.functions.GraftAuth.DefaultSecret,
+        Option(options.get("token")))
+    else base
   }
 }
 

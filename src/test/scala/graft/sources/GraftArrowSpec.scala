@@ -210,6 +210,27 @@ class GraftArrowSpec extends SparkSpec {
     assert(streamed.exceptAll(plain("documents")).count() === 0)
   }
 
+  test("auth_token surface: dd_login JWT admits the scan, absent/garbage rejected") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val token = spark.sql("SELECT dd_login('local://auth', 'admin', 'admin', '{}')")
+      .head.getString(0)
+    val authed = spark.read.format("graft-arrow")
+      .option("dir", dir).option("table", "nation")
+      .option("auth", "true").option("token", token).load()
+    assert(authed.count() === plain("nation").count())
+    intercept[SecurityException] {
+      spark.read.format("graft-arrow")
+        .option("dir", dir).option("table", "nation")
+        .option("auth", "true").load().collect()
+    }
+    intercept[SecurityException] {
+      spark.read.format("graft-arrow")
+        .option("dir", dir).option("table", "nation")
+        .option("auth", "true").option("token", "not.a.jwt").load().collect()
+    }
+  }
+
   test("FilterSql serializes the reference's WHERE surface") {
     import org.apache.spark.sql.sources._
     assert(FilterSql.toSql(EqualTo("a", 1)) === Some("a = 1"))
