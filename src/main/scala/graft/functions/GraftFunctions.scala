@@ -66,5 +66,8 @@ object GraftFunctions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("dd_version",
       { _ => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(Version)) }, "scala_udf")
+    // graft-native additions beyond the reference surface
+    reg.createOrReplaceTempFunction("graft_poly_fingerprint",
+      { args => new PolyFingerprint(args.head) }, "scala_udf")
   }
 }

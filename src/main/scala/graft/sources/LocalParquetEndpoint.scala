@@ -40,57 +40,82 @@ import scala.jdk.CollectionConverters._
   */
 class LocalParquetEndpoint(dir: String) extends Endpoint {
 
-  private def path(table: String) = new Path(s"$dir/$table.parquet")
+  private def tablePath(table: String) = new Path(s"$dir/$table.parquet")
 
   @transient private lazy val hadoopConf = new Configuration()
 
-  private def footer(table: String) = {
-    val in = HadoopInputFile.fromPath(path(table), hadoopConf)
+  /** A table is a single parquet file OR a directory of part files (the
+    * realistic at-scale layout — a 100 TB table is tens of thousands of
+    * part files, and splits parallelize across all of them). Part files
+    * must share one schema, like any parquet table. Deterministic
+    * name-sorted order so split ids are stable. */
+  private def partFiles(table: String): Seq[Path] = {
+    val p = tablePath(table)
+    val fs = p.getFileSystem(hadoopConf)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .sortBy(_.getName.toString)
+    else Seq(p)
+  }
+
+  private def footerOf(file: Path) = {
+    val in = HadoopInputFile.fromPath(file, hadoopConf)
     val r = ParquetFileReader.open(in)
     try r.getFooter finally r.close()
   }
 
-  private def fileSchema(table: String): MessageType =
-    footer(table).getFileMetaData.getSchema
+  private def fileSchema(file: Path): MessageType =
+    footerOf(file).getFileMetaData.getSchema
+
+  /** The table schema (from the first part file). */
+  private def tableSchema(table: String): MessageType =
+    fileSchema(partFiles(table).head)
 
   override def schema(table: String): StructType =
-    ArrowBridge.parquetToSparkSchema(fileSchema(table), hadoopConf)
+    ArrowBridge.parquetToSparkSchema(tableSchema(table), hadoopConf)
 
   // ------------------------------------------------------------- plan
   override def plan(table: String, query: QuerySpec,
                     splitSizeBytes: Long): Seq[SplitInfo] = {
-    val blocks = footer(table).getBlocks.asScala.toSeq
     val sql = query.toSql
     val checksum = java.security.MessageDigest.getInstance("MD5")
       .digest(sql.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val queryId = java.util.UUID.nameUUIDFromBytes(sql.getBytes("UTF-8"))
       .getMostSignificantBits.abs
-    // greedily pack consecutive row groups into ≤ splitSizeBytes splits
-    val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
-    var current = Vector.empty[Int]
-    var currentBytes = 0L
-    blocks.zipWithIndex.foreach { case (b, i) =>
-      if (current.nonEmpty && currentBytes + b.getCompressedSize > splitSizeBytes) {
-        groups += current; current = Vector.empty; currentBytes = 0L
+    var sid = 0
+    partFiles(table).flatMap { file =>
+      val blocks = footerOf(file).getBlocks.asScala.toSeq
+      // greedily pack consecutive row groups into ≤ splitSizeBytes
+      // splits; splits never span files (byte ranges are per-file)
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+      var current = Vector.empty[Int]
+      var currentBytes = 0L
+      blocks.zipWithIndex.foreach { case (b, i) =>
+        if (current.nonEmpty && currentBytes + b.getCompressedSize > splitSizeBytes) {
+          groups += current; current = Vector.empty; currentBytes = 0L
+        }
+        current = current :+ i
+        currentBytes += b.getCompressedSize
       }
-      current = current :+ i
-      currentBytes += b.getCompressedSize
+      if (current.nonEmpty) groups += current
+      groups.map { rgs =>
+        val bs = rgs.map(blocks(_))
+        sid += 1
+        SplitInfo(
+          endpoint = s"local://$file",
+          queryId = queryId,
+          producerId = "graft-local",
+          query = sql,
+          queryChecksum = checksum,
+          splitId = sid - 1,
+          rowGroups = rgs,
+          startByte = bs.map(_.getStartingPos).min,
+          endByte = bs.map(b => b.getStartingPos + b.getCompressedSize).max,
+          rowCount = bs.map(_.getRowCount).sum)
+      }.toSeq
     }
-    if (current.nonEmpty) groups += current
-    groups.zipWithIndex.map { case (rgs, sid) =>
-      val bs = rgs.map(blocks(_))
-      SplitInfo(
-        endpoint = s"local://${path(table)}",
-        queryId = queryId,
-        producerId = "graft-local",
-        query = sql,
-        queryChecksum = checksum,
-        splitId = sid,
-        rowGroups = rgs,
-        startByte = bs.map(_.getStartingPos).min,
-        endByte = bs.map(b => b.getStartingPos + b.getCompressedSize).max,
-        rowCount = bs.map(_.getRowCount).sum)
-    }.toSeq
   }
 
   // ------------------------------------------------------------- scan
@@ -123,7 +148,10 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
     * parquet layer itself. The third element closes the underlying
     * parquet reader (idempotent — exhaustion also triggers it). */
   private def readRows(split: SplitInfo, query: QuerySpec): (Iterator[InternalRow], StructType, () => Unit) = {
-    val fs = fileSchema(query.table)
+    // the split locator carries the part file it covers (splits never
+    // span files); the schema is per-file but uniform across the table
+    val file = new Path(split.endpoint.stripPrefix("local://"))
+    val fs = fileSchema(file)
     val projected: MessageType =
       if (query.requiredColumns.isEmpty) Types.buildMessage().named(fs.getName)
       else {
@@ -136,7 +164,7 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
     val conf = new Configuration(hadoopConf)
     if (query.requiredColumns.nonEmpty)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
-    var builder = ParquetReader.builder(new GroupReadSupport(), path(query.table))
+    var builder = ParquetReader.builder(new GroupReadSupport(), file)
       .withConf(conf)
       .withFileRange(split.startByte, split.endByte)
     ParquetFilters.translate(query.filters, fs)

@@ -100,6 +100,28 @@ class GraftArrowSpec extends SparkSpec {
     assert(viaSource.count() === plain("lineitem").count())
   }
 
+  test("multi-file table: a directory of part files scans as one table with per-file splits") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-multi").toString
+    // the realistic at-scale layout: <table>.parquet/ is a directory
+    plain("documents").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val endpoint = new LocalParquetEndpoint(tmp)
+    val plan = endpoint.plan("documents",
+      QuerySpec("documents", Array("doc_id"), Array.empty), 128L * 1024 * 1024)
+    assert(plan.length === 4, s"one split per part file, got ${plan.length}")
+    assert(plan.map(_.endpoint).distinct.length === 4, "splits carry per-file locators")
+    assert(plan.map(_.splitId).toSet === (0 until 4).toSet)
+    val a = GraftArrow.read(spark, tmp, "documents")
+    val p = plain("documents")
+    assert(a.count() === p.count())
+    assert(a.exceptAll(p).count() === 0 && p.exceptAll(a).count() === 0)
+    // pushdowns still reach each part file; agg partials merge across files
+    assert(a.filter(col("lang") === "en").count() ===
+      p.filter(col("lang") === "en").count())
+    assert(a.agg(sum(col("n_chars")), count(lit(1))).head ===
+      p.agg(sum(col("n_chars")), count(lit(1))).head)
+  }
+
   test("dd_splits surface (A6)") {
     val s = GraftArrow.splits(spark, dir, "lineitem")
     val row = s.head()
