@@ -38,9 +38,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def endpoint = new LocalParquetEndpoint(dir)
 
+  // a table is a single parquet file OR a directory of part files
+  // (LocalParquetEndpoint.partFiles)
   private def tableNames: Seq[String] =
     new java.io.File(dir).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filter(_.getName.endsWith(".parquet"))
       .map(_.getName.stripSuffix(".parquet")).toSeq.sorted
 
   override def listTables(namespace: Array[String]): Array[Identifier] =

@@ -470,8 +470,11 @@ object PartialAgg {
           else types(i) match {
             case LongType | IntegerType | ShortType | ByteType => sumsL(i)
             case d: DecimalType =>
+              // overflow of the widened precision → null, matching
+              // Spark's non-ANSI decimal SUM, instead of throwing
               val ot = outputType("sum", d).asInstanceOf[DecimalType]
-              Decimal(sumsB(i), ot.precision, ot.scale)
+              val dec = Decimal(sumsB(i))
+              if (dec.changePrecision(ot.precision, ot.scale)) dec else null
             case _ => sumsD(i)
           }
         case "min" => mins(i)

@@ -120,6 +120,11 @@ class GraftArrowSpec extends SparkSpec {
       p.filter(col("lang") === "en").count())
     assert(a.agg(sum(col("n_chars")), count(lit(1))).head ===
       p.agg(sum(col("n_chars")), count(lit(1))).head)
+    // and the SQL catalog lists + reads directory tables
+    spark.conf.set("spark.sql.catalog.graft_multi", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_multi.dir", tmp)
+    assert(spark.sql("SELECT count(*) FROM graft_multi.documents").head.getLong(0)
+      === p.count())
   }
 
   test("dd_splits surface (A6)") {
