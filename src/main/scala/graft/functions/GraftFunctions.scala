@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft._
 
@@ -35,39 +35,45 @@ object GraftFunctions {
     toCol(DdLogin(ex(url), ex(user), ex(pass), ex(claims)))
   def dd_version(): Column = lit(Version)
 
-  /** Register the dd_* functions in the session's FunctionRegistry so they
-    * are callable from SQL, matching the reference's SQL surface. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dd_bloom_filter_create", {
+  /** name → expression builder — ONE table shared by per-session
+    * registration ([[register]]) and cluster-wide injection
+    * ([[graft.GraftExtensions]] via spark.sql.extensions). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "dd_bloom_filter_create" -> {
       case Seq(a) => new BloomFilterCreate(a)
       case Seq(a, b) => new BloomFilterCreate(a, b)
       case Seq(a, b, c) => BloomFilterCreate(a, b, c)
       case args => throw new IllegalArgumentException(
         s"dd_bloom_filter_create expects 1-3 args, got ${args.size}")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("dd_bloom_filter_contains",
-      { args => BloomFilterContains(args(0), args(1)) }, "scala_udf")
-    reg.createOrReplaceTempFunction("dd_bloom_filter_contains_all",
-      { args => BloomFilterContainsAll(args(0), args(1)) }, "scala_udf")
-    reg.createOrReplaceTempFunction("dd_array_contains_all", {
+    },
+    "dd_bloom_filter_contains" ->
+      { args => BloomFilterContains(args(0), args(1)) },
+    "dd_bloom_filter_contains_all" ->
+      { args => BloomFilterContainsAll(args(0), args(1)) },
+    "dd_array_contains_all" -> {
       case Seq(h, n) => new ArrayContainsAll(h, n)
       case Seq(h, n, b) => ArrayContainsAll(h, n, b)
       case args => throw new IllegalArgumentException(
         s"dd_array_contains_all expects 2-3 args, got ${args.size}")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("dd_search",
-      { args => DdSearch(args(0), args(1)) }, "scala_udf")
-    reg.createOrReplaceTempFunction("dd_login", {
+    },
+    "dd_search" -> { args => DdSearch(args(0), args(1)) },
+    "dd_login" -> {
       case Seq(u, usr, pw) => new DdLogin(u, usr, pw)
       case Seq(u, usr, pw, c) => DdLogin(u, usr, pw, c)
       case args => throw new IllegalArgumentException(
         s"dd_login expects 3-4 args, got ${args.size}")
-    }, "scala_udf")
-    reg.createOrReplaceTempFunction("dd_version",
-      { _ => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(Version)) }, "scala_udf")
+    },
+    "dd_version" ->
+      { _ => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(Version)) },
     // graft-native additions beyond the reference surface
-    reg.createOrReplaceTempFunction("graft_poly_fingerprint",
-      { args => new PolyFingerprint(args.head) }, "scala_udf")
+    "graft_poly_fingerprint" -> { args => new PolyFingerprint(args.head) })
+
+  /** Register the dd_* functions in the session's FunctionRegistry so they
+    * are callable from SQL, matching the reference's SQL surface. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

@@ -16,6 +16,12 @@ class DdFunctionsSpec extends SparkSpec {
 
   private def one(sql: String): Any = spark.sql(s"SELECT $sql").head.get(0)
 
+  test("GraftExtensions injects the full function surface at session build") {
+    val names = org.apache.spark.sql.graft.ExtensionProbe
+      .injectedFunctionNames(new graft.GraftExtensions)
+    assert(GraftFunctions.builders.map(_._1).toSet.subsetOf(names))
+  }
+
   // ------------------------------------------------- bloom_filter.test
   test("bloom create returns non-empty blob") {
     assert(one("octet_length(dd_bloom_filter_create(array('a','b','c'))) > 0") === true)
