@@ -340,10 +340,14 @@ object Dedup {
     // computation consume them — without this the whole minhash lineage
     // re-executes per reference
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
-    val nPairs = pairs.count()
-    val small = nPairs <= BroadcastPairLimit
+    // size gate and fast-path input in ONE action: collect at most
+    // limit+1 rows — if the limit+1'th exists the graph is too big for
+    // the driver and the distributed loop takes over (the oversized
+    // collect is bounded: limit+1 rows of two longs ≈ 64 MB)
+    val probe = pairs.limit(BroadcastPairLimit.toInt + 1).collect()
+    val small = probe.length <= BroadcastPairLimit
     val labels: DataFrame =
-      if (small) broadcastComponents(spark, pairs)
+      if (small) broadcastComponents(spark, probe)
       else propagateComponents(spark, pairs)
     // every doc outside the pair graph is trivially its own canonical
     // singleton — a left join against the label map. The broadcast hint
@@ -362,7 +366,11 @@ object Dedup {
 
   /** Fast path: union-find over the collected pair list (exact, one
     * job). Only reachable under [[BroadcastPairLimit]]. */
-  private[operators] def broadcastComponents(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  private[operators] def broadcastComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
+    broadcastComponents(spark, pairs.collect())
+
+  private[operators] def broadcastComponents(spark: SparkSession,
+                                             collected: Array[org.apache.spark.sql.Row]): DataFrame = {
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -371,7 +379,7 @@ object Dedup {
       while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    pairs.collect().foreach { row =>
+    collected.foreach { row =>
       val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
       // record both endpoints (roots included — the label map must
       // cover every pair-graph vertex, not just the demoted ones)
