@@ -357,6 +357,74 @@ object Olap {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- B11
+  /** Ordered-set aggregates: exact interpolated quantiles + a
+    * deterministic variance. Quantiles are DYADIC (.25/.5/.75) over the
+    * integer-valued quantity column, so the interpolation
+    * `lo + g·(hi−lo)` is exact in both engines regardless of formula
+    * shape (g and the values are dyadic — no rounding anywhere);
+    * variance comes from exact decimal Σx/Σx² so it is
+    * partial-order-independent, unlike a streaming Welford stddev.
+    *
+    * Scale note: EXACT percentile buffers each group's values (fine
+    * here — 3 group keys × bounded-cardinality ints, and Spark's
+    * buffer is a value→count map so it is O(distinct), not O(rows));
+    * for high-cardinality value domains at 100 TB the right tool is
+    * approx_percentile (t-digest), which this entry deliberately does
+    * not oracle because sketch algorithms differ across engines. */
+  def q11Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
+        count(lit(1)).as("n"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sx"),
+        sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).cast("double").as("sxx"))
+      .select(
+        col("l_returnflag"),
+        element_at(col("qs"), 1).as("q25"),
+        element_at(col("qs"), 2).as("median"),
+        element_at(col("qs"), 3).as("q75"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_qty"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q11Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.5) AS median,
+      |  quantile_cont(l_quantity, 0.75) AS q75,
+      |  (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+      |  / (COUNT(*) - 1) AS var_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- B12
+  /** Multi-dimensional aggregation: ROLLUP over (returnflag,
+    * linestatus) — subtotal and grand-total rows with NULL group
+    * markers, matching SQL ROLLUP on both engines. */
+  def q12Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("total_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** queries + oracles for SparkEntry registration. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -368,7 +436,9 @@ object Olap {
     "q7_window_rank" -> q7WindowRank _,
     "q8_distinct" -> q8Distinct _,
     "q9_top_suppliers" -> q9TopSuppliers _,
-    "q10_returned_items" -> q10ReturnedItems _)
+    "q10_returned_items" -> q10ReturnedItems _,
+    "q11_quantiles" -> q11Quantiles _,
+    "q12_rollup" -> q12Rollup _)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -380,5 +450,7 @@ object Olap {
     "q7_window_rank" -> q7Sql,
     "q8_distinct" -> q8Sql,
     "q9_top_suppliers" -> q9Sql,
-    "q10_returned_items" -> q10Sql)
+    "q10_returned_items" -> q10Sql,
+    "q11_quantiles" -> q11Sql,
+    "q12_rollup" -> q12Sql)
 }
