@@ -105,6 +105,9 @@ object Dedup {
     // magnitude without changing any result.
     val hotGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select(col("gram"))
+    // no persist on pruned: both self-join sides are identical
+    // subplans and ReuseExchange shares the materialized shuffle —
+    // measured equal to an explicit cache without the write overhead
     val pruned = grams.join(hotGrams, Seq("gram"), "left_semi")
     val shared = pruned.as("a")
       .join(pruned.as("b"),
