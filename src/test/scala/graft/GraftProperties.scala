@@ -1,0 +1,112 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.PolyFingerprint
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{BloomBlob, Jwt, TopKAgg}
+
+/** Property-based invariants for the pure-JVM kernels — the parts whose
+  * bugs would not surface as a plan error but as silently-wrong data:
+  * the bloom codec (a false negative breaks the prefilter+reverify
+  * oracle-equality argument), the fingerprint fold, JWT auth, and the
+  * top-k partial aggregate (merge must be split-invariant or results
+  * depend on partitioning). */
+object GraftProperties extends Properties("graft") {
+
+  // ---------------------------------------------------------- BloomBlob
+  property("bloom: inserted elements are never reported absent") =
+    forAll(Gen.listOf(Gen.asciiPrintableStr), Gen.choose(1, 32), Gen.choose(1, 8)) {
+      (items, bpe, k) =>
+        val blob = BloomBlob.create(
+          items.map(_.getBytes("UTF-8")), items.size, bpe, k)
+        items.forall(s =>
+          BloomBlob.mayContain(blob, UTF8String.fromString(s)).contains(true))
+    }
+
+  property("bloom: malformed blobs yield None, never a crash or a verdict") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bytes =>
+      val r = BloomBlob.mayContain(bytes.toArray, UTF8String.fromString("x"))
+      // a random blob only parses if it happens to start with the magic
+      // AND carries a plausible length; verdicts are allowed then
+      r.isEmpty || bytes.length >= BloomBlob.HeaderBytes
+    }
+
+  // ----------------------------------------------------- PolyFingerprint
+  private def naivePoly(s: String, base: Long, mod: Long): Long = {
+    val cps = s.codePoints().toArray
+    cps.tail.foldLeft(BigInt(cps.head)) { (acc, cp) =>
+      (acc * base + cp) % mod
+    }.toLong
+  }
+
+  property("fingerprint: fold equals the BigInt reference implementation") =
+    forAll(Gen.resize(200, Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('的', '是', ' ', '!', 'ß', 'é')))).map(_.mkString)) { s =>
+      s.isEmpty || PolyFingerprint.hash(s, 31L, 1000000007L) == naivePoly(s, 31L, 1000000007L)
+    }
+
+  property("fingerprint: empty maps to the NULL sentinel") =
+    PolyFingerprint.hash("", 31L, 1000000007L) == -1L
+
+  // ------------------------------------------------------------- Jwt
+  private val claimStr = Gen.resize(12, Gen.alphaNumStr)
+  // "c_" prefix keeps generated claim keys disjoint from the top-level
+  // payload fields (sub/iat/exp/claims) that field() would find first
+  private val claimKey = claimStr.map("c_" + _)
+  property("jwt: mint→verify roundtrip preserves subject and claims") =
+    forAll(claimStr, Gen.listOf(Gen.zip(claimKey, claimStr)), Gen.choose(0L, 4000000000L)) {
+      (sub, claims, now) =>
+        val distinctClaims = claims.toMap.toSeq
+        val tok = Jwt.mint(sub, distinctClaims, "secret", now)
+        val payload = Jwt.verify(tok, "secret", now + 3599)
+        payload.isDefined &&
+          Jwt.field(payload.get, "sub").contains(sub) &&
+          distinctClaims.forall { case (k, v) =>
+            Jwt.field(payload.get, k).contains(v)
+          }
+    }
+
+  property("jwt: expired or wrong-secret tokens never verify") =
+    forAll(claimStr, Gen.choose(0L, 4000000000L)) { (sub, now) =>
+      val tok = Jwt.mint(sub, Seq.empty, "secret", now)
+      Jwt.verify(tok, "secret", now + 3601).isEmpty &&
+        Jwt.verify(tok, "other-secret", now).isEmpty
+    }
+
+  // ---------------------------------------------------------- TopKAgg
+  private val scoredIds =
+    Gen.listOf(Gen.zip(Gen.chooseNum(-1e6, 1e6), Gen.choose(0L, 1000L)))
+
+  /** eval(merge of per-split partials) must equal the global sorted
+    * top-k regardless of how the input is split — the partial-shuffle
+    * correctness contract. */
+  property("topk: split-invariant and equal to sort-take-k") =
+    forAll(scoredIds, Gen.choose(1, 8), Gen.choose(1, 5)) { (rows, k, nSplits) =>
+      val agg = TopKAgg(
+        BoundReference(0, DoubleType, nullable = false),
+        BoundReference(1, LongType, nullable = false), k)
+      val splits = rows.grouped(math.max(1, (rows.size + nSplits - 1) / nSplits)).toSeq
+      val partials = splits.map { part =>
+        part.foldLeft(agg.createAggregationBuffer()) { (buf, r) =>
+          agg.update(buf, InternalRow(r._1, r._2))
+        }
+      }
+      val merged = partials.foldLeft(agg.createAggregationBuffer())(agg.merge)
+      // serialize/deserialize roundtrip must not change the result
+      val viaWire = agg.deserialize(agg.serialize(merged))
+      val got = agg.eval(viaWire).asInstanceOf[ArrayData]
+      val sorted = rows.sortWith((a, b) =>
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)).take(k)
+      val gotPairs = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getDouble(0), r.getLong(1))
+      }
+      gotPairs == sorted
+    }
+}
