@@ -227,10 +227,9 @@ object Dedup {
         shiftright(col("simhash"), 45).bitwiseAND((1L << 15) - 1).as("band3"))
   }
 
-  val simhashSql: String = {
-    val bandSel = (0 until 4)
-      .map(i => s"CAST((simhash >> ${i * 15}) & ${(1L << 15) - 1} AS BIGINT) AS band$i")
-      .mkString(",\n  ")
+  /** Shared CTEs computing (doc_id, simhash) — consumed by the per-doc
+    * signature oracle and the pair-extraction oracle. */
+  private val simhashCtes: String =
     s"""WITH t AS (SELECT doc_id,
        |  list_transform(string_split(text, ' '),
        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS th
@@ -239,11 +238,55 @@ object Dedup {
        |  b -> CASE WHEN list_sum(list_transform(th,
        |         h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
        |       THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-       |FROM t)
+       |FROM t)""".stripMargin
+
+  val simhashSql: String = {
+    val bandSel = (0 until 4)
+      .map(i => s"CAST((simhash >> ${i * 15}) & ${(1L << 15) - 1} AS BIGINT) AS band$i")
+      .mkString(",\n  ")
+    s"""$simhashCtes
        |SELECT doc_id, simhash,
        |  $bandSel
        |FROM s""".stripMargin
   }
+
+  /** SimHash near-dup PAIRS — the usable output of C3: candidate pairs
+    * from a band equi-join (docs sharing any of the four 15-bit bands),
+    * then exact hamming verification at ≤ 3. Recall is EXACTLY 1 by
+    * pigeonhole (≤3 differing bits cannot touch all 4 bands), so the
+    * result equals the brute-force all-pairs hamming join — which is
+    * the oracle — while the plan never compares all pairs. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val s = simhash(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // band ordinal folded into a long key, like the minhash bands
+    val bands = s.select(col("doc_id"), col("simhash"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => xxhash64(b, call_function("shiftright", col("simhash"), b * 15)
+          .bitwiseAND((1L << 15) - 1)))).as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Oracle: ground-truth all-pairs hamming join (exact because banded
+    * recall is 1 at distance ≤ 3). */
+  val simhashPairsSql: String =
+    s"""$simhashCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- C5
   private val EmbPlanes = 32
@@ -467,6 +510,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
+    "dedup_simhash_pairs" -> simhashPairs _,
     "dedup_embedding" -> embeddingDedup _)
 
   val oracles: Map[String, String] = Map(
@@ -475,5 +519,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_embedding" -> embeddingDedupSql)
 }

@@ -51,6 +51,20 @@ class DedupSpec extends SparkSpec {
       s"band recall $bandNear/${pairs.length}")
   }
 
+  test("simhash pairs: banded extraction equals brute-force hamming<=3, no cartesian") {
+    val banded = Dedup.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sim = Dedup.simhash(spark, dir).select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sim; (b, sb) <- sim if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded === brute)
+    val plan = Dedup.simhashPairs(spark, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("cluster assignment is transitive and canonical-per-component") {
     import spark.implicits._
     // doc 1 ~ doc 2 ~ doc 3 (chain; 1 and 3 differ more) + isolated doc 4
