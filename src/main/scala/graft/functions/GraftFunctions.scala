@@ -66,7 +66,11 @@ object GraftFunctions {
     "dd_version" ->
       { _ => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(Version)) },
     // graft-native additions beyond the reference surface
-    "graft_poly_fingerprint" -> { args => new PolyFingerprint(args.head) })
+    "graft_poly_fingerprint" -> {
+      case Seq(a) => new PolyFingerprint(a)
+      case args => throw new IllegalArgumentException(
+        s"graft_poly_fingerprint expects 1 arg, got ${args.size}")
+    })
 
   /** Register the dd_* functions in the session's FunctionRegistry so they
     * are callable from SQL, matching the reference's SQL surface. */

@@ -119,11 +119,18 @@ object GraftAuth {
   def resolveCall(url: String): Option[(AuthProvider, Long)] = {
     val qIdx = url.indexOf('?')
     val base = if (qIdx < 0) url else url.substring(0, qIdx)
-    val pinned =
+    val clockParam =
       if (qIdx < 0) None
       else url.substring(qIdx + 1).split('&').collectFirst {
-        case p if p.startsWith("clock=") => p.stripPrefix("clock=").toLong
+        case p if p.startsWith("clock=") =>
+          // malformed pin → failed resolution (NULL login), never a
+          // thrown NumberFormatException out of dd_login, and never a
+          // silent fallback to the real clock
+          scala.util.Try(p.stripPrefix("clock=").toLong).toOption
       }
-    providers.get(base).map(p => (p, pinned.getOrElse(nowSec())))
+    clockParam match {
+      case Some(None) => None // clock= present but unparseable
+      case pin => providers.get(base).map(p => (p, pin.flatten.getOrElse(nowSec())))
+    }
   }
 }

@@ -44,7 +44,12 @@ object Ann {
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
 
-  /** Explode an array<struct<score,id>> top-k result into ranked rows. */
+  /** Explode an array<struct<score,id>> top-k result into ranked rows.
+    * The cosine is emitted RAW: it is the quotient of identically-
+    * derived doubles on both engines (bit-identical), while a final
+    * round(double, 6) is cross-engine unstable (the r2 avg_quality
+    * lesson — Spark rounds the exact binary expansion, DuckDB scaled
+    * float math). */
   private def rankRows(grouped: DataFrame): DataFrame =
     grouped
       .select(col("q_id"), posexplode(col("topk")))
@@ -52,7 +57,7 @@ object Ann {
         col("q_id"),
         (col("pos") + 1).cast("long").as("nn_rank"),
         col("col.id").as("vec_id"),
-        round(col("col.score"), 6).as("cosine"))
+        col("col.score").as("cosine"))
       .orderBy(col("q_id"), col("nn_rank"))
 
   // ---------------------------------------------------------------- C6
@@ -79,7 +84,7 @@ object Ann {
        |    list_inner_product(q.qe, v.e) /
        |      (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(v.e, v.e))) AS cos
        |  FROM q CROSS JOIN v WHERE v.vec_id <> q.q_id)
-       |SELECT q_id, nn_rank, vec_id, round(cos, 6) AS cosine FROM (
+       |SELECT q_id, nn_rank, vec_id, cos AS cosine FROM (
        |  SELECT q_id, vec_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
        |  FROM scored)
@@ -138,7 +143,7 @@ object Ann {
        |      (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(s.e, s.e))) AS cos
        |  FROM q CROSS JOIN s
        |  WHERE s.vec_id <> q.q_id AND ($bandMatch))
-       |SELECT q_id, nn_rank, vec_id, round(cos, 6) AS cosine FROM (
+       |SELECT q_id, nn_rank, vec_id, cos AS cosine FROM (
        |  SELECT q_id, vec_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
        |  FROM scored)
@@ -222,7 +227,7 @@ object Ann {
        |    list_inner_product(p.qe, a.e) /
        |      (sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(a.e, a.e))) AS cos
        |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id <> p.q_id)
-       |SELECT q_id, nn_rank, vec_id, round(cos, 6) AS cosine FROM (
+       |SELECT q_id, nn_rank, vec_id, cos AS cosine FROM (
        |  SELECT q_id, vec_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
        |  FROM scored)

@@ -60,7 +60,7 @@ object Dedup {
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM (
+       |SELECT doc_a, doc_b, jacc AS jaccard FROM (
        |  SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jacc
        |  FROM shared JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id)
        |WHERE jacc >= $threshold
@@ -119,7 +119,7 @@ object Dedup {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jacc", col("c") / (col("sa.n") + col("sb.n") - col("c")))
       .filter(col("jacc") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jacc").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -190,7 +190,7 @@ object Dedup {
         size(array_intersect(col("sa.shingles"), col("sb.shingles"))) /
         size(array_union(col("sa.shingles"), col("sb.shingles"))))
       .filter(col("jacc") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), round(col("jacc"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("jacc").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -353,15 +353,15 @@ object Dedup {
         dot(col("ea"), col("eb")) /
           (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
       .filter(col("cos") >= CosineThreshold)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+      .select(col("vec_a"), col("vec_b"), col("cos").as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val embeddingDedupSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  round(list_inner_product(a.e, b.e) /
-       |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) AS cosine
+       |  list_inner_product(a.e, b.e) /
+       |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cosine
        |FROM v a JOIN v b ON a.vec_id < b.vec_id
        |WHERE list_inner_product(a.e, b.e) /
        |      (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= $CosineThreshold
@@ -456,6 +456,7 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .cache()
+    var cached = labels // the DataFrame whose plan is actually cached
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -472,7 +473,12 @@ object Dedup {
           min(when(col("self"), col("cluster_id"))).as("old"))
         .cache()
       changed = next.filter(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
+      // unpersist the frame that was actually cached: from round 2 on,
+      // `labels` is a Project over the cached aggregate, and
+      // Project.unpersist would find no matching cache entry (leaking
+      // one full label table per round on the scale path)
+      cached.unpersist()
+      cached = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       rounds += 1
     }

@@ -52,12 +52,16 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
   private def partFiles(table: String): Seq[Path] = {
     val p = tablePath(table)
     val fs = p.getFileSystem(hadoopConf)
-    if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).toSeq.map(_.getPath)
+    if (fs.getFileStatus(p).isDirectory) {
+      val parts = fs.listStatus(p).toSeq.map(_.getPath)
         .filter(f => f.getName.endsWith(".parquet") &&
           !f.getName.startsWith("_") && !f.getName.startsWith("."))
         .sortBy(_.getName.toString)
-    else Seq(p)
+      require(parts.nonEmpty,
+        s"graft-arrow: table '$table' at $p is a directory with no part files" +
+          " (aborted write?)")
+      parts
+    } else Seq(p)
   }
 
   private def footerOf(file: Path) = {

@@ -11,22 +11,6 @@ import org.apache.spark.sql.types.StructType
   * reference streams over HTTP. Backed by Spark's own ArrowConverters
   * (private[sql], hence this file's package) so the vector encoding is
   * identical to what Spark uses for its Arrow interchange surfaces. */
-/** Applies a SparkSessionExtensions configurator to a scratch
-  * FunctionRegistry (registerFunctions is private[sql]) so specs can
-  * assert what `spark.sql.extensions=graft.GraftExtensions` would
-  * register at session build. */
-object ExtensionProbe {
-  def injectedFunctionNames(
-      configure: org.apache.spark.sql.SparkSessionExtensions => Unit): Set[String] = {
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    configure(ext)
-    val reg = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
-    val before = reg.listFunction().toSet
-    ext.registerFunctions(reg)
-    (reg.listFunction().toSet -- before).map(_.funcName)
-  }
-}
-
 object ArrowBridge {
   val MaxRecordsPerBatch = 8192L
 
