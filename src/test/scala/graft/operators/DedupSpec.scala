@@ -95,6 +95,27 @@ class DedupSpec extends SparkSpec {
     assert(fast === dist)
   }
 
+  test("exact dedup is skew-proof: one hot text collapses map-side") {
+    import spark.implicits._
+    // pathological duplicate mass: one text with 100k copies among
+    // 50k distincts — the hot md5 key must collapse in partial
+    // aggregation (each map task ships ONE row per hash), not melt a
+    // single reducer
+    val hot = (1L to 100000L).map(i => (i, "the same hot document text"))
+    val uniq = (200001L to 250000L).map(i => (i, s"unique text $i"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    (hot ++ uniq).toDF("doc_id", "text")
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val res = Dedup.exact(spark, tmp)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_"), "map-side combine expected")
+    val rows = res.collect()
+    assert(rows.length === 50001)
+    val hotRow = rows.find(_.getLong(2) == 100000L).get
+    assert(hotRow.getLong(1) === 1L, "keep-first = min doc_id of the hot cluster")
+  }
+
   test("exact dedup groups identical texts") {
     import spark.implicits._
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")

@@ -125,6 +125,14 @@ class GraftArrowSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.graft_multi.dir", tmp)
     assert(spark.sql("SELECT count(*) FROM graft_multi.documents").head.getLong(0)
       === p.count())
+    // streaming over a directory table: every per-file split delivered
+    // exactly once
+    val stream = spark.readStream.format("graft-arrow")
+      .option("dir", tmp).option("table", "documents").load()
+    val name = s"arrow_multi_stream_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table(name).count() === p.count())
   }
 
   test("dd_splits surface (A6)") {
