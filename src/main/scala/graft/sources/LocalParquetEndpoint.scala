@@ -196,8 +196,14 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
 
 /** Spark [[Filter]] → parquet [[FilterPredicate]]. Conservative: only
   * types with unambiguous value mapping are translated (int32/int64/
-  * float/double/string); everything else stays a Spark-side filter.
-  * Record-level semantics of the translated subset are exact. */
+  * float/double/string/timestamp); everything else stays a Spark-side
+  * filter. Record-level semantics of the translated subset are exact.
+  *
+  * Timestamps matter most at scale: time ranges are the dominant
+  * pruning predicate of a 100 TB log/fact table, and translating them
+  * lets the parquet layer skip row groups on min/max stats instead of
+  * shipping every row for Spark to re-filter. Values are rescaled to
+  * the column's physical unit (nanos/micros/millis). */
 object ParquetFilters {
   def translate(filters: Array[Filter], schema: MessageType): Option[FilterPredicate] = {
     val ps = filters.flatMap(one(_, schema))
@@ -210,10 +216,35 @@ object ParquetFilters {
     if (!schema.containsField(name)) return None
     schema.getType(schema.getFieldIndex(name)) match {
       case p: PrimitiveType if p.getLogicalTypeAnnotation == null ||
-        p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
+        (p.getPrimitiveTypeName == INT64 &&
+          p.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation]) =>
         Some(p)
       case _ => None
     }
+  }
+
+  /** Session TZ is UTC engine-wide (Tables/Bench/Verify), so NTZ
+    * LocalDateTime values convert at UTC. Returns the value in the
+    * COLUMN's unit. */
+  private def toEpoch(v: Any, ann: TimestampLogicalTypeAnnotation): Option[java.lang.Long] = {
+    val micros: Option[Long] = v match {
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case t: java.sql.Timestamp =>
+        val i = t.toInstant
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case ldt: java.time.LocalDateTime =>
+        Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
+      case _ => None
+    }
+    micros.map { us =>
+      ann.getUnit match {
+        case LogicalTypeAnnotation.TimeUnit.NANOS => us * 1000L
+        case LogicalTypeAnnotation.TimeUnit.MICROS => us
+        case LogicalTypeAnnotation.TimeUnit.MILLIS => us / 1000L
+      }
+    }.map(java.lang.Long.valueOf)
   }
 
   private def one(f: Filter, schema: MessageType): Option[FilterPredicate] = f match {
@@ -238,12 +269,17 @@ object ParquetFilters {
         (p.getPrimitiveTypeName, op) match {
           case (INT64, _) =>
             val c = FilterApi.longColumn(name)
-            val x = java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
-            Some(op match {
-              case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
-              case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
-              case "ltEq" => FilterApi.ltEq(c, x)
-            })
+            val xOpt = p.getLogicalTypeAnnotation match {
+              case ts: TimestampLogicalTypeAnnotation => toEpoch(v, ts)
+              case _ => Some(java.lang.Long.valueOf(v.asInstanceOf[Number].longValue()))
+            }
+            xOpt.map { x =>
+              op match {
+                case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
+                case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
+                case "ltEq" => FilterApi.ltEq(c, x)
+              }
+            }
           case (INT32, _) =>
             val c = FilterApi.intColumn(name)
             val x = java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())

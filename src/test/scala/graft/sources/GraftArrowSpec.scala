@@ -58,6 +58,38 @@ class GraftArrowSpec extends SparkSpec {
       s"pushed filter should appear in scan description:\n$desc")
   }
 
+  test("timestamp filters translate to parquet predicates (micros and nanos)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.sources.GreaterThanOrEqual
+    // the time range is THE pruning predicate at scale — it must reach
+    // the parquet layer (row-group stats skipping), not just Spark's
+    // local re-filter
+    def schemaOf(table: String) = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$table.parquet"), new Configuration()))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    assert(ParquetFilters.translatable(
+      GreaterThanOrEqual("l_shipdate", java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+      schemaOf("lineitem")), "micros timestamp filter must translate")
+    assert(ParquetFilters.translatable(
+      GreaterThanOrEqual("ts", java.time.LocalDateTime.of(2024, 1, 1, 0, 0)),
+      schemaOf("events")), "nanos timestamp filter must translate")
+    // correctness through the source, micros column
+    val cut = lit("1996-06-01").cast("timestamp")
+    assert(arrow("lineitem").filter(col("l_shipdate") >= cut).count() ===
+      plain("lineitem").filter(col("l_shipdate") >= cut).count())
+    // nanos column (events is graft-arrow-only): range filter vs manual
+    val ev = arrow("events").select(col("event_id"), col("ts"))
+    val evCut = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0).minusDays(1)
+    val filtered = ev.filter(col("ts") > lit(evCut)).count()
+    val expected = ev.collect()
+      .count(_.getAs[java.time.LocalDateTime]("ts").isAfter(evCut))
+    assert(filtered === expected && filtered > 0)
+  }
+
   test("string and in-list filters push and stay exact") {
     val a = arrow("documents").filter(col("lang").isin("en", "fr") && col("n_chars") > 100)
     val p = plain("documents").filter(col("lang").isin("en", "fr") && col("n_chars") > 100)
