@@ -215,14 +215,26 @@ object ParquetFilters {
   private def primitive(schema: MessageType, name: String): Option[PrimitiveType] = {
     if (!schema.containsField(name)) return None
     schema.getType(schema.getFieldIndex(name)) match {
-      case p: PrimitiveType if p.getLogicalTypeAnnotation == null ||
-        p.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] ||
-        (p.getPrimitiveTypeName == INT64 &&
-          p.getLogicalTypeAnnotation.isInstanceOf[TimestampLogicalTypeAnnotation]) =>
-        Some(p)
+      case p: PrimitiveType if translatableAnnotation(p) => Some(p)
       case _ => None
     }
   }
+
+  /** Annotations whose value ordering matches the physical column's
+    * (so FilterApi comparisons are exact): none, string, timestamp
+    * (INT64, unit rescaled), date (INT32 epoch-day), signed ints.
+    * Unsigned ints and decimals stay Spark-side. */
+  private def translatableAnnotation(p: PrimitiveType): Boolean =
+    p.getLogicalTypeAnnotation match {
+      case null => true
+      case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+      case _: TimestampLogicalTypeAnnotation => p.getPrimitiveTypeName == INT64
+      case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+        p.getPrimitiveTypeName == INT32
+      case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+        p.getPrimitiveTypeName == INT32 && i.isSigned
+      case _ => false
+    }
 
   /** Session TZ is UTC engine-wide (Tables/Bench/Verify), so NTZ
     * LocalDateTime values convert at UTC. Returns the value in the
@@ -282,12 +294,22 @@ object ParquetFilters {
             }
           case (INT32, _) =>
             val c = FilterApi.intColumn(name)
-            val x = java.lang.Integer.valueOf(v.asInstanceOf[Number].intValue())
-            Some(op match {
-              case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
-              case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
-              case "ltEq" => FilterApi.ltEq(c, x)
-            })
+            val xOpt: Option[java.lang.Integer] = v match {
+              case n: Number => Some(java.lang.Integer.valueOf(n.intValue()))
+              // DATE columns: Spark hands LocalDate / java.sql.Date
+              case d: java.time.LocalDate =>
+                Some(java.lang.Integer.valueOf(d.toEpochDay.toInt))
+              case d: java.sql.Date =>
+                Some(java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt))
+              case _ => None
+            }
+            xOpt.map { x =>
+              op match {
+                case "eq" => FilterApi.eq(c, x); case "gt" => FilterApi.gt(c, x)
+                case "gtEq" => FilterApi.gtEq(c, x); case "lt" => FilterApi.lt(c, x)
+                case "ltEq" => FilterApi.ltEq(c, x)
+              }
+            }
           case (DOUBLE, _) =>
             val c = FilterApi.doubleColumn(name)
             val x = java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())

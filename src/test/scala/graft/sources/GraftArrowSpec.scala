@@ -258,6 +258,12 @@ class GraftArrowSpec extends SparkSpec {
       min(col("date_col")), max(col("str_col")),
       min(col("bool_col")), max(col("dec_big"))).head
     assert(agg.head === exp)
+    // date and small-int range filters translate and stay exact
+    val dcut = lit("2024-01-01").cast("date")
+    assert(a.filter(col("date_col") >= dcut).count() ===
+      p.filter(col("date_col") >= dcut).count())
+    assert(a.filter(col("tiny_col") > 0).count() ===
+      p.filter(col("tiny_col") > 0).count())
   }
 
   test("registered under the short name graft-arrow (DataSourceRegister)") {
