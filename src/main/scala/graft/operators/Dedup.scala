@@ -21,10 +21,12 @@ import graft.Tables
   *    only ever run on LSH-candidate pairs. The standalone entry exists
   *    because it is the SQL-oracle-checkable ground truth.
   *
-  * Hash parity: all signature hashes are md5-derived (identical in Spark
-  * and DuckDB). MinHash uses Kirsch-Mitzenmacher double hashing
-  * h_j = h1 + j·(2·h2+1) from two 28-bit md5 slices — one md5 per
-  * shingle, 64 derived hash functions, no 64× hashing cost.
+  * Hash parity: signatures that the ORACLE recomputes (simhash) are
+  * md5-derived — identical in Spark and DuckDB by definition. LSH
+  * internals that only select candidates (minhash seeds, band keys)
+  * use Spark's codegen'd xxhash64: they need determinism and
+  * independence, not cross-engine parity, because every candidate is
+  * exactly verified before it reaches a result.
   */
 object Dedup {
 
