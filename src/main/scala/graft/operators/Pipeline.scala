@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -14,38 +13,62 @@ import graft.Tables
   * [[Dedup.clusters]]' `is_canonical` the same way; kept out of this
   * entry so the oracle stays non-recursive.)
   *
-  * avg_quality sums the 6-dp quality scores in DECIMAL so the mean is
-  * independent of partial-aggregation order — same discipline as the
-  * OLAP money columns. The mean itself is left as the raw double
-  * quotient (exact-decimal numerator ÷ exact count): a final
-  * `round(…, 6)` of a double is NOT cross-engine-stable — Spark rounds
-  * the exact binary expansion (BigDecimal HALF_UP) while DuckDB rounds
-  * via scaled float math, and r2's correctness gate caught them
-  * disagreeing on one source's mean. The quotient of two
-  * identically-derived doubles is bit-identical by IEEE 754. */
+  * Cross-engine exactness: the quality score is an INTEGER micro-score
+  * (`quality_micro` = quality × 10⁶, BIGINT) computed with one explicit
+  * integer rounding — truncating division of non-negative integers,
+  * `div` in Spark ≡ `//` in DuckDB — so every gate, sum, and mean is
+  * exact integer arithmetic on both engines. The only doubles in the
+  * output are raw IEEE quotients of identically-derived exact operands
+  * (bit-identical by IEEE 754). The r2/r3 flake was the alternative:
+  * a double→DECIMAL(10,6) cast of `round(x, 6)` is legal-to-disagree
+  * between engines when the double sits at a 6-dp boundary. */
 object Pipeline {
 
-  private val QualityFloor = 0.5
+  /** quality ≥ 0.5, in micro units. */
+  private val QualityFloorMicro = 500000L
+
+  /** The quality formula of [[Text.quality]], re-derived as an exact
+    * ×10⁶ integer score:
+    *   min(n_words/50, 1)·0.3  → least(n_words·6000, 300000)
+    *   (stop_cnt/n_words)·0.35 → (350000·stop_cnt) div n_words
+    *   (alpha/n_chars)·0.35    → (350000·alpha_chars) div n_chars
+    * All terms are < 2³² and non-negative, so truncating and floor
+    * division coincide and nothing overflows. */
+  private def qualityMicro(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("stop_cnt", Text.wordCount(col("toks"), Text.enStops).cast("long"))
+      .withColumn("alpha_chars",
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+      .select(col("doc_id"), col("n_words"),
+        (least(col("n_words") * lit(6000L), lit(300000L)) +
+          expr("(350000 * stop_cnt) div n_words") +
+          expr("(350000 * alpha_chars) div n_chars")).as("quality_micro"))
 
   /** The surviving documents after every gate — the pipeline's actual
     * output corpus (what a training run reads); [[curate]] aggregates
     * it into per-source stats. */
   def kept(spark: SparkSession, dir: String): DataFrame = {
     val lang = Text.langId(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val qual = Text.quality(spark, dir).select(col("doc_id"), col("quality"), col("n_words"))
+    val qual = qualityMicro(spark, dir)
     val keep = Dedup.exact(spark, dir).select(col("keep_id").as("doc_id"))
     val d = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
     d.join(lang, "doc_id")
       .join(qual, "doc_id")
       .join(keep, Seq("doc_id"), "left_semi") // first copy of each text wins
-      .filter(col("pred_lang") === col("lang") && col("quality") >= QualityFloor)
+      .filter(col("pred_lang") === col("lang") &&
+        col("quality_micro") >= QualityFloorMicro)
   }
 
   /** kept-corpus entry: the curated document set itself (id + lang +
-    * source + size + score), deterministically ordered. */
+    * source + size + score), deterministically ordered. `quality` is the
+    * raw quotient micro/10⁶ — exact operands, bit-stable. */
   def keptDocs(spark: SparkSession, dir: String): DataFrame =
     kept(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"), col("n_words"), col("quality"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
+        (col("quality_micro") / lit(1000000.0)).as("quality"))
       .orderBy(col("doc_id"))
 
   /** Write the curated corpus as source-partitioned parquet — the
@@ -66,13 +89,17 @@ object Pipeline {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),
-        (sum(col("quality").cast(DecimalType(10, 6))).cast("double") / count(lit(1)))
+        // exact integer sum ÷ exact double denominator: one IEEE
+        // division, no decimal cast anywhere
+        (sum(col("quality_micro")).cast("double") / (lit(1000000.0) * count(lit(1))))
           .as("avg_quality"))
       .orderBy(col("source"))
   }
 
   /** The shared gate pipeline as SQL CTEs, built from the same
-    * language-marker / stopword definitions the Spark side uses. */
+    * language-marker / stopword definitions and the same integer
+    * micro-score the Spark side uses (`//` = floor division ≡ Spark
+    * `div` on non-negative operands). */
   private val curateCtes: String = {
     val scoreSelect = Text.langMarkers
       .map { case (l, ws) => s"${Text.sqlWordCount(ws)} AS s_$l" }.mkString(",\n    ")
@@ -91,28 +118,29 @@ object Pipeline {
        |p AS (SELECT *, $m AS m FROM s),
        |f AS (SELECT doc_id, lang, source, n_words,
        |    $pred AS pred_lang,
-       |    round(least(n_words / 50.0, 1.0) * 0.3 + (stop_cnt / n_words) * 0.35 +
-       |          (alpha_chars / n_chars) * 0.35, 6) AS quality
+       |    least(n_words * 6000, 300000)
+       |      + (350000 * stop_cnt) // n_words
+       |      + (350000 * alpha_chars) // n_chars AS quality_micro
        |  FROM p),
        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |survivors AS (
-       |  SELECT doc_id, lang, source, n_words, quality
+       |  SELECT doc_id, lang, source, n_words, quality_micro
        |  FROM f JOIN keepers USING (doc_id)
-       |  WHERE pred_lang = lang AND quality >= $QualityFloor)""".stripMargin
+       |  WHERE pred_lang = lang AND quality_micro >= $QualityFloorMicro)""".stripMargin
   }
 
   val curateSql: String =
     s"""$curateCtes
        |SELECT source, count(*) AS n_docs,
        |  sum(n_words) AS total_words,
-       |  CAST(sum(CAST(quality AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS avg_quality
+       |  CAST(sum(quality_micro) AS DOUBLE) / (1000000.0 * count(*)) AS avg_quality
        |FROM survivors
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
   val keptDocsSql: String =
     s"""$curateCtes
-       |SELECT doc_id, lang, source, n_words, quality
+       |SELECT doc_id, lang, source, n_words, quality_micro / 1000000.0 AS quality
        |FROM survivors
        |ORDER BY doc_id""".stripMargin
 

@@ -26,7 +26,7 @@ object Text {
   private def toks(c: Column): Column = split(c, " ")
 
   /** Count of tokens that appear in `words`. */
-  private def wordCount(tokens: Column, words: Seq[String]): Column =
+  private[operators] def wordCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
 
   private[operators] def sqlWordCount(words: Seq[String]): String =
