@@ -92,10 +92,22 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
 
   // ---------------------------------------------------------------- C7
-  /** LSH-bucketed ANN: 32-bit sign-random-projection signature split in
-    * four 8-bit bands; a corpus vector is scored only if it shares a
-    * band with the query. Same deterministic hyperplanes + banding as C5
-    * ([[Dedup.signBits]]/[[Dedup.bandKey]]). Approximate vs ground truth
+  /** ANN banding: same 60-bit signature as C5, but split in ten 6-bit
+    * bands — a SEARCH wants recall (candidates to rank), where the
+    * dedup banding wants precision (few pairs to verify). A random
+    * corpus vector shares a 6-bit band with the query with p ≈ 10/64 ≈
+    * 16% (a meaningful prune that still yields a full top-k), while a
+    * true near neighbor (per-bit agreement p → 1) passes with
+    * probability → 1. The dedup-side 15-bit bands would score only
+    * ~0.01% of the corpus and return empty top-ks on uncorrelated
+    * data. */
+  private val AnnBands = 10
+  private val AnnBandBits = 6
+
+  /** LSH-bucketed ANN: 60-bit sign-random-projection signature split in
+    * ten 6-bit bands; a corpus vector is scored only if it shares a
+    * band with the query. Same deterministic hyperplanes as C5
+    * ([[Dedup.signBits]]). Approximate vs ground truth
     * (recall < 1 by design — DedupSpec asserts planted-neighbor recall),
     * but fully deterministic, so [[lshSql]] reproduces the algorithm in
     * SQL for an exact oracle. */
@@ -104,8 +116,10 @@ object Ann {
     val withSig = c.withColumn("sig", Dedup.signBits(col("e")))
     val q = withSig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("sig").as("qsig"))
-    val bandMatch = (0 until Dedup.EmbBands)
-      .map(b => Dedup.bandKey(col("sig"), b) === Dedup.bandKey(col("qsig"), b))
+    val mask = (1L << AnnBandBits) - 1
+    val bandMatch = (0 until AnnBands)
+      .map(b => shiftright(col("sig"), AnnBandBits * b).bitwiseAND(mask) ===
+        shiftright(col("qsig"), AnnBandBits * b).bitwiseAND(mask))
       .reduce(_ || _)
     val scored = withSig.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id") && bandMatch)
@@ -116,7 +130,7 @@ object Ann {
   }
 
   /** Algorithm-parity oracle for C7: the SAME fixed ±1 hyperplanes
-    * (inlined as SQL literals), sign signature, 4×8-bit band match, and
+    * (inlined as SQL literals), sign signature, 10×6-bit band match, and
     * exact cosine rerank, reproduced in pure DuckDB SQL. Every stage is
     * deterministic — the plane dot products fold in identical order on
     * both engines (list_inner_product ≡ the sequential aggregate/zip_with
@@ -126,8 +140,10 @@ object Ann {
     val planesLit = Dedup.planes
       .map(p => p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
       .mkString("[", ",\n  ", "]")
-    val bandMatch = (0 until Dedup.EmbBands)
-      .map(b => s"((s.sig >> ${8 * b}) & 255) = ((q.qsig >> ${8 * b}) & 255)")
+    val mask = (1L << AnnBandBits) - 1
+    val bandMatch = (0 until AnnBands)
+      .map(b => s"((s.sig >> ${AnnBandBits * b}) & $mask) = " +
+        s"((q.qsig >> ${AnnBandBits * b}) & $mask)")
       .mkString(" OR ")
     s"""WITH p AS (SELECT $planesLit AS ps),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -291,12 +291,14 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- C5
-  private val EmbPlanes = 32
+  private val EmbPlanes = 60
   private val EmbDim = 64
   private val CosineThreshold = 0.8
 
   /** Deterministic ±1 random hyperplanes (fixed seed — same planes on
-    * every executor and every run). */
+    * every executor and every run). 60 planes: bit 63 is unusable
+    * (DuckDB BIGINT `1<<63` overflows) and 60 divides evenly into the
+    * 4×15-bit banding below — the same layout simhash uses. */
   private[operators] val planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
     Array.fill(EmbPlanes, EmbDim)(if (rnd.nextBoolean()) 1.0 else -1.0)
@@ -304,56 +306,71 @@ object Dedup {
 
   /** Sequential-fold dot product (bit-identical to the oracle's
     * list_inner_product). Deliberately NOT unrolled: a 64-term expression
-    * × 32 planes blows generated code past JIT method limits and
+    * × 60 planes blows generated code past JIT method limits and
     * deoptimizes the stage (measured 12× slower at sf0.1). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** 32-bit sign signature from the fixed hyperplanes. */
+  /** 60-bit sign signature from the fixed hyperplanes. */
   private[operators] def signBits(e: Column): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit(_))): _*)
       when(dot(e, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** 4 bands × 8 bits from the 32-bit signature. For a pair at cosine c
-    * the per-bit agreement is p = 1-acos(c)/π, so band recall is
-    * 1-(1-p⁸)⁴ — ~0.9 at c=0.95 and →1 as c→1, while a random pair
-    * passes a band with only ~1/256 probability (×4 bands ≈ 1.6% of
-    * pairs scored, vs ~23% with 4-bit bands — the candidate count, not
-    * the signature cost, is what dominates at scale). */
+  /** 4 bands × 15 bits from the 60-bit signature. Per-band bucket space
+    * is 2¹⁵ = 32,768 (× the xxhash64 band-ordinal fold below, which
+    * spreads the four bands over disjoint 64-bit key ranges) — candidate
+    * pairs grow O(N²/2¹⁵) per band, vs O(N²/256) with the r3 8-bit
+    * bands whose fixed 1,024-bucket space was the 100 TB scale-killer.
+    * Recall trade-off (per-bit agreement p = 1-acos(c)/π): at c→1
+    * recall →1 (a true near-dup pair at c=0.9999 passes with
+    * p≈0.996 ⇒ 1-(1-p¹⁵)⁴ ≈ 1); at the 0.8 verification threshold
+    * banded recall is <1 by design — empirically 1 on the fixed test
+    * data at every SF (vacuously: no pair reaches cosine 0.75). */
   private[operators] val EmbBands = 4
+  private[operators] val EmbBandBits = 15
   private[operators] def bandKey(sig: Column, b: Int): Column =
-    shiftright(sig, 8 * b).bitwiseAND(0xFFL)
+    shiftright(sig, EmbBandBits * b).bitwiseAND((1L << EmbBandBits) - 1)
 
   /** Embedding-cosine near-dup: sign-random-projection LSH → candidate
     * pairs by band equi-join → exact cosine verification at 0.8. Corpus
     * is never cross-joined. The oracle is the brute-force exact SQL
     * (band recall 1 on the fixed data — vacuously at SFs where no pair
-    * reaches 0.8). */
+    * reaches 0.8).
+    *
+    * Plan shape (the r3 version was 9× slower than this): the band
+    * table is ids-only — `(vec_id, band_key)` — so the 60-plane
+    * signature is evaluated once per row inside the single projection
+    * feeding the band-key shuffle, and both self-join sides reuse that
+    * ONE exchange (ReuseExchange: identical subplans shuffling on the
+    * same key — no persist, nothing to leak). Candidates leave the join
+    * as id pairs, are de-duplicated, and only then re-join the vectors
+    * for the exact verify — full 64-double vectors never ride the
+    * candidate shuffle (the minhashLsh pattern). */
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
-    val sig = emb.withColumn("sig", signBits(col("e")))
-    // posexplode over the band keys: ONE signature evaluation per row
-    // (a unionAll of per-band selects re-evaluates the 32 hyperplane
-    // dot products once per band — 4× the dominant scan cost)
-    val bands = sig
-      .select(col("vec_id"), col("e"),
-        posexplode(array((0 until EmbBands).map(b => bandKey(col("sig"), b)): _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "key")
+    // one projection computes sig, then 4 hashed band keys from it;
+    // explode → (vec_id, band_key) rows only
+    val bands = emb
+      .select(col("vec_id"), signBits(col("e")).as("sig"))
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(EmbBands - 1)),
+          b => xxhash64(b, call_function("shiftright", col("sig"), b * EmbBandBits)
+            .bitwiseAND((1L << EmbBandBits) - 1)))).as("band_key"))
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.band_key") === col("b.band_key") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.e").as("ea"), col("b.e").as("eb"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
     cand
+      .join(emb.as("va"), col("vec_a") === col("va.vec_id"))
+      .join(emb.as("vb"), col("vec_b") === col("vb.vec_id"))
       .withColumn("cos",
-        dot(col("ea"), col("eb")) /
-          (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+        dot(col("va.e"), col("vb.e")) /
+          (sqrt(dot(col("va.e"), col("va.e"))) * sqrt(dot(col("vb.e"), col("vb.e")))))
       .filter(col("cos") >= CosineThreshold)
       .select(col("vec_a"), col("vec_b"), col("cos").as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
