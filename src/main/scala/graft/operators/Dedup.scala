@@ -401,22 +401,24 @@ object Dedup {
     * same size-gated tradeoff as Spark's broadcast-join threshold, and
     * safe for the same reason: the gate is on the DUP-PAIR mass (tiny on
     * real corpora — only verified near-dup pairs survive), never on the
-    * corpus. 4M pairs ≈ 64 MB of longs on the driver. */
-  private val BroadcastPairLimit = 4L * 1000 * 1000
+    * corpus. 1M collected Rows of two boxed longs ≈ 100 MB of driver
+    * heap (GenericRow overhead dominates the 16 bytes of payload — the
+    * r3 4M limit underestimated that by ~6× and could OOM the driver
+    * the gate exists to protect). */
+  private val BroadcastPairLimit = 1L * 1000 * 1000
 
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     // cache the verified pairs: both the size gate and the component
     // computation consume them — without this the whole minhash lineage
     // re-executes per reference
     val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
-    // size gate and fast-path input in ONE action: collect at most
-    // limit+1 rows — if the limit+1'th exists the graph is too big for
-    // the driver and the distributed loop takes over (the oversized
-    // collect is bounded: limit+1 rows of two longs ≈ 64 MB)
-    val probe = pairs.limit(BroadcastPairLimit.toInt + 1).collect()
-    val small = probe.length <= BroadcastPairLimit
+    // gate on a COUNT first (one cache-materializing action shipping a
+    // single long to the driver), and collect only a graph the count
+    // proved small — never speculative-collect rows that might be
+    // thrown away
+    val small = pairs.count() <= BroadcastPairLimit
     val labels: DataFrame =
-      if (small) broadcastComponents(spark, probe)
+      if (small) broadcastComponents(spark, pairs.collect())
       else propagateComponents(spark, pairs)
     // every doc outside the pair graph is trivially its own canonical
     // singleton — a left join against the label map. The broadcast hint
@@ -477,8 +479,10 @@ object Dedup {
       .cache()
     var cached = labels // the DataFrame whose plan is actually cached
     var changed = 1L
-    var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    // no round cap: rounds ≈ component diameter (tiny for dup
+    // clusters), and a cap that exits with changed > 0 would silently
+    // emit non-transitive cluster ids on a long chain
+    while (changed > 0) {
       // min label over self ∪ neighbors in ONE aggregation: the self
       // branch carries the old label through the same groupBy (min over
       // the flagged branch), so a round is one join + one shuffle and
@@ -499,7 +503,6 @@ object Dedup {
       cached.unpersist()
       cached = next
       labels = next.select(col("doc_id"), col("cluster_id"))
-      rounds += 1
     }
     edges.unpersist()
     labels

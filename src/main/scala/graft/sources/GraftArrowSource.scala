@@ -58,15 +58,25 @@ class GraftArrowTableProvider extends TableProvider
 object GraftArrowTableProvider {
   /** `auth=required` models the remote server's policy locally; `token`
     * is the reference's `auth_token` named parameter (a dd_login JWT),
-    * verified by the endpoint on every request. */
+    * verified by the endpoint on every request.
+    *
+    * The verification secret comes from the `secret` option or the
+    * `spark.graft.auth.secret` Spark conf; the compiled-in
+    * [[graft.functions.GraftAuth.DefaultSecret]] is ONLY the documented
+    * local-demo default (this in-process endpoint models the remote
+    * server's contract — anyone holding the jar can read the constant,
+    * so the default provides demo semantics, not protection). */
   private def endpoint(options: CaseInsensitiveStringMap): Endpoint = {
     val dir = options.get("dir")
     require(dir != null, "graft-arrow requires a 'dir' option")
     val base = new LocalParquetEndpoint(dir)
-    if (options.getBoolean("auth", false))
-      new AuthEndpoint(base, graft.functions.GraftAuth.DefaultSecret,
-        Option(options.get("token")))
-    else base
+    if (options.getBoolean("auth", false)) {
+      val secret = Option(options.get("secret"))
+        .orElse(org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.graft.auth.secret"))
+        .getOrElse(graft.functions.GraftAuth.DefaultSecret)
+      new AuthEndpoint(base, secret, Option(options.get("token")))
+    } else base
   }
 }
 

@@ -250,11 +250,21 @@ object ParquetFilters {
         Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L)
       case _ => None
     }
-    micros.map { us =>
+    micros.flatMap { us =>
       ann.getUnit match {
-        case LogicalTypeAnnotation.TimeUnit.NANOS => us * 1000L
-        case LogicalTypeAnnotation.TimeUnit.MICROS => us
-        case LogicalTypeAnnotation.TimeUnit.MILLIS => us / 1000L
+        // lossy/overflowing conversions DECLINE the filter (it stays a
+        // Spark-side filter — the documented conservative policy): a
+        // truncating us/1000 on a MILLIS column would push e.g.
+        // `ts < ...00.0015` as lt(1ms) and drop the 1ms rows before
+        // Spark's re-evaluation could see them; NANOS us*1000 overflows
+        // Long past ~year 2262 into a negative bound that excludes
+        // every row.
+        case LogicalTypeAnnotation.TimeUnit.NANOS =>
+          try Some(Math.multiplyExact(us, 1000L))
+          catch { case _: ArithmeticException => None }
+        case LogicalTypeAnnotation.TimeUnit.MICROS => Some(us)
+        case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+          if (us % 1000L == 0L) Some(us / 1000L) else None
       }
     }.map(java.lang.Long.valueOf)
   }

@@ -90,6 +90,51 @@ class GraftArrowSpec extends SparkSpec {
     assert(filtered === expected && filtered > 0)
   }
 
+  test("lossy timestamp conversions decline translation (stay Spark-side)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    def schemaOf(path: String) = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), new Configuration()))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    // MILLIS column: a sub-millisecond bound cannot be rescaled without
+    // truncation — us/1000 would push `ts < 1.5ms` as lt(1ms) and drop
+    // the 1ms rows BEFORE Spark's re-filter could see them
+    val tmp = java.nio.file.Files.createTempDirectory("graft-millis").toString
+    import spark.implicits._
+    val prevOut = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00.001"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00.002"))
+      .toDF("ts").repartition(1)
+      .write.mode("overwrite").parquet(s"$tmp/millis.parquet")
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevOut)
+    val millisSchema = schemaOf(java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$tmp/millis.parquet"))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get().toString)
+    val subMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.0015")
+    val wholeMs = java.sql.Timestamp.valueOf("2024-01-01 00:00:00.002")
+    assert(!ParquetFilters.translatable(LessThan("ts", subMs), millisSchema),
+      "sub-ms bound on MILLIS column must decline")
+    assert(ParquetFilters.translatable(LessThan("ts", wholeMs), millisSchema),
+      "whole-ms bound on MILLIS column is lossless and must translate")
+    // NANOS column: us*1000 overflows Long past ~2262 — the negative
+    // bound would silently exclude every row
+    val eventsSchema = schemaOf(s"$dir/events.parquet")
+    assert(!ParquetFilters.translatable(
+      GreaterThanOrEqual("ts", java.time.LocalDateTime.of(2300, 1, 1, 0, 0)),
+      eventsSchema), "overflowing nanos bound must decline")
+    assert(ParquetFilters.translatable(
+      GreaterThanOrEqual("ts", java.time.LocalDateTime.of(2024, 1, 1, 0, 0)),
+      eventsSchema), "in-range nanos bound still translates")
+    // end-to-end: the declined filter still evaluates correctly Spark-side
+    val got = GraftArrow.read(spark, tmp, "millis").filter(col("ts") < lit(subMs)).count()
+    assert(got === 1L, "the 1ms row must survive (sub-ms bound not truncated away)")
+  }
+
   test("string and in-list filters push and stay exact") {
     val a = arrow("documents").filter(col("lang").isin("en", "fr") && col("n_chars") > 100)
     val p = plain("documents").filter(col("lang").isin("en", "fr") && col("n_chars") > 100)
@@ -302,6 +347,22 @@ class GraftArrowSpec extends SparkSpec {
         .option("dir", dir).option("table", "nation")
         .option("auth", "true").option("token", "not.a.jwt").load().collect()
     }
+    // a deployment-supplied secret replaces the compiled-in demo
+    // default: tokens minted against the default no longer verify, and
+    // tokens minted against the custom secret do
+    intercept[SecurityException] {
+      spark.read.format("graft-arrow")
+        .option("dir", dir).option("table", "nation")
+        .option("auth", "true").option("secret", "deployment-secret")
+        .option("token", token).load().collect()
+    }
+    val custom = graft.functions.Jwt.mint("admin", Seq.empty, "deployment-secret",
+      System.currentTimeMillis() / 1000)
+    val authed2 = spark.read.format("graft-arrow")
+      .option("dir", dir).option("table", "nation")
+      .option("auth", "true").option("secret", "deployment-secret")
+      .option("token", custom).load()
+    assert(authed2.count() === plain("nation").count())
   }
 
   test("FilterSql serializes the reference's WHERE surface") {
