@@ -63,15 +63,32 @@ object ArrowOps {
       |FROM lineitem WHERE l_discount > 0.05
       |GROUP BY l_returnflag""".stripMargin
 
+  /** A1 `sql :=` mode (reference read_arrow_dd.cpp:313-345): a
+    * free-form server-side join + aggregate executed by the endpoint's
+    * engine; the client scans its result set through parallel splits.
+    * The oracle is the IDENTICAL query text run by DuckDB, so the text
+    * must be engine-neutral (decimal-cast sum for order-independent
+    * money totals — see Olap). */
+  val sqlQueryText: String =
+    """SELECT n.n_name AS nation, count(*) AS n_suppliers,
+      |  CAST(sum(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin
+
+  def sqlQuery(spark: SparkSession, dir: String): DataFrame =
+    GraftArrow.readSql(spark, dir, sqlQueryText)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arrow_scan" -> scan _,
     "arrow_agg_pushdown" -> aggPushdown _,
     "arrow_splits" -> splits _,
-    "arrow_sql_catalog" -> sqlCatalog _)
+    "arrow_sql_catalog" -> sqlCatalog _,
+    "arrow_sql_query" -> sqlQuery _)
 
   val oracles: Map[String, String] = Map(
     "arrow_scan" -> scanSql,
     "arrow_agg_pushdown" -> aggPushdownSql,
     "arrow_splits" -> splitsSql,
-    "arrow_sql_catalog" -> sqlCatalogSql)
+    "arrow_sql_catalog" -> sqlCatalogSql,
+    "arrow_sql_query" -> sqlQueryText)
 }

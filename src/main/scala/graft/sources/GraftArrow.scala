@@ -16,6 +16,17 @@ object GraftArrow {
       .option("split_size", splitSize)
       .load()
 
+  /** `dd_read_arrow(url, sql := '…')` equivalent: ship a free-form query
+    * to the endpoint's engine, scan its result set in parallel splits
+    * (reference read_arrow_dd.cpp:313-345). */
+  def readSql(spark: SparkSession, dir: String, sql: String,
+              splitSize: Long = 128L * 1024 * 1024): DataFrame =
+    spark.read.format(Format)
+      .option("dir", dir)
+      .option("sql", sql)
+      .option("split_size", splitSize)
+      .load()
+
   /** `dd_splits` equivalent (SURVEY.md §2 A6; reference
     * /root/reference/src/table_function/dd_splits.cpp:1-170): expose the
     * split plan the endpoint would hand to a scan — endpoints, query id,

@@ -21,8 +21,10 @@ import scala.jdk.CollectionConverters._
   * :29-49, parallel split scan; optimizer extension
   * aggregation_pushdown.cpp).
   *
-  * Options: `dir` (endpoint root), `table`, `split_size` (bytes,
-  * default 128 MiB — reference's split_size named parameter).
+  * Options: `dir` (endpoint root), exactly one of `table` or `sql`
+  * (free-form server-executed query — reference `sql :=` named
+  * parameter, read_arrow_dd.cpp:313-345), `split_size` (bytes, default
+  * 128 MiB — reference's split_size named parameter).
   *
   * Scale design: `planInputPartitions` emits one partition per endpoint
   * split (row-group aligned byte ranges), so a 1000-executor cluster
@@ -38,16 +40,17 @@ class GraftArrowTableProvider extends TableProvider
   override def shortName(): String = "graft-arrow"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val endpoint = GraftArrowTableProvider.endpoint(options)
-    endpoint.schema(options.get("table"))
+    val (endpoint, table) = GraftArrowTableProvider.endpoint(options)
+    endpoint.schema(table)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
+    val (endpoint, table) = GraftArrowTableProvider.endpoint(options)
     new GraftArrowTable(
-      GraftArrowTableProvider.endpoint(options),
-      options.get("table"),
+      endpoint,
+      table,
       schema,
       options.getLong("split_size", 128L * 1024 * 1024))
   }
@@ -65,18 +68,34 @@ object GraftArrowTableProvider {
     * [[graft.functions.GraftAuth.DefaultSecret]] is ONLY the documented
     * local-demo default (this in-process endpoint models the remote
     * server's contract — anyone holding the jar can read the constant,
-    * so the default provides demo semantics, not protection). */
-  private def endpoint(options: CaseInsensitiveStringMap): Endpoint = {
+    * so the default provides demo semantics, not protection).
+    *
+    * Resolve options to (endpoint, scanned-relation name). Exactly one
+    * of `table` / `sql` must be given — same both/neither validation as
+    * the reference (read_arrow_dd.cpp:327-335, error texts asserted by
+    * test/sql/dd_read_arrow.test:12-24). In sql mode the scanned
+    * relation is the server-executed query's result set and the wire
+    * query names it as a derived table. */
+  private def endpoint(options: CaseInsensitiveStringMap): (Endpoint, String) = {
     val dir = options.get("dir")
     require(dir != null, "graft-arrow requires a 'dir' option")
-    val base = new LocalParquetEndpoint(dir)
-    if (options.getBoolean("auth", false)) {
+    val table = options.get("table")
+    val sql = options.get("sql")
+    if (table == null && sql == null) throw new IllegalArgumentException(
+      "graft-arrow requires either 'table' or 'sql' option")
+    if (table != null && sql != null) throw new IllegalArgumentException(
+      "graft-arrow accepts either 'table' or 'sql' option, not both")
+    val base = if (sql != null) new SqlEndpoint(dir, sql)
+      else new LocalParquetEndpoint(dir)
+    val name = if (sql != null) s"($sql)" else table
+    val wrapped = if (options.getBoolean("auth", false)) {
       val secret = Option(options.get("secret"))
         .orElse(org.apache.spark.sql.SparkSession.active.conf
           .getOption("spark.graft.auth.secret"))
         .getOrElse(graft.functions.GraftAuth.DefaultSecret)
       new AuthEndpoint(base, secret, Option(options.get("token")))
     } else base
+    (wrapped, name)
   }
 }
 

@@ -365,6 +365,57 @@ class GraftArrowSpec extends SparkSpec {
     assert(authed2.count() === plain("nation").count())
   }
 
+  test("sql := mode: both/neither validation errors (reference dd_read_arrow.test:12-24)") {
+    val neither = intercept[Exception] {
+      spark.read.format("graft-arrow").option("dir", dir).load()
+    }
+    assert(neither.getMessage.contains("requires either 'table' or 'sql'"),
+      s"got: ${neither.getMessage}")
+    val both = intercept[Exception] {
+      spark.read.format("graft-arrow").option("dir", dir)
+        .option("table", "nation").option("sql", "SELECT 1").load()
+    }
+    assert(both.getMessage.contains("either 'table' or 'sql' option, not both"),
+      s"got: ${both.getMessage}")
+  }
+
+  test("sql := mode: server-side join+agg result scans exactly (A1)") {
+    val q =
+      """SELECT n.n_name AS nation, count(*) AS n_nations
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY n.n_name""".stripMargin
+    val viaEndpoint = GraftArrow.readSql(spark, dir, q)
+    val n = plain("nation"); val r = plain("region")
+    val expected = n.join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name").as("nation")).agg(count(lit(1)).as("n_nations"))
+      .select(col("nation"), col("n_nations"))
+    assert(viaEndpoint.schema.fieldNames.toSeq === Seq("nation", "n_nations"))
+    assert(viaEndpoint.count() === expected.count())
+    assert(viaEndpoint.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(viaEndpoint).count() === 0)
+  }
+
+  test("sql := mode: client pushdown applies over the server result set") {
+    val q = "SELECT l_orderkey, l_quantity, l_returnflag FROM lineitem"
+    val df = GraftArrow.readSql(spark, dir, q)
+      .filter(col("l_quantity") < 5).select("l_orderkey", "l_quantity")
+    val desc = df.queryExecution.executedPlan.toString
+    assert(desc.contains("graft-arrow") && desc.contains("l_quantity < 5.0"),
+      s"filter should push into the sql-result scan:\n$desc")
+    val expected = plain("lineitem").filter(col("l_quantity") < 5)
+      .select("l_orderkey", "l_quantity")
+    assert(df.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(df).count() === 0)
+  }
+
+  test("sql := mode honors auth: no token, no server execution") {
+    intercept[SecurityException] {
+      spark.read.format("graft-arrow").option("dir", dir)
+        .option("sql", "SELECT count(*) AS n FROM nation")
+        .option("auth", "true").load().collect()
+    }
+  }
+
   test("FilterSql serializes the reference's WHERE surface") {
     import org.apache.spark.sql.sources._
     assert(FilterSql.toSql(EqualTo("a", 1)) === Some("a = 1"))
