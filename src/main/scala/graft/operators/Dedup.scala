@@ -116,13 +116,20 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
-    shared
+    val result = shared
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jacc", col("c") / (col("sa.n") + col("sb.n") - col("c")))
       .filter(col("jacc") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jacc").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      // eager-materialize the (small: dup-pair mass) result so the
+      // shingle cache can be released NOW instead of leaking into the
+      // session (localCheckpoint blocks live outside the CacheManager
+      // and are reclaimed by the ContextCleaner when the frame is GC'd)
+      .localCheckpoint()
+    sh.unpersist()
+    result
   }
 
   val ngramJaccardSql: String = jaccardPairsSql(0.5)
@@ -185,7 +192,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verification on shingle sets
-    cand
+    val result = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jacc",
@@ -194,6 +201,12 @@ object Dedup {
       .filter(col("jacc") >= 0.8)
       .select(col("doc_a"), col("doc_b"), col("jacc").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+      // eager-materialize (pairs only) → release both caches before
+      // returning; also makes the downstream clusters() reuse free
+      .localCheckpoint()
+    bands.unpersist()
+    sh.unpersist()
+    result
   }
 
   val minhashLshSql: String = jaccardPairsSql(0.8)
@@ -272,12 +285,15 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .distinct()
-    cand
+    val result = cand
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // eager: release the signature cache now
+    s.unpersist()
+    result
   }
 
   /** Oracle: ground-truth all-pairs hamming join (exact because banded

@@ -172,4 +172,14 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(2)).toSet
     assert(ivfHits.contains(99L), "IVF must recover the planted near neighbor")
   }
+
+  test("operators release every cache they take (no persist leaks in a long-lived session)") {
+    val dir = sf("sf0.001")
+    Dedup.ngramJaccard(spark, dir).count()
+    Dedup.minhashLsh(spark, dir).count()
+    Dedup.simhashPairs(spark, dir).count()
+    Dedup.clusters(spark, dir).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "CacheManager must be empty after the operators return")
+  }
 }
