@@ -88,8 +88,12 @@ object Streams {
       |GROUP BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- D2
-  /** Shared sessionizer: events of one user, ascending (ts, event_id);
-    * a >30-minute gap opens a new session. */
+  /** Reference sessionizer (semantic spec used by tests and the
+    * streaming fold): events of one user, ascending (ts, event_id); a
+    * >30-minute gap opens a new session. NOT the batch plan — it
+    * buffers the whole group on the heap, which a single hot user (a
+    * bot at 100 TB) would blow; the batch entry uses the spill-safe
+    * window formulation below instead. */
   private[streaming] def sessionize(userId: Long, evs: Iterator[Event]): Iterator[Session] = {
     val sorted = evs.toVector.sortBy(e => (micros(e.ts), e.event_id))
     if (sorted.isEmpty) return Iterator.empty
@@ -117,13 +121,37 @@ object Streams {
   private def fmt(t: LocalDateTime): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").format(t)
 
-  /** D2 entry (batch semantics of the session operator). */
+  /** D2 entry (batch semantics of the session operator), in the window
+    * formulation: lag() flags session starts, a running sum numbers
+    * them, one aggregation folds each session. Scale-safe where the
+    * flatMapGroups/toVector form is not — window functions sort with
+    * Spark's spillable external sorter and stream rows through
+    * constant-memory running aggregates, so one hot user costs disk,
+    * not heap. (lag/rank over user_id partitions; the following
+    * per-(user, session) aggregation map-side-combines.) */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    events(spark, dir)
-      .groupByKey(_.user_id)
-      .flatMapGroups((uid, evs) => sessionize(uid, evs))
-      .toDF()
+    import org.apache.spark.sql.expressions.Window
+    // NTZ → TIMESTAMP is value-preserving in the UTC session; unix_micros
+    // needs the instant-bearing type
+    val ev = events(spark, dir).toDF().withColumn("ts", col("ts").cast("timestamp"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val flagged = ev
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > SessionGapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("sess_seq",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("sess_seq"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("start_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("end_ts"),
+        count(lit(1)).as("n_events"),
+        // decimal partials before the double cast: associativity-proof
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("sess_seq"), col("start_ts"),
+        col("end_ts"), col("n_events"), col("total_value"))
   }
 
   val sessionizeSql: String =
@@ -145,43 +173,76 @@ object Streams {
       |FROM tagged
       |GROUP BY user_id, sess_seq""".stripMargin
 
+  /** O(1)-per-user streaming state: the open session as its AGGREGATE
+    * (bounds + count + exact micro-scaled value sum), never the raw
+    * events. A bot user holding a session open for a week costs 5
+    * longs of state, not a week of buffered events. */
+  case class OpenSession(seq: Long, startUs: Long, lastUs: Long,
+                         n: Long, valueE6: Long)
+
+  /** Exact 6-dp micro-units (same HALF_UP scaling the reference
+    * sessionizer applies before summing) — long addition is
+    * order-independent where double addition is not. */
+  private def e6(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.movePointRight(6).longValueExact
+
+  private def toSession(uid: Long, o: OpenSession): Session =
+    Session(uid, o.seq, fmtUs(o.startUs), fmtUs(o.lastUs), o.n, o.valueE6 / 1e6)
+
+  private def fmtUs(us: Long): String =
+    fmt(LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC))
+
   /** D2 streaming variant: the same session semantics through
     * flatMapGroupsWithState (spec-tested with an in-memory stream). A
     * session closes when a later event for the user proves the gap; a
     * production deployment would add a processing-time timeout to also
     * flush idle users — with continuous traffic the output is
     * identical, and NoTimeout keeps the micro-batch scheduler quiescent
-    * between inputs. */
+    * between inputs.
+    *
+    * State is the open session's aggregate, NOT buffered events — see
+    * [[OpenSession]]. Within a micro-batch, events sort (bounded by the
+    * batch slice, not the user's history); across batches, an event
+    * within the gap of the open session merges into its bounds. An
+    * event later than an already-emitted session cannot retro-split it
+    * in either formulation (Append mode) — the standard tradeoff of
+    * watermark-less sessionization. */
   def sessionizeStreaming(ev: Dataset[Event]): Dataset[Session] = {
     import ev.sparkSession.implicits._
     ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Vector[Event], Session](
+      .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, in: Iterator[Event], state: GroupState[Vector[Event]]) =>
+        (uid: Long, in: Iterator[Event], state: GroupState[OpenSession]) =>
           if (state.hasTimedOut) {
-            val done = sessionize(uid, state.get.iterator)
+            val done = state.getOption.map(toSession(uid, _))
             state.remove()
-            done
+            done.iterator
           } else {
-            val all = state.getOption.getOrElse(Vector.empty) ++ in
-            // close every session whose gap to the latest event exceeds
-            // the session gap; keep only the open tail in state
-            val sorted = all.sortBy(e => (micros(e.ts), e.event_id))
-            val lastTs = micros(sorted.last.ts)
-            var open = Vector.empty[Event]
-            var closed = Vector.empty[Vector[Event]]
-            var bucket = Vector.empty[Event]
-            sorted.foreach { e =>
-              if (bucket.nonEmpty && micros(e.ts) - micros(bucket.last.ts) > SessionGapMicros) {
-                closed = closed :+ bucket; bucket = Vector.empty
+            // sort ONLY the micro-batch slice (heap bounded by batch
+            // size): the iterator arrives unordered
+            val evs = in.toArray.sortBy(e => (micros(e.ts), e.event_id))
+            val closed = Vector.newBuilder[Session]
+            var st = state.getOption
+            evs.foreach { e =>
+              val us = micros(e.ts)
+              st match {
+                case Some(o) if us - o.lastUs > SessionGapMicros =>
+                  closed += toSession(uid, o)
+                  st = Some(OpenSession(o.seq + 1, us, us, 1L, e6(e.value)))
+                case Some(o) =>
+                  st = Some(o.copy(
+                    startUs = math.min(o.startUs, us),
+                    lastUs = math.max(o.lastUs, us),
+                    n = o.n + 1, valueE6 = o.valueE6 + e6(e.value)))
+                case None =>
+                  st = Some(OpenSession(1L, us, us, 1L, e6(e.value)))
               }
-              bucket = bucket :+ e
             }
-            if (lastTs - micros(bucket.last.ts) > SessionGapMicros) {
-              closed = closed :+ bucket
-            } else open = bucket
-            state.update(open)
-            closed.iterator.flatMap(b => sessionize(uid, b.iterator))
+            st.foreach(state.update)
+            closed.result().iterator
           }
       }
   }

@@ -77,6 +77,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D2: batch sessionization is the spill-safe window plan, not a group buffer") {
+    val plan = Streams.sessionizeBatch(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a Window plan:\n$plan")
+    assert(!plan.contains("FlatMapGroups"),
+      s"group-buffering operator must not appear:\n$plan")
+  }
+
+  test("D2: streaming state stays O(1) for a hot user across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 3, 1, 0, 0, 0)
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStreaming(input.toDS())
+      .writeStream.format("memory").queryName("d2_hot")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // a bot: 2,000 events 1s apart, split across two micro-batches,
+      // delivered shuffled within each batch — one long session
+      val bot = (0 until 2000).map(i =>
+        Event(i.toLong, t0.plusSeconds(i.toLong), 42L, "ping", 0.5))
+      input.addData(scala.util.Random.shuffle(bot.take(1200)): _*)
+      q.processAllAvailable()
+      input.addData(scala.util.Random.shuffle(bot.drop(1200)): _*)
+      q.processAllAvailable()
+      // a later event proves the >30min gap and closes the session
+      input.addData(Event(9999, t0.plusHours(3), 42L, "ping", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("d2_hot").as[Session].collect()
+      assert(closed.length === 1)
+      val s = closed.head
+      assert(s.n_events === 2000)
+      assert(s.start_ts === "2024-03-01 00:00:00")
+      assert(s.end_ts === "2024-03-01 00:33:19")
+      assert(s.total_value === 1000.0)
+    } finally q.stop()
+  }
+
   test("D1 sessionize entry matches DuckDB-shaped recomputation in Spark SQL") {
     // independent recomputation of the session assignment with window
     // functions (the oracle's algebra) — guards the imperative walk
