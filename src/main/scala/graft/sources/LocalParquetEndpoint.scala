@@ -40,6 +40,8 @@ import scala.jdk.CollectionConverters._
   */
 class LocalParquetEndpoint(dir: String) extends Endpoint {
 
+  import LocalParquetEndpoint.CancelCheckRows
+
   private def tablePath(table: String) = new Path(s"$dir/$table.parquet")
 
   @transient private lazy val hadoopConf = new Configuration()
@@ -178,9 +180,28 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
     val closeOnce: () => Unit = () => if (closed.compareAndSet(false, true)) reader.close()
     val conv = new GroupRowConverter(
       if (query.requiredColumns.isEmpty) fs else projected, sparkSchema)
+    // Mid-stream cancellation (the reference runs a cancel monitor that
+    // aborts in-flight HTTP streams — src/http/cancel_monitor.cpp): a
+    // killed Spark task stops consuming promptly instead of finishing
+    // its split. Checked every CancelCheckRows records so the hot path
+    // stays a counter increment; PartitionReader.close releases the
+    // reader either way.
+    val ctx = org.apache.spark.TaskContext.get()
     val it = new Iterator[InternalRow] {
       private var nextGroup: Group = reader.read()
+      private var sinceCheck = 0
       override def hasNext: Boolean = {
+        if (ctx != null) {
+          sinceCheck += 1
+          if (sinceCheck >= LocalParquetEndpoint.CancelCheckRows) {
+            sinceCheck = 0
+            if (ctx.isInterrupted()) {
+              closeOnce()
+              throw new org.apache.spark.TaskKilledException(
+                "graft-arrow scan cancelled")
+            }
+          }
+        }
         if (nextGroup == null) closeOnce()
         nextGroup != null
       }
@@ -192,6 +213,11 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
     }
     (it, sparkSchema, closeOnce)
   }
+}
+
+object LocalParquetEndpoint {
+  /** Rows between task-interrupt checks in the scan hot loop. */
+  val CancelCheckRows = 1024
 }
 
 /** Spark [[Filter]] → parquet [[FilterPredicate]]. Conservative: only
