@@ -327,12 +327,15 @@ object Dedup {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  /** 60-bit sign signature from the fixed hyperplanes. */
-  private[operators] def signBits(e: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit(_))): _*)
-      when(dot(e, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** 60-bit sign signature from the fixed hyperplanes, as the native
+    * codegen [[org.apache.spark.sql.graft.SignSignature]] expression:
+    * one tight 60×64 multiply-add loop per row instead of 60
+    * interpreted HOF dot products re-evaluated per consumer (the
+    * PolyFingerprint precedent; bit-identical fold order). */
+  private[operators] def signBits(e: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, SignSignature}
+    Bridge.column(SignSignature(Bridge.expression(e), planes))
+  }
 
   /** 4 bands × 15 bits from the 60-bit signature. Per-band bucket space
     * is 2¹⁵ = 32,768 (× the xxhash64 band-ordinal fold below, which
@@ -520,8 +523,13 @@ object Dedup {
       cached = next
       labels = next.select(col("doc_id"), col("cluster_id"))
     }
+    // materialize the converged labels outside the CacheManager so the
+    // final round's cache can be released too (dup-graph-sized — the
+    // same rows that were cached)
+    val out = labels.localCheckpoint()
+    cached.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /** Oracle: transitive closure by recursive CTE over the exact-Jaccard
