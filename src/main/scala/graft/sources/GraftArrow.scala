@@ -38,8 +38,23 @@ object GraftArrow {
              columns: Seq[String] = Nil): DataFrame = {
     val endpoint = new LocalParquetEndpoint(dir)
     val cols = if (columns.isEmpty) endpoint.schema(table).fieldNames.toSeq else columns
-    val plan = endpoint.plan(table,
-      QuerySpec(table, cols.toArray, Array.empty), splitSize)
+    splitPlanDf(spark, endpoint.plan(table,
+      QuerySpec(table, cols.toArray, Array.empty), splitSize), splitSize)
+  }
+
+  /** `dd_splits(url, sql := '…')` (the reference accepts sql here too —
+    * dd_splits.cpp:39-63): the split plan over a server-executed query's
+    * result set. */
+  def splitsSql(spark: SparkSession, dir: String, sql: String,
+                splitSize: Long = 128L * 1024 * 1024): DataFrame = {
+    val endpoint = new SqlEndpoint(dir, sql)
+    val cols = endpoint.schema(null).fieldNames
+    splitPlanDf(spark, endpoint.plan(null,
+      QuerySpec(s"($sql)", cols, Array.empty), splitSize), splitSize)
+  }
+
+  private def splitPlanDf(spark: SparkSession, plan: Seq[SplitInfo],
+                          splitSize: Long): DataFrame = {
     val schema = StructType(Seq(
       StructField("endpoints", StringType, nullable = false),
       StructField("query_id", LongType, nullable = false),

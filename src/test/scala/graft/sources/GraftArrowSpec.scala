@@ -408,6 +408,15 @@ class GraftArrowSpec extends SparkSpec {
     assert(expected.exceptAll(df).count() === 0)
   }
 
+  test("dd_splits over sql: plan covers the result set exactly") {
+    val q = "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 10"
+    val plan = GraftArrow.splitsSql(spark, dir, q)
+    val expected = plain("lineitem").filter(col("l_quantity") < 10).count()
+    assert(plan.count() >= 1)
+    assert(plan.agg(sum(col("split_rows"))).head.getLong(0) === expected)
+    assert(plan.head.getAs[String]("query").contains(q))
+  }
+
   test("sql := mode honors auth: no token, no server execution") {
     intercept[SecurityException] {
       spark.read.format("graft-arrow").option("dir", dir)
