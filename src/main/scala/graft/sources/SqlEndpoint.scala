@@ -73,6 +73,9 @@ object SqlEndpoint {
         // our endpoint reads INT64 timestamps only (no INT96)
         server.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         server.conf.set("spark.sql.session.timeZone", "UTC")
+        // the reference server has its extension loaded, so shipped sql
+        // may call dd_* functions — mirror that on the server session
+        graft.functions.GraftFunctions.register(server)
         val dirPath = new Path(dir)
         val dfs = dirPath.getFileSystem(new Configuration())
         dfs.listStatus(dirPath).map(_.getPath)

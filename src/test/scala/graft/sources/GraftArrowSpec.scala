@@ -417,6 +417,14 @@ class GraftArrowSpec extends SparkSpec {
     assert(plan.head.getAs[String]("query").contains(q))
   }
 
+  test("sql := mode: shipped query can call dd_* extension functions (server has them loaded)") {
+    // dd_search is the always-true pushdown marker; dd_version a scalar
+    val df = GraftArrow.readSql(spark, dir,
+      "SELECT n_name, dd_version() AS v FROM nation WHERE dd_search(n_name, 'x')")
+    assert(df.count() === plain("nation").count())
+    assert(df.select("v").head.getString(0).nonEmpty)
+  }
+
   test("sql := mode honors auth: no token, no server execution") {
     intercept[SecurityException] {
       spark.read.format("graft-arrow").option("dir", dir)
