@@ -1,0 +1,31 @@
+package graft
+
+/** Blanket plan audit over EVERY registered entry: nothing may plan a
+  * cartesian product or a broadcast-nested-loop join — the two shapes
+  * that silently turn into O(N²) work at scale. The ann_* entries are
+  * exempt BY DESIGN: they broadcast the tiny fixed query set across the
+  * corpus (queries × corpus scoring is their semantics, bounded by
+  * |queries|, and TopKAgg keeps the shuffle at queries×k×partitions).
+  *
+  * Entries that eagerly materialize (localCheckpoint / streaming
+  * sinks) have already executed their interesting plan by the time the
+  * frame returns; their O(N²)-freedom is asserted by their own specs
+  * (DedupSpec "no cartesian" tests) — this audit still covers their
+  * final composition plus every lazy entry.
+  */
+class PlanAuditSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+  private val exempt = Set("ann_bruteforce", "ann_lsh", "ann_ivf")
+
+  test("no entry plans a cartesian product or nested-loop join") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!exempt(name)) {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a broadcast nested-loop join:\n$p")
+      }
+    }
+  }
+}
