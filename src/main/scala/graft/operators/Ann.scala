@@ -25,12 +25,14 @@ object Ann {
   private val NumQueries = 5
 
   /** Sequential-fold dot product (same order as the oracle's
-    * list_inner_product → bit-identical values). The HOF form wins over
-    * a 64-term unrolled expression, which blows the generated method
-    * past JIT limits and deoptimizes the whole stage (measured 8×
-    * slower at sf0.1). */
+    * list_inner_product → bit-identical values), as the native codegen
+    * [[org.apache.spark.sql.graft.VecDot]] loop. (A 64-term UNROLLED
+    * expression would blow the generated method past JIT limits —
+    * measured 8× slower at sf0.1; the interpreted HOF form it replaces
+    * paid per-element lambda boxing instead.) */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    Bridge.column(org.apache.spark.sql.graft.VecDot(
+      Bridge.expression(a), Bridge.expression(b)))
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -175,9 +177,11 @@ object Ann {
 
   /** Squared-L2 distance as the same parity-safe sequential fold as
     * [[dot]] (0.0-seeded left fold ≡ DuckDB's first-element-seeded
-    * list_reduce, bit-exactly: 0.0 + x = x). */
+    * list_reduce, bit-exactly: 0.0 + x = x) — native
+    * [[org.apache.spark.sql.graft.VecL2Sq]]. */
   private def l2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    Bridge.column(org.apache.spark.sql.graft.VecL2Sq(
+      Bridge.expression(a), Bridge.expression(b)))
 
   /** IVF-Flat ANN — the inverted-file scale path: a fixed coarse
     * quantizer (deterministic corpus sample — production trains it

@@ -321,11 +321,13 @@ object Dedup {
   }
 
   /** Sequential-fold dot product (bit-identical to the oracle's
-    * list_inner_product). Deliberately NOT unrolled: a 64-term expression
-    * × 60 planes blows generated code past JIT method limits and
-    * deoptimizes the stage (measured 12× slower at sf0.1). */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    * list_inner_product) — native [[org.apache.spark.sql.graft.VecDot]]
+    * loop (NOT unrolled: a 64-term expression × 60 planes blows
+    * generated code past JIT method limits — measured 12× slower). */
+  private def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, VecDot}
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+  }
 
   /** 60-bit sign signature from the fixed hyperplanes, as the native
     * codegen [[org.apache.spark.sql.graft.SignSignature]] expression:
