@@ -6,7 +6,7 @@ import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graft.PolyFingerprint
+import org.apache.spark.sql.graft.{PolyFingerprint, SignSignature, VecFold}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -108,5 +108,42 @@ object GraftProperties extends Properties("graft") {
         val r = got.getStruct(i, 2); (r.getDouble(0), r.getLong(1))
       }
       gotPairs == sorted
+    }
+
+  // ------------------------------------------------- VecFold kernels
+  private val vecGen: Gen[Array[Double]] = Gen.choose(1, 96)
+    .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)).map(_.toArray))
+
+  /** The native loops must equal the HOF they replaced — a 0.0-seeded
+    * sequential left fold — BIT-exactly (same IEEE addition order), or
+    * the oracle-parity argument for every scoring entry collapses. */
+  property("vecdot/vecl2sq: bit-equal to the sequential fold") =
+    forAll(vecGen) { a =>
+      val b = a.map(x => x * 0.5 - 1.0)
+      val (ad, bd) = (ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val dotRef = a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val l2Ref = a.indices.foldLeft(0.0)((acc, i) =>
+        acc + (a(i) - b(i)) * (a(i) - b(i)))
+      VecFold.dot(ad, bd).doubleValue() == dotRef &&
+        VecFold.l2sq(ad, bd).doubleValue() == l2Ref
+    }
+
+  property("vecfold: length mismatch yields null (zip_with pad semantics)") =
+    forAll(vecGen) { a =>
+      val shorter = ArrayData.toArrayData(a.dropRight(1) ++ Array.empty[Double])
+      a.length < 2 ||
+        (VecFold.dot(ArrayData.toArrayData(a), shorter) == null &&
+         VecFold.l2sq(ArrayData.toArrayData(a), shorter) == null)
+    }
+
+  property("signsignature: bit i set iff sequential plane dot > 0") =
+    forAll(Gen.listOfN(8,
+        Gen.listOfN(16, Gen.oneOf(-1.0, 1.0)).map(_.toArray)).map(_.toArray),
+      Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0)).map(_.toArray)) { (planes, e) =>
+      val sig = SignSignature.signature(ArrayData.toArrayData(e), planes)
+      planes.indices.forall { i =>
+        val d = e.indices.foldLeft(0.0)((acc, j) => acc + e(j) * planes(i)(j))
+        ((sig >> i) & 1L) == (if (d > 0) 1L else 0L)
+      }
     }
 }

@@ -425,6 +425,20 @@ class GraftArrowSpec extends SparkSpec {
     assert(df.select("v").head.getString(0).nonEmpty)
   }
 
+  test("sql := mode streams: micro-batches over the server result set") {
+    val stream = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("sql", "SELECT doc_id, source FROM documents WHERE doc_id < 100")
+      .load()
+    val name = s"arrow_sql_stream_${System.nanoTime()}"
+    val q = stream.writeStream.format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val expected = plain("documents").filter(col("doc_id") < 100)
+      .select("doc_id", "source")
+    assert(spark.table(name).count() === expected.count())
+    assert(spark.table(name).exceptAll(expected).count() === 0)
+  }
+
   test("sql := mode honors auth: no token, no server execution") {
     intercept[SecurityException] {
       spark.read.format("graft-arrow").option("dir", dir)
