@@ -34,13 +34,17 @@ object Dedup {
     Tables(spark, dir, "documents")
 
   /** Distinct word-3-gram shingles (0-based token indexing). Documents
-    * with <3 tokens are dropped on BOTH engines. */
-  private def withShingles(d: DataFrame): DataFrame =
-    d.withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - 3),
-          i => concat_ws(" ", col("toks")(i), col("toks")(i + 1), col("toks")(i + 2)))))
+    * with <3 tokens are dropped on BOTH engines (an empty shingle array
+    * here ⇔ len(toks) >= 3 in the oracle — ≥3 tokens always produce ≥1
+    * shingle). Native one-pass
+    * [[org.apache.spark.sql.graft.WordShingles]] — same split/concat/
+    * distinct semantics as the declarative chain it replaced. */
+  private def withShingles(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    d.withColumn("shingles",
+        Bridge.column(WordShingles(Bridge.expression(col("text")))))
+      .filter(size(col("shingles")) > 0)
+  }
 
   private val shinglesSql =
     """SELECT doc_id, list_distinct(list_transform(

@@ -6,7 +6,7 @@ import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.BoundReference
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graft.{PolyFingerprint, SignSignature, VecFold}
+import org.apache.spark.sql.graft.{PolyFingerprint, SignSignature, VecFold, WordShingles}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -134,6 +134,23 @@ object GraftProperties extends Properties("graft") {
       a.length < 2 ||
         (VecFold.dot(ArrayData.toArrayData(a), shorter) == null &&
          VecFold.l2sq(ArrayData.toArrayData(a), shorter) == null)
+    }
+
+  /** WordShingles must equal split(" ", -1) → 3-gram concat →
+    * first-occurrence distinct, including empty-token edge cases from
+    * consecutive/leading/trailing spaces. */
+  property("wordshingles: equals the split/concat/distinct reference") =
+    forAll(Gen.resize(60, Gen.listOf(Gen.oneOf(
+      Gen.resize(5, Gen.alphaNumStr), Gen.const(""))))
+      .map(_.mkString(" "))) { text =>
+      val toks = text.split(" ", -1)
+      val ref =
+        if (toks.length < 3) Seq.empty
+        else (0 to toks.length - 3)
+          .map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+      val got0 = WordShingles.shingles(UTF8String.fromString(text))
+      val got = (0 until got0.numElements()).map(i => got0.getUTF8String(i).toString)
+      got == ref
     }
 
   property("signsignature: bit i set iff sequential plane dot > 0") =

@@ -439,6 +439,20 @@ class GraftArrowSpec extends SparkSpec {
     assert(spark.table(name).exceptAll(expected).count() === 0)
   }
 
+  test("sql := mode: empty result sets and timestamp columns round-trip") {
+    val empty = GraftArrow.readSql(spark, dir,
+      "SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 0")
+    assert(empty.schema.fieldNames.toSeq === Seq("n_nationkey", "n_name"))
+    assert(empty.count() === 0)
+    // timestamps materialize as INT64 micros (the endpoint's repertoire)
+    val ts = GraftArrow.readSql(spark, dir,
+      "SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderkey < 50")
+    val expected = plain("orders").filter(col("o_orderkey") < 50)
+      .select("o_orderkey", "o_orderdate")
+    assert(ts.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(ts).count() === 0)
+  }
+
   test("sql := mode honors auth: no token, no server execution") {
     intercept[SecurityException] {
       spark.read.format("graft-arrow").option("dir", dir)
