@@ -50,10 +50,24 @@ object SqlEndpoint {
     new java.io.File(System.getProperty("java.io.tmpdir"), "graft-sql-cache")
       .getAbsolutePath
 
-  def key(dir: String, sql: String): String =
+  /** Key = md5(dir, sql, each table file's (name, length, mtime)): a
+    * rewritten table invalidates the cached result instead of serving
+    * stale rows - the reference server has no result cache to go stale
+    * (it re-executes per request), so staleness here would be behavior
+    * the contract doesn't allow. Directory tables hash the directory
+    * entry's own length/mtime (updated on any part-file change). */
+  def key(dir: String, sql: String): String = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(new Configuration())
+    val state = fs.listStatus(dirPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName.toString)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString("|")
     java.security.MessageDigest.getInstance("MD5")
-      .digest((dir + "\u0000" + sql).getBytes("UTF-8"))
+      .digest((dir + "\u0000" + sql + "\u0000" + state).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+  }
 
   // per-JVM single-flight: computeIfAbsent blocks concurrent readers of
   // the same (dir, sql) until the first materialization finishes
