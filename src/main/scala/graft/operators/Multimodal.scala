@@ -76,8 +76,11 @@ object Multimodal {
       val codec = FakeCodec
       rows.map { r =>
         val (n, sum, mean, frames) = codec.decode(r.getAs[Array[Byte]]("content"))
-        Row(r.getLong(0), r.getString(2), n, sum,
-          BigDecimal(mean).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, frames)
+        // mean is emitted RAW: sum and n are exact integers on both
+        // engines, so the IEEE quotient is bit-identical — while a
+        // round(double, 6) is legal-to-disagree cross-engine at a 6-dp
+        // boundary (the r2 pipeline_curate lesson)
+        Row(r.getLong(0), r.getString(2), n, sum, mean, frames)
       }
     }(enc)
   }
@@ -91,9 +94,9 @@ object Multimodal {
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  CAST(list_sum(list_transform(generate_series(1, length(text)),
       |       i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum,
-      |  round(CAST(list_sum(list_transform(generate_series(1, length(text)),
+      |  CAST(list_sum(list_transform(generate_series(1, length(text)),
       |       i -> ascii(substr(text, i, 1)))) AS BIGINT)
-      |    / CAST(octet_length(encode(text)) AS BIGINT), 6) AS mean_byte,
+      |    / CAST(octet_length(encode(text)) AS BIGINT) AS mean_byte,
       |  CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames
       |FROM documents""".stripMargin
 

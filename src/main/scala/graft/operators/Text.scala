@@ -88,14 +88,19 @@ object Text {
       .withColumn("stop_cnt", wordCount(col("toks"), enStops).cast("long"))
       .withColumn("alpha_chars",
         length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long"))
+    // ratios and the composite score are emitted RAW: every operand is
+    // an exact integer, so the IEEE quotients/products are bit-identical
+    // across engines for the same expression tree — while round(x, 6)
+    // on a double is legal-to-disagree at a 6-dp boundary (the r2
+    // pipeline_curate lesson; Spark BigDecimal-HALF_UP vs DuckDB scaled
+    // float)
     d.select(
       col("doc_id"), col("n_chars"), col("n_words"), col("stop_cnt"),
-      round(col("stop_cnt") / col("n_words"), 6).as("stop_ratio"),
-      round(col("alpha_chars") / col("n_chars"), 6).as("alpha_ratio"),
-      round(
-        least(col("n_words") / lit(50.0), lit(1.0)) * 0.3 +
+      (col("stop_cnt") / col("n_words")).as("stop_ratio"),
+      (col("alpha_chars") / col("n_chars")).as("alpha_ratio"),
+      (least(col("n_words") / lit(50.0), lit(1.0)) * 0.3 +
         (col("stop_cnt") / col("n_words")) * 0.35 +
-        (col("alpha_chars") / col("n_chars")) * 0.35, 6).as("quality"))
+        (col("alpha_chars") / col("n_chars")) * 0.35).as("quality"))
   }
 
   val qualitySql: String =
@@ -107,11 +112,11 @@ object Text {
        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS alpha_chars
        |FROM t)
        |SELECT doc_id, n_chars, n_words, stop_cnt,
-       |  round(stop_cnt / n_words, 6) AS stop_ratio,
-       |  round(alpha_chars / n_chars, 6) AS alpha_ratio,
-       |  round(least(n_words / 50.0, 1.0) * 0.3 +
+       |  stop_cnt / n_words AS stop_ratio,
+       |  alpha_chars / n_chars AS alpha_ratio,
+       |  least(n_words / 50.0, 1.0) * 0.3 +
        |        (stop_cnt / n_words) * 0.35 +
-       |        (alpha_chars / n_chars) * 0.35, 6) AS quality
+       |        (alpha_chars / n_chars) * 0.35 AS quality
        |FROM f""".stripMargin
 
   // --------------------------------------------------------------- C11
@@ -124,7 +129,8 @@ object Text {
       .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("re_tokens", size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
       .select(col("doc_id"), col("n_chars"), col("ws_tokens"), col("re_tokens"),
-        round(col("n_chars") / col("re_tokens"), 6).as("chars_per_token"))
+        // raw quotient of exact longs — bit-stable; see quality()
+        (col("n_chars") / col("re_tokens")).as("chars_per_token"))
   }
 
   val tokensSql: String =
@@ -132,7 +138,7 @@ object Text {
       |  CAST(length(text) AS BIGINT) AS n_chars,
       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
-      |  round(CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT), 6) AS chars_per_token
+      |  CAST(length(text) AS BIGINT) / CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS chars_per_token
       |FROM documents""".stripMargin
 
   // --------------------------------------------------------------- C12
