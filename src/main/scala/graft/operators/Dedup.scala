@@ -355,14 +355,16 @@ object Dedup {
     * data at every SF (vacuously: no pair reaches cosine 0.75). */
   private[operators] val EmbBands = 4
   private[operators] val EmbBandBits = 15
-  private[operators] def bandKey(sig: Column, b: Int): Column =
-    shiftright(sig, EmbBandBits * b).bitwiseAND((1L << EmbBandBits) - 1)
 
   /** Embedding-cosine near-dup: sign-random-projection LSH → candidate
     * pairs by band equi-join → exact cosine verification at 0.8. Corpus
-    * is never cross-joined. The oracle is the brute-force exact SQL
-    * (band recall 1 on the fixed data — vacuously at SFs where no pair
-    * reaches 0.8).
+    * is never cross-joined. The oracle is ALGORITHM-PARITY SQL (the
+    * ann_lsh precedent): the same fixed hyperplanes, signature, 4×15-bit
+    * band match and exact cosine verify reproduced in DuckDB — banded
+    * recall at the 0.8 threshold is < 1 by design (sign-LSH prunes), and
+    * a ground-truth oracle would only match on data with no pairs in
+    * the recall gap; the parity oracle checks the algorithm end-to-end
+    * on ANY data.
     *
     * Plan shape (the r3 version was 9× slower than this): the band
     * table is ids-only — `(vec_id, band_key)` — so the 60-plane
@@ -401,15 +403,31 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  val embeddingDedupSql: String =
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  list_inner_product(a.e, b.e) /
-       |        (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cosine
-       |FROM v a JOIN v b ON a.vec_id < b.vec_id
-       |WHERE list_inner_product(a.e, b.e) /
-       |      (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= $CosineThreshold
+  val embeddingDedupSql: String = {
+    val planesLit = planes
+      .map(p => p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .mkString("[", ",\n  ", "]")
+    val mask = (1L << EmbBandBits) - 1
+    val bandMatch = (0 until EmbBands)
+      .map(b => s"((a.sig >> ${EmbBandBits * b}) & $mask) = " +
+        s"((b.sig >> ${EmbBandBits * b}) & $mask)")
+      .mkString(" OR ")
+    s"""WITH p AS (SELECT $planesLit AS ps),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |s AS (SELECT vec_id, e,
+       |  CAST(list_sum(list_transform(generate_series(1, ${planes.length}),
+       |    i -> CASE WHEN list_inner_product(e, ps[i]) > 0
+       |         THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM v CROSS JOIN p),
+       |cand AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_inner_product(a.e, b.e) /
+       |      (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cos
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($bandMatch))
+       |SELECT vec_a, vec_b, cos AS cosine FROM cand
+       |WHERE cos >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   // --------------------------------------------------------------- C13
   /** Near-dup cluster assignment: connected components over the

@@ -232,6 +232,16 @@ object Streams {
                 case Some(o) if us - o.lastUs > SessionGapMicros =>
                   closed += toSession(uid, o)
                   st = Some(OpenSession(o.seq + 1, us, us, 1L, e6(e.value)))
+                case Some(o) if o.startUs - us > SessionGapMicros =>
+                  // cross-batch late event more than a gap BEFORE the
+                  // open session: it is its own (already-over) session.
+                  // Merging it would emit a session violating its own
+                  // gap invariant; it takes the open session's seq (it
+                  // is temporally earlier) and the open session shifts
+                  // up — matching batch seq order for one late session.
+                  closed += toSession(uid,
+                    OpenSession(o.seq, us, us, 1L, e6(e.value)))
+                  st = Some(o.copy(seq = o.seq + 1))
                 case Some(o) =>
                   st = Some(o.copy(
                     startUs = math.min(o.startUs, us),

@@ -115,6 +115,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D2: a cross-batch late event beyond the gap becomes its own session, never a merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 5, 1, 12, 0, 0)
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStreaming(input.toDS())
+      .writeStream.format("memory").queryName("d2_late")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Event(1, t0, 5L, "click", 1.0))
+      q.processAllAvailable()
+      // 3h EARLIER than the open session — must close as its own
+      // session (bounds 09:00-09:00), not stretch the open one to span
+      // a >30min internal gap
+      input.addData(Event(2, t0.minusHours(3), 5L, "click", 2.0))
+      q.processAllAvailable()
+      // and a later event closes the original session
+      input.addData(Event(3, t0.plusHours(2), 5L, "click", 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("d2_late").as[Session].collect().sortBy(_.sess_seq)
+      assert(closed.length === 2)
+      assert(closed(0).start_ts === "2024-05-01 09:00:00")
+      assert(closed(0).end_ts === "2024-05-01 09:00:00")
+      assert(closed(0).n_events === 1 && closed(0).total_value === 2.0)
+      assert(closed(1).start_ts === "2024-05-01 12:00:00")
+      assert(closed(1).end_ts === "2024-05-01 12:00:00")
+      assert(closed(1).n_events === 1 && closed(1).total_value === 1.0)
+      assert(closed(0).sess_seq < closed(1).sess_seq,
+        "the temporally-earlier late session takes the lower seq")
+    } finally q.stop()
+  }
+
   test("D1 sessionize entry matches DuckDB-shaped recomputation in Spark SQL") {
     // independent recomputation of the session assignment with window
     // functions (the oracle's algebra) — guards the imperative walk
