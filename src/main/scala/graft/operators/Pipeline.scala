@@ -144,11 +144,103 @@ object Pipeline {
        |FROM survivors
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- decontamination
+  /** Deterministic pseudo-benchmark membership (a stand-in for a real
+    * eval-set id list): every 97th doc_id. */
+  private val BenchmarkMod = 97
+  /** ≥ this many shared distinct 3-grams with the benchmark ⇒
+    * contaminated. */
+  private val ContaminationFloor = 3
+
+  /** Benchmark decontamination — the training-data op that keeps eval
+    * data out of the corpus: a document is contaminated when it shares
+    * ≥ [[ContaminationFloor]] distinct word-3-grams with ANY benchmark
+    * document. Gram matching joins on xxhash64(gram) like
+    * [[Dedup.ngramJaccard]] (collision probability ≈ n²/2⁶⁴ — accepted
+    * and documented there); the benchmark gram set is orders of
+    * magnitude smaller than the corpus, so the join broadcasts at
+    * scale and the corpus shuffles nothing.
+    *
+    * All outputs are exact integers — no cross-engine float risk. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    val d = Tables(spark, dir, "documents")
+      .withColumn("shingles",
+        Bridge.column(WordShingles(Bridge.expression(col("text")))))
+      .select(col("doc_id"), col("shingles"))
+    val grams = d
+      .select(col("doc_id"), explode(col("shingles")).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+    // the benchmark's distinct gram set (small side)
+    val benchGrams = grams
+      .filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("g")).distinct()
+    grams
+      .filter(col("doc_id") % BenchmarkMod =!= 0)
+      .join(benchGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= ContaminationFloor)
+      .select(col("doc_id"), col("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+       |  FROM t WHERE len(toks) >= 3),
+       |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchmarkMod = 0)
+       |SELECT doc_id, count(*) AS n_shared_grams
+       |FROM g
+       |WHERE doc_id % $BenchmarkMod <> 0 AND gram IN (SELECT gram FROM bench)
+       |GROUP BY doc_id
+       |HAVING count(*) >= $ContaminationFloor
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- capped sampling
+  /** Per-source document cap. */
+  private val SampleCap = 50
+
+  /** Per-group capped sampling — bound any one source's share of the
+    * corpus: keep the first [[SampleCap]] docs per source in
+    * deterministic doc_id order (row_number over a per-source window;
+    * the window sorts with Spark's spillable external sort, and the
+    * output stats are exact integers). */
+  def sampleCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("rn") <= SampleCap, 1L).otherwise(0L)).as("n_kept"),
+        count(lit(1)).as("n_total"))
+      .orderBy(col("source"))
+  }
+
+  val sampleCapSql: String =
+    s"""SELECT source,
+       |  sum(CASE WHEN rn <= $SampleCap THEN 1 ELSE 0 END) AS n_kept,
+       |  count(*) AS n_total
+       |FROM (SELECT source,
+       |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |      FROM documents)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
-    "pipeline_kept_docs" -> keptDocs _)
+    "pipeline_kept_docs" -> keptDocs _,
+    "pipeline_decontaminate" -> decontaminate _,
+    "pipeline_sample_cap" -> sampleCap _)
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate" -> curateSql,
-    "pipeline_kept_docs" -> keptDocsSql)
+    "pipeline_kept_docs" -> keptDocsSql,
+    "pipeline_decontaminate" -> decontaminateSql,
+    "pipeline_sample_cap" -> sampleCapSql)
 }

@@ -17,6 +17,31 @@ class PipelineSpec extends SparkSpec {
     assert(kept.select("doc_id").distinct().count() === kept.count(), "no dup doc ids")
   }
 
+  test("decontamination flags exactly the docs sharing >=3 grams with the benchmark") {
+    val flagged = Pipeline.decontaminate(spark, dir)
+    // no benchmark doc flags itself, counts are >= the floor
+    assert(flagged.filter(col("doc_id") % 97 === 0).count() === 0)
+    assert(flagged.filter(col("n_shared_grams") < 3).count() === 0)
+    // a benchmark doc's own exact duplicate (if any) must be flagged:
+    // identical text shares every gram. Recompute independently via the
+    // exact-dedup groups.
+    val dupOfBench = Dedup.exact(spark, dir)
+      .filter(col("n_copies") >= 2 && col("keep_id") % 97 === 0)
+      .count()
+    val plan = flagged.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(dupOfBench == 0 || flagged.count() > 0)
+  }
+
+  test("per-source sampling cap keeps min(n, 50) per source") {
+    val stats = Pipeline.sampleCap(spark, dir).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val (kept, total) = (r.getLong(1), r.getLong(2))
+      assert(kept === math.min(total, 50L), s"source ${r.getString(0)}")
+    }
+  }
+
   test("materialize writes a source-partitioned parquet corpus with text") {
     val out = java.nio.file.Files.createTempDirectory("graft-curated").toString + "/corpus"
     Pipeline.materialize(spark, dir, out)
