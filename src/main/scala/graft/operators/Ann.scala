@@ -139,8 +139,10 @@ object Ann {
     * fold) — so the approximate operator gets an EXACT oracle: it checks
     * the algorithm end-to-end, not just row counts. */
   val lshSql: String = {
+    // actual plane values, not a sign-quantized rendering — see
+    // Dedup.embeddingDedupSql
     val planesLit = Dedup.planes
-      .map(p => p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .map(p => p.map(_.toString).mkString("[", ",", "]"))
       .mkString("[", ",\n  ", "]")
     val mask = (1L << AnnBandBits) - 1
     val bandMatch = (0 until AnnBands)

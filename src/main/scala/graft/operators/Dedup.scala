@@ -404,8 +404,10 @@ object Dedup {
   }
 
   val embeddingDedupSql: String = {
+    // actual plane values (±1 today, but the oracle must not silently
+    // sign-quantize if the plane distribution ever changes)
     val planesLit = planes
-      .map(p => p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .map(p => p.map(_.toString).mkString("[", ",", "]"))
       .mkString("[", ",\n  ", "]")
     val mask = (1L << EmbBandBits) - 1
     val bandMatch = (0 until EmbBands)

@@ -225,33 +225,63 @@ object Streams {
             // size): the iterator arrives unordered
             val evs = in.toArray.sortBy(e => (micros(e.ts), e.event_id))
             val closed = Vector.newBuilder[Session]
-            var st = state.getOption
+            var open = state.getOption
+            // Cross-batch late events (more than a gap BEFORE the open
+            // session) sessionize among THEMSELVES within the batch —
+            // merging them into the open session would emit a session
+            // violating its own gap invariant, and emitting each as a
+            // singleton would split one late session into many. A late
+            // session takes the open session's seq (it is temporally
+            // earlier) and the open session shifts up; if the open
+            // session's backward extension later bridges the gap, the
+            // late bucket merges into it instead.
+            var late: Option[OpenSession] = None
+            def resolveLate(): Unit = (late, open) match {
+              case (Some(l), Some(o)) =>
+                if (o.startUs - l.lastUs > SessionGapMicros) {
+                  closed += toSession(uid, l.copy(seq = o.seq))
+                  open = Some(o.copy(seq = o.seq + 1))
+                } else {
+                  open = Some(o.copy(
+                    startUs = math.min(o.startUs, l.startUs),
+                    n = o.n + l.n, valueE6 = o.valueE6 + l.valueE6))
+                }
+                late = None
+              case _ => late = None
+            }
             evs.foreach { e =>
               val us = micros(e.ts)
-              st match {
+              open match {
                 case Some(o) if us - o.lastUs > SessionGapMicros =>
-                  closed += toSession(uid, o)
-                  st = Some(OpenSession(o.seq + 1, us, us, 1L, e6(e.value)))
+                  resolveLate() // may shift seq / extend start
+                  val oo = open.get
+                  closed += toSession(uid, oo)
+                  open = Some(OpenSession(oo.seq + 1, us, us, 1L, e6(e.value)))
                 case Some(o) if o.startUs - us > SessionGapMicros =>
-                  // cross-batch late event more than a gap BEFORE the
-                  // open session: it is its own (already-over) session.
-                  // Merging it would emit a session violating its own
-                  // gap invariant; it takes the open session's seq (it
-                  // is temporally earlier) and the open session shifts
-                  // up — matching batch seq order for one late session.
-                  closed += toSession(uid,
-                    OpenSession(o.seq, us, us, 1L, e6(e.value)))
-                  st = Some(o.copy(seq = o.seq + 1))
+                  late match {
+                    case Some(l) if us - l.lastUs > SessionGapMicros =>
+                      // two distinct late sessions: the earlier closes
+                      closed += toSession(uid, l.copy(seq = o.seq))
+                      open = Some(o.copy(seq = o.seq + 1))
+                      late = Some(OpenSession(0L, us, us, 1L, e6(e.value)))
+                    case Some(l) =>
+                      late = Some(l.copy(lastUs = us, n = l.n + 1,
+                        valueE6 = l.valueE6 + e6(e.value)))
+                    case None =>
+                      late = Some(OpenSession(0L, us, us, 1L, e6(e.value)))
+                  }
                 case Some(o) =>
-                  st = Some(o.copy(
+                  open = Some(o.copy(
                     startUs = math.min(o.startUs, us),
                     lastUs = math.max(o.lastUs, us),
                     n = o.n + 1, valueE6 = o.valueE6 + e6(e.value)))
+                  resolveLate() // backward extension may bridge the gap
                 case None =>
-                  st = Some(OpenSession(1L, us, us, 1L, e6(e.value)))
+                  open = Some(OpenSession(1L, us, us, 1L, e6(e.value)))
               }
             }
-            st.foreach(state.update)
+            resolveLate()
+            open.foreach(state.update)
             closed.result().iterator
           }
       }

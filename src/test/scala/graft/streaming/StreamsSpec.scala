@@ -148,6 +148,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D2: two late events within a gap of each other form ONE late session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 6, 1, 12, 0, 0)
+    val input = MemoryStream[Event]
+    val q = Streams.sessionizeStreaming(input.toDS())
+      .writeStream.format("memory").queryName("d2_late2")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      input.addData(Event(1, t0, 9L, "click", 1.0))
+      q.processAllAvailable()
+      // both 3h late, 10min apart, delivered in one batch (shuffled)
+      input.addData(
+        Event(3, t0.minusHours(3).plusMinutes(10), 9L, "click", 4.0),
+        Event(2, t0.minusHours(3), 9L, "click", 2.0))
+      q.processAllAvailable()
+      val closed = spark.table("d2_late2").as[Session].collect()
+      assert(closed.length === 1, s"one merged late session, got ${closed.toSeq}")
+      assert(closed.head.start_ts === "2024-06-01 09:00:00")
+      assert(closed.head.end_ts === "2024-06-01 09:10:00")
+      assert(closed.head.n_events === 2 && closed.head.total_value === 6.0)
+    } finally q.stop()
+  }
+
   test("D1 sessionize entry matches DuckDB-shaped recomputation in Spark SQL") {
     // independent recomputation of the session assignment with window
     // functions (the oracle's algebra) — guards the imperative walk
