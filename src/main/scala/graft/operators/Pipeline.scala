@@ -132,7 +132,7 @@ object Pipeline {
   val curateSql: String =
     s"""$curateCtes
        |SELECT source, count(*) AS n_docs,
-       |  sum(n_words) AS total_words,
+       |  CAST(sum(n_words) AS BIGINT) AS total_words,
        |  CAST(sum(quality_micro) AS DOUBLE) / (1000000.0 * count(*)) AS avg_quality
        |FROM survivors
        |GROUP BY source
@@ -224,7 +224,7 @@ object Pipeline {
 
   val sampleCapSql: String =
     s"""SELECT source,
-       |  sum(CASE WHEN rn <= $SampleCap THEN 1 ELSE 0 END) AS n_kept,
+       |  CAST(sum(CASE WHEN rn <= $SampleCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  count(*) AS n_total
        |FROM (SELECT source,
        |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn

@@ -7,9 +7,29 @@ Reads each <name>/ parquet result written by graft.Verify, runs the
 corresponding oracle SQL from oracle_sql.json in DuckDB against the
 sf_dir tables, and compares values (column-name-sorted, row-sorted).
 """
-import json, sys, glob, os
+import json, re, sys, glob, os
 import duckdb
 import pandas as pd
+
+
+def _dtype_key(s: str) -> str:
+    """Normalize a pandas dtype string for the strict compare.
+
+    Tolerated representation differences (each driver-verified):
+    - datetime64 storage unit (ns vs us vs ms): a parquet/pandas
+      storage artifact, not an engine result type; the driver's hash
+      is value-level for timestamps.
+    - integer WIDTH (int32 vs int64): Spark row_number() is int32,
+      DuckDB's is BIGINT, and q7_window_rank hash-PASSed the driver
+      in rounds 1-4 — the driver normalizes integer values.
+    Everything else must match exactly — in particular DuckDB HUGEINT
+    (integer sum()) surfaces as float64 or decimal while Spark emits
+    int64, and the driver's hash FAILS on that (pipeline_curate
+    r2-r4); the local gate must too (r4 verdict items 1-3). int-vs-
+    float is NOT normalized.
+    """
+    s = re.sub(r"^u?int(8|16|32|64)$", "int64", s)
+    return re.sub(r"^datetime64\[(ns|us|ms)", "datetime64[*", s)
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -45,6 +65,14 @@ def main():
             n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        dt_mismatch = [
+            (c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+            if _dtype_key(str(got[c].dtype)) != _dtype_key(str(want[c].dtype))]
+        if dt_mismatch:
+            print(f"FAIL {name}: dtype mismatch (spark vs oracle) {dt_mismatch}"
+                  " — DuckDB HUGEINT from integer sum()? CAST(... AS BIGINT)"
+                  " in the oracle SQL")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
