@@ -7,24 +7,33 @@ import org.apache.spark.sql.types._
 object GraftArrow {
   val Format = "graft.sources.GraftArrowTableProvider"
 
-  /** `dd_read_arrow` equivalent: scan `table` through the endpoint. */
+  /** `dd_read_arrow` equivalent: scan `table` through the endpoint.
+    * `split` defaults to TRUE here (parallel row-group-aligned splits —
+    * the right Spark contract) even though the raw `split` option and
+    * the reference's named parameter default false (single stream per
+    * file, read_arrow_dd.cpp:318); pass `split = false` for the
+    * reference's non-split scan. */
   def read(spark: SparkSession, dir: String, table: String,
-           splitSize: Long = 128L * 1024 * 1024): DataFrame =
+           splitSize: Long = 128L * 1024 * 1024,
+           split: Boolean = true): DataFrame =
     spark.read.format(Format)
       .option("dir", dir)
       .option("table", table)
       .option("split_size", splitSize)
+      .option("split", split)
       .load()
 
   /** `dd_read_arrow(url, sql := '…')` equivalent: ship a free-form query
     * to the endpoint's engine, scan its result set in parallel splits
     * (reference read_arrow_dd.cpp:313-345). */
   def readSql(spark: SparkSession, dir: String, sql: String,
-              splitSize: Long = 128L * 1024 * 1024): DataFrame =
+              splitSize: Long = 128L * 1024 * 1024,
+              split: Boolean = true): DataFrame =
     spark.read.format(Format)
       .option("dir", dir)
       .option("sql", sql)
       .option("split_size", splitSize)
+      .option("split", split)
       .load()
 
   /** `dd_splits` equivalent (SURVEY.md §2 A6; reference

@@ -24,7 +24,14 @@ import scala.jdk.CollectionConverters._
   * Options: `dir` (endpoint root), exactly one of `table` or `sql`
   * (free-form server-executed query — reference `sql :=` named
   * parameter, read_arrow_dd.cpp:313-345), `split_size` (bytes, default
-  * 128 MiB — reference's split_size named parameter).
+  * 128 MiB — reference's split_size named parameter), and `split`
+  * (boolean, default false like the reference's `split` named
+  * parameter, read_arrow_dd.cpp:318: false = one split covering all
+  * row groups per file — the reference's single-stream scan; true =
+  * row-group-aligned `split_size`-byte splits). The raw option default
+  * mirrors the reference; the [[graft.sources.GraftArrow]] helpers
+  * default to `split=true` because partitioned scans are the right
+  * Spark contract — a 1000-executor cluster wants N splits, not 1.
   *
   * Scale design: `planInputPartitions` emits one partition per endpoint
   * split (row-group aligned byte ranges), so a 1000-executor cluster
@@ -52,7 +59,8 @@ class GraftArrowTableProvider extends TableProvider
       endpoint,
       table,
       schema,
-      options.getLong("split_size", 128L * 1024 * 1024))
+      options.getLong("split_size", 128L * 1024 * 1024),
+      options.getBoolean("split", false))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -100,13 +108,18 @@ object GraftArrowTableProvider {
 }
 
 class GraftArrowTable(endpoint: Endpoint, table: String, tschema: StructType,
-                      splitSize: Long) extends Table with SupportsRead {
+                      splitSize: Long, split: Boolean = true)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-arrow:$table"
   override def schema(): StructType = tschema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  // split=false ⇒ an unbounded per-file byte budget: the endpoint packs
+  // every row group of a file into one split (splits never span files),
+  // which is exactly the reference's non-split single-stream contract
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftArrowScanBuilder(endpoint, table, tschema, splitSize)
+    new GraftArrowScanBuilder(endpoint, table, tschema,
+      if (split) splitSize else Long.MaxValue)
 }
 
 class GraftArrowScanBuilder(endpoint: Endpoint, table: String,

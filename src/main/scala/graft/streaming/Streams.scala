@@ -67,6 +67,7 @@ object Streams {
     val stream = spark.readStream.format("graft-arrow")
       .option("dir", dir)
       .option("table", "events")
+      .option("split", true) // one micro-batch per split (raw default is the reference's non-split scan)
       .load()
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val sinkName = s"graft_d1_${System.nanoTime()}"
@@ -299,6 +300,7 @@ object Streams {
     val stream = spark.readStream.format("graft-arrow")
       .option("dir", dir)
       .option("table", "documents")
+      .option("split", true) // one micro-batch per split, as for D1
       .load()
       .select(md5(col("text")).as("h"))
       .dropDuplicates("h")

@@ -177,6 +177,37 @@ class GraftArrowSpec extends SparkSpec {
     assert(viaSource.count() === plain("lineitem").count())
   }
 
+  test("split option: false = one partition per file (reference default), true = split scan") {
+    // multi-row-group single file, as in the A5 test
+    val tmp = java.nio.file.Files.createTempDirectory("graft-splitopt").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try plain("lineitem").repartition(1).write.mode("overwrite").parquet(s"$tmp/out")
+    finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/li.parquet"))
+    // split=true with a tiny budget: one partition per row group
+    val split = GraftArrow.read(spark, tmp, "li", splitSize = 1L, split = true)
+    assert(split.rdd.getNumPartitions > 1)
+    // split=false: ONE partition covering all row groups of the file,
+    // regardless of split_size — the reference's non-split scan
+    // (read_arrow_dd.cpp:318); also the raw option's default
+    val noSplit = GraftArrow.read(spark, tmp, "li", splitSize = 1L, split = false)
+    assert(noSplit.rdd.getNumPartitions === 1)
+    val rawDefault = spark.read.format("graft-arrow")
+      .option("dir", tmp).option("table", "li").option("split_size", 1L).load()
+    assert(rawDefault.rdd.getNumPartitions === 1)
+    // identical data either way, and pushdown still applies per file
+    assert(noSplit.count() === split.count())
+    assert(noSplit.filter(col("l_orderkey") < 100).count() ===
+      split.filter(col("l_orderkey") < 100).count())
+  }
+
   test("multi-file table: a directory of part files scans as one table with per-file splits") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-multi").toString
     // the realistic at-scale layout: <table>.parquet/ is a directory
