@@ -472,7 +472,11 @@ object Dedup {
     * the gate exists to protect). */
   private val BroadcastPairLimit = 1L * 1000 * 1000
 
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The pair-graph label map `(doc_id, cluster_id)` — covers only
+    * docs that appear in a verified near-dup pair (dup-graph-sized) —
+    * plus whether the size gate proved it broadcast-small. Shared by
+    * [[clusters]] and [[Pipeline.curateNearDup]]. */
+  private[operators] def labelMap(spark: SparkSession, dir: String): (DataFrame, Boolean) = {
     // cache the verified pairs: both the size gate and the component
     // computation consume them — without this the whole minhash lineage
     // re-executes per reference
@@ -485,19 +489,23 @@ object Dedup {
     val labels: DataFrame =
       if (small) broadcastComponents(spark, pairs.collect())
       else propagateComponents(spark, pairs)
+    pairs.unpersist()
+    (labels, small)
+  }
+
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, small) = labelMap(spark, dir)
     // every doc outside the pair graph is trivially its own canonical
     // singleton — a left join against the label map. The broadcast hint
     // is only attached when the size gate proved the map small; on the
     // scale path AQE decides (a forced broadcast of an unbounded side
     // is exactly the r1 scale-killer).
     val labelSide = if (small) broadcast(labels) else labels
-    val out = docs(spark, dir).select(col("doc_id"))
+    docs(spark, dir).select(col("doc_id"))
       .join(labelSide, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")))
-    pairs.unpersist()
-    out
   }
 
   /** Fast path: union-find over the collected pair list (exact, one
@@ -578,10 +586,12 @@ object Dedup {
     out
   }
 
-  /** Oracle: transitive closure by recursive CTE over the exact-Jaccard
-    * pair graph (equal to the LSH graph at band recall 1). */
-  val clustersSql: String =
-    s"""WITH RECURSIVE sh AS ($shinglesSql),
+  /** The transitive-closure CTE list (recursive — must sit in a
+    * `WITH RECURSIVE`): exact-Jaccard pair graph (equal to the LSH
+    * graph at band recall 1) closed by `reach`. Shared with
+    * [[Pipeline.curateNearDupSql]]. */
+  private[operators] val clustersCtes: String =
+    s"""sh AS ($shinglesSql),
        |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
        |shared AS (
@@ -597,7 +607,12 @@ object Dedup {
        |reach(a, b) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
+  /** Oracle: transitive closure by recursive CTE over the exact-Jaccard
+    * pair graph (equal to the LSH graph at band recall 1). */
+  val clustersSql: String =
+    s"""WITH RECURSIVE $clustersCtes
        |SELECT a AS doc_id, min(b) AS cluster_id,
        |       a = min(b) AS is_canonical
        |FROM reach GROUP BY a""".stripMargin

@@ -9,9 +9,10 @@ import graft.Tables
   * C-ops exist for): language gate → quality threshold → exact dedup →
   * per-source corpus stats. One declarative plan — Catalyst fuses the
   * feature projections, and the only shuffles are the dedup hash
-  * groupBy and the final stats groupBy. (The near-dup stage would chain
-  * [[Dedup.clusters]]' `is_canonical` the same way; kept out of this
-  * entry so the oracle stays non-recursive.)
+  * groupBy and the final stats groupBy. (The near-dup stage chains the
+  * same way — [[curateNearDup]] adds [[Dedup.labelMap]]'s canonical
+  * gate as a dup-graph-sized anti-join; it is a separate entry so the
+  * base oracle stays non-recursive.)
   *
   * Cross-engine exactness: the quality score is an INTEGER micro-score
   * (`quality_micro` = quality × 10⁶, BIGINT) computed with one explicit
@@ -144,6 +145,47 @@ object Pipeline {
        |FROM survivors
        |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------------------- near-dup curation
+  /** [[curate]] with the near-dup stage chained in: docs demoted by the
+    * minhash-LSH cluster assignment (non-canonical members of a
+    * near-dup component) are dropped before the per-source stats.
+    *
+    * Scale shape: the demoted set is DUP-GRAPH-sized — only docs that
+    * appear in a verified near-dup pair AND lost the min-id tie-break —
+    * so the gate is an anti-join against a small side (broadcast when
+    * the size gate proves it, AQE otherwise), never a corpus-sized
+    * label join; the full `Dedup.clusters` output (every doc × label)
+    * is never materialized here. */
+  def curateNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val (labels, small) = Dedup.labelMap(spark, dir)
+    val demoted = labels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    val demotedSide = if (small) broadcast(demoted) else demoted
+    kept(spark, dir)
+      .join(demotedSide, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        (sum(col("quality_micro")).cast("double") / (lit(1000000.0) * count(lit(1))))
+          .as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: the curation CTEs ∩ the canonical set of the recursive
+    * transitive-closure clusters oracle (both CTE lists verbatim —
+    * the near-dup gate is `doc_id = min(reachable)`). */
+  val curateNearDupSql: String =
+    s"""WITH RECURSIVE ${curateCtes.stripPrefix("WITH ")},
+       |${Dedup.clustersCtes},
+       |canon AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS total_words,
+       |  CAST(sum(quality_micro) AS DOUBLE) / (1000000.0 * count(*)) AS avg_quality
+       |FROM survivors JOIN canon USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   // ------------------------------------------------- decontamination
   /** Deterministic pseudo-benchmark membership (a stand-in for a real
     * eval-set id list): every 97th doc_id. */
@@ -234,12 +276,14 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
+    "pipeline_curate_neardup" -> curateNearDup _,
     "pipeline_kept_docs" -> keptDocs _,
     "pipeline_decontaminate" -> decontaminate _,
     "pipeline_sample_cap" -> sampleCap _)
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate" -> curateSql,
+    "pipeline_curate_neardup" -> curateNearDupSql,
     "pipeline_kept_docs" -> keptDocsSql,
     "pipeline_decontaminate" -> decontaminateSql,
     "pipeline_sample_cap" -> sampleCapSql)

@@ -17,6 +17,21 @@ class PipelineSpec extends SparkSpec {
     assert(kept.select("doc_id").distinct().count() === kept.count(), "no dup doc ids")
   }
 
+  test("near-dup curation drops exactly the demoted cluster members from the stats") {
+    val base = Pipeline.curate(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nd = Pipeline.curateNearDup(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nd.keySet.subsetOf(base.keySet))
+    nd.foreach { case (src, n) => assert(n <= base(src), s"source $src grew") }
+    // independent recomputation: kept ∩ non-canonical = the dropped docs
+    val demoted = Dedup.clusters(spark, dir)
+      .filter(!col("is_canonical")).select("doc_id")
+    val dropped = Pipeline.kept(spark, dir)
+      .join(demoted, Seq("doc_id"), "left_semi").count()
+    assert(base.values.sum - nd.values.sum === dropped)
+  }
+
   test("decontamination flags exactly the docs sharing >=3 grams with the benchmark") {
     val flagged = Pipeline.decontaminate(spark, dir)
     // no benchmark doc flags itself, counts are >= the floor
