@@ -470,26 +470,27 @@ object Dedup {
     * heap (GenericRow overhead dominates the 16 bytes of payload — the
     * r3 4M limit underestimated that by ~6× and could OOM the driver
     * the gate exists to protect). */
-  private val BroadcastPairLimit = 1L * 1000 * 1000
+  private val BroadcastPairLimit = 1000 * 1000
 
   /** The pair-graph label map `(doc_id, cluster_id)` — covers only
     * docs that appear in a verified near-dup pair (dup-graph-sized) —
     * plus whether the size gate proved it broadcast-small. Shared by
     * [[clusters]] and [[Pipeline.curateNearDup]]. */
   private[operators] def labelMap(spark: SparkSession, dir: String): (DataFrame, Boolean) = {
-    // cache the verified pairs: both the size gate and the component
-    // computation consume them — without this the whole minhash lineage
-    // re-executes per reference
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")).cache()
-    // gate on a COUNT first (one cache-materializing action shipping a
-    // single long to the driver), and collect only a graph the count
-    // proved small — never speculative-collect rows that might be
-    // thrown away
-    val small = pairs.count() <= BroadcastPairLimit
+    // minhashLsh returns a localCheckpoint'd (already materialized)
+    // frame, so re-reading it costs a block scan, not a lineage replay —
+    // no extra cache needed. The size gate and the fast-path collect
+    // collapse into ONE bounded action: limit(N+1) caps driver transfer
+    // at the same ~100 MB the gate was sized for (CollectLimitExec stops
+    // scanning once it has N+1 rows, so an over-limit graph ships only
+    // the first N+1, never the whole thing), and a probe that comes back
+    // ≤ N is by construction the COMPLETE pair set.
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val probe = pairs.limit(BroadcastPairLimit + 1).collect()
+    val small = probe.length <= BroadcastPairLimit
     val labels: DataFrame =
-      if (small) broadcastComponents(spark, pairs.collect())
+      if (small) broadcastComponents(spark, probe)
       else propagateComponents(spark, pairs)
-    pairs.unpersist()
     (labels, small)
   }
 
