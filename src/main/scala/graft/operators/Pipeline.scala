@@ -244,7 +244,7 @@ object Pipeline {
 
   // ------------------------------------------------- capped sampling
   /** Per-source document cap. */
-  private val SampleCap = 50
+  private val SampleCap = 10
 
   /** Per-group capped sampling — bound any one source's share of the
     * corpus: keep the first [[SampleCap]] docs per source in
@@ -274,17 +274,173 @@ object Pipeline {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ------------------------------------- bloom-prefiltered decontamination
+  /** [[decontaminate]] with the benchmark gram set compiled into ONE
+    * bloom blob ([[graft.functions.BloomBlob]] — the reference's
+    * dd_bloom_filter_create wire format) instead of a distributed
+    * semi-join side. At 100 TB the benchmark set is fixed-size (eval
+    * sets), so the blob is built once from a single collect_set
+    * aggregate row, fetched to the driver as ONE bounded scalar (a few
+    * KB — the same contract as a broadcast variable), and inlined as a
+    * literal: every executor then prefilters its grams with the
+    * codegen'd BloomFilterContains against a CONSTANT blob — no
+    * shuffle, no join, no per-row broadcast lookup — and only the
+    * bloom-surviving grams (true matches + ~0.1% false positives at 10
+    * bits/element) enter the exact semi-join verify. Output is
+    * IDENTICAL to [[decontaminate]] (bloom false positives are removed
+    * by the verify), so the oracle is the same SQL. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    import graft.functions.GraftFunctions
+    val d = Tables(spark, dir, "documents")
+      .withColumn("shingles",
+        Bridge.column(WordShingles(Bridge.expression(col("text")))))
+      .select(col("doc_id"), col("shingles"))
+    val grams = d.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val benchGrams = grams
+      .filter(col("doc_id") % BenchmarkMod === 0)
+      .select(col("g")).distinct()
+    // one aggregate row holding the whole (bounded) benchmark gram set
+    // → one blob; .head() ships only the blob bytes, never the grams
+    val blob: Array[Byte] = benchGrams
+      .agg(collect_set(col("g")).as("gs"))
+      .select(GraftFunctions.dd_bloom_filter_create(col("gs")).as("b"))
+      .head().getAs[Array[Byte]](0)
+    grams
+      .filter(col("doc_id") % BenchmarkMod =!= 0)
+      .filter(GraftFunctions.dd_bloom_filter_contains(lit(blob), col("g")))
+      .select(col("doc_id"), xxhash64(col("g")).as("g"))
+      .join(benchGrams.select(xxhash64(col("g")).as("g")), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= ContaminationFloor)
+      .select(col("doc_id"), col("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------- sequence packing
+  /** Token budget of one packed training sequence. */
+  private val SeqBudget = 256L
+  /** Docs per packing shard — bounds every window partition so the
+    * packing sort never concentrates a whole source on one task. */
+  private val PackShard = 256L
+
+  /** Sequence packing — the step that turns a curated corpus into
+    * fixed-token-budget training rows: docs are laid out in
+    * deterministic doc_id order and a document starts a new sequence
+    * whenever the running token count crosses a [[SeqBudget]] boundary
+    * (`seq_id = tokens_before_this_doc div budget` — the standard
+    * contiguous-fill approximation of bin packing; a single streaming
+    * pass, no global coordination). Packing is per (source, shard):
+    * sharding by `doc_id div` [[PackShard]] keeps every window
+    * partition a bounded few hundred rows however large one source
+    * grows, so the plan holds at 100 TB — shuffle keys are
+    * (source, shard), each sort is in-memory-sized, and shards pack
+    * independently exactly like parallel writers over corpus shards.
+    * All outputs are exact integers (whitespace token counts, floor
+    * division — `div` ≡ DuckDB `//` on non-negatives). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("shard", expr(s"doc_id div $PackShard"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $SeqBudget"))
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
+      .orderBy(col("source"), col("shard"), col("seq_id"))
+  }
+
+  /** Oracle: same window cumsum; the window `sum()` and the final
+    * `sum()` are HUGEINT in DuckDB, so both the derived `seq_id` and
+    * `seq_tokens` carry explicit BIGINT casts (§5 discipline). */
+  val packSequencesSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    doc_id // $PackShard AS shard
+       |  FROM documents),
+       |c AS (SELECT source, shard, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |s AS (SELECT source, shard,
+       |    CAST((cum - n_tok) // $SeqBudget AS BIGINT) AS seq_id, n_tok
+       |  FROM c)
+       |SELECT source, shard, seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+       |FROM s
+       |GROUP BY source, shard, seq_id
+       |ORDER BY source, shard, seq_id""".stripMargin
+
+  // ------------------------------------------------- source mixing
+  /** Expected per-source doc budget after mixing. */
+  private val MixBudget = 10L
+  /** Fixed-point scale of the keep threshold (parts per million). */
+  private val MixScale = 1000000L
+
+  /** Deterministic source mixing — re-weight a multi-source corpus by
+    * down-sampling each source toward a [[MixBudget]]-doc expected
+    * budget (the "flatten the source distribution" step of a training
+    * data recipe). The keep rule is a pure function of the doc id:
+    * keep ⇔ md5-hash(doc_id) mod [[MixScale]] < keep_ppm, with
+    * keep_ppm = min(scale, scale·budget div n_source) — exact integer
+    * arithmetic end to end, reproducible across engines and runs, no
+    * RNG state ([[Dedup.simHash]]'s md5 60-bit idiom: Spark
+    * `conv(substring(md5(x),1,15),16,10)` ≡ DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`). At scale: per-source
+    * counts are one tiny aggregate broadcast back over the corpus —
+    * the corpus itself is scanned once and never shuffled until the
+    * final per-source stats groupBy. */
+  def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val rates = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("keep_ppm",
+        least(lit(MixScale), expr(s"($MixScale * $MixBudget) div n_total")))
+    d.join(broadcast(rates), "source")
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % MixScale)
+      .groupBy(col("source"), col("n_total"), col("keep_ppm"))
+      .agg(count(when(col("h") < col("keep_ppm"), 1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  val mixSourcesSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+       |r AS (SELECT source, n_total,
+       |    least($MixScale, ($MixScale * $MixBudget) // n_total) AS keep_ppm
+       |  FROM c),
+       |h AS (SELECT source,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % $MixScale AS h
+       |  FROM documents)
+       |SELECT r.source, r.n_total, r.keep_ppm,
+       |  count(*) FILTER (WHERE h.h < r.keep_ppm) AS n_kept
+       |FROM h JOIN r USING (source)
+       |GROUP BY r.source, r.n_total, r.keep_ppm
+       |ORDER BY r.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
     "pipeline_curate_neardup" -> curateNearDup _,
     "pipeline_kept_docs" -> keptDocs _,
     "pipeline_decontaminate" -> decontaminate _,
-    "pipeline_sample_cap" -> sampleCap _)
+    "pipeline_decontaminate_bloom" -> decontaminateBloom _,
+    "pipeline_sample_cap" -> sampleCap _,
+    "pipeline_pack_sequences" -> packSequences _,
+    "pipeline_mix_sources" -> mixSources _)
 
   val oracles: Map[String, String] = Map(
     "pipeline_curate" -> curateSql,
     "pipeline_curate_neardup" -> curateNearDupSql,
     "pipeline_kept_docs" -> keptDocsSql,
     "pipeline_decontaminate" -> decontaminateSql,
-    "pipeline_sample_cap" -> sampleCapSql)
+    "pipeline_decontaminate_bloom" -> decontaminateSql,
+    "pipeline_sample_cap" -> sampleCapSql,
+    "pipeline_pack_sequences" -> packSequencesSql,
+    "pipeline_mix_sources" -> mixSourcesSql)
 }

@@ -48,13 +48,63 @@ class PipelineSpec extends SparkSpec {
     assert(dupOfBench == 0 || flagged.count() > 0)
   }
 
-  test("per-source sampling cap keeps min(n, 50) per source") {
+  test("per-source sampling cap keeps min(n, 10) per source") {
     val stats = Pipeline.sampleCap(spark, dir).collect()
     assert(stats.nonEmpty)
+    assert(stats.exists(r => r.getLong(1) < r.getLong(2)),
+      "cap must BIND somewhere at this SF or the entry is vacuous")
     stats.foreach { r =>
       val (kept, total) = (r.getLong(1), r.getLong(2))
-      assert(kept === math.min(total, 50L), s"source ${r.getString(0)}")
+      assert(kept === math.min(total, 10L), s"source ${r.getString(0)}")
     }
+  }
+
+  test("bloom-prefiltered decontamination equals the exact decontaminate") {
+    val exact = Pipeline.decontaminate(spark, dir).collect().toSeq
+    val bloom = Pipeline.decontaminateBloom(spark, dir).collect().toSeq
+    assert(bloom === exact, "bloom prefilter must not change the result")
+  }
+
+  test("sequence packing conserves docs and tokens and starts every shard at seq 0") {
+    val packed = Pipeline.packSequences(spark, dir)
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val (totDocs, totToks) =
+      (docs.count(), docs.agg(sum(col("n_tok"))).head.getLong(0))
+    val agg = packed.agg(sum(col("n_docs")), sum(col("seq_tokens"))).head
+    assert(agg.getLong(0) === totDocs, "every doc lands in exactly one sequence")
+    assert(agg.getLong(1) === totToks, "token mass is conserved")
+    assert(packed.filter(col("seq_id") < 0).count() === 0)
+    // each (source, shard) partition starts at sequence 0
+    val starts = packed.groupBy(col("source"), col("shard"))
+      .agg(min(col("seq_id")).as("m")).filter(col("m") =!= 0).count()
+    assert(starts === 0)
+    assert(packed.filter(col("seq_id") =!= 0).count() > 0,
+      "budget must BIND at this SF or the entry is vacuous")
+  }
+
+  test("source mixing downsamples deterministically by the md5 keep rule") {
+    val mixed = Pipeline.mixSources(spark, dir).collect()
+    assert(mixed.nonEmpty)
+    mixed.foreach { r =>
+      val (total, ppm, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept <= total)
+      assert(ppm <= 1000000L)
+      assert(ppm < 1000000L || kept == total)
+    }
+    assert(mixed.exists(r => r.getLong(3) < r.getLong(1)),
+      "mixing must BIND somewhere at this SF or the entry is vacuous")
+    // independent recomputation of one source's kept count via the
+    // same md5 fixed-point rule in raw Spark SQL
+    val src = mixed.head.getString(0)
+    val expect = mixed.head.getLong(3)
+    val n = graft.Tables(spark, dir, "documents")
+      .filter(col("source") === src)
+      .filter(expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000" +
+          s" < least(1000000, 10000000 div ${mixed.head.getLong(1)})"))
+      .count()
+    assert(n === expect, s"source $src")
   }
 
   test("materialize writes a source-partitioned parquet corpus with text") {
