@@ -357,16 +357,18 @@ object Dedup {
   private[operators] val EmbBandBits = 15
 
   /** Planted near-dup controls: every [[PlantMod]]-th vector gets a
-    * 0.5-scaled twin at `vec_id + PlantIdOffset`. 0.5 is a power of
+    * 0.5-scaled twin at `vec_id + max(vec_id) + 1`. 0.5 is a power of
     * two, so the scaling is IEEE-exact and commutes with addition —
     * the twin's plane dots are exactly half the original's, its sign
     * signature is bit-identical, every band matches, and the pair is
     * GUARANTEED to surface with cosine ≈ 1. This keeps the driver's
     * gate non-vacuous (the r4 artifact hash-matched 0 rows vs 0 rows,
     * which proves nothing about the pipeline); the natural corpus has
-    * no pair above cosine 0.75 at any SF. */
+    * no pair above cosine 0.75 at any SF. The id offset is derived
+    * from the DATA (`max+1`, one column-pruned aggregate both engines
+    * compute identically) rather than a fixed constant, so twin ids
+    * can never alias real vec_ids however large the corpus grows. */
   private[operators] val PlantMod = 100
-  private[operators] val PlantIdOffset = 1000000L
 
   /** Embedding-cosine near-dup: sign-random-projection LSH → candidate
     * pairs by band equi-join → exact cosine verification at 0.8. Corpus
@@ -390,9 +392,11 @@ object Dedup {
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+    val plantOffset = base
+      .agg(coalesce(max(col("vec_id")), lit(-1L))).head.getLong(0) + 1L
     val planted = base
       .filter(col("vec_id") % PlantMod === 0)
-      .select((col("vec_id") + PlantIdOffset).as("vec_id"),
+      .select((col("vec_id") + plantOffset).as("vec_id"),
         transform(col("e"), _ * 0.5).as("e"))
     val emb = base.unionAll(planted)
     // one projection computes sig, then 4 hashed band keys from it;
@@ -434,7 +438,8 @@ object Dedup {
     s"""WITH p AS (SELECT $planesLit AS ps),
        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
        |      UNION ALL
-       |      SELECT vec_id + $PlantIdOffset, list_transform(embedding::DOUBLE[], x -> x * 0.5)
+       |      SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+       |             list_transform(embedding::DOUBLE[], x -> x * 0.5)
        |      FROM embeddings WHERE vec_id % $PlantMod = 0),
        |s AS (SELECT vec_id, e,
        |  CAST(list_sum(list_transform(generate_series(1, ${planes.length}),

@@ -84,18 +84,30 @@ object Pipeline {
       .option("maxRecordsPerFile", 5000000)
       .parquet(outDir)
 
-  def curate(spark: SparkSession, dir: String): DataFrame = {
-    kept(spark, dir)
+  /** Shared per-source stats tail of [[curate]] and [[curateNearDup]]
+    * — ONE definition so a cross-engine-exactness fix (like the r5
+    * HUGEINT casts) can never land in one entry and miss the other.
+    * avg_quality: exact integer sum ÷ exact double denominator — one
+    * IEEE division, no decimal cast anywhere. */
+  private def sourceStats(keptDf: DataFrame): DataFrame =
+    keptDf
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("total_words"),
-        // exact integer sum ÷ exact double denominator: one IEEE
-        // division, no decimal cast anywhere
         (sum(col("quality_micro")).cast("double") / (lit(1000000.0) * count(lit(1))))
           .as("avg_quality"))
       .orderBy(col("source"))
-  }
+
+  /** The SQL mirror of [[sourceStats]]'s select list (shared by
+    * [[curateSql]] and [[curateNearDupSql]] the same way). */
+  private val sourceStatsSelect: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS total_words,
+      |  CAST(sum(quality_micro) AS DOUBLE) / (1000000.0 * count(*)) AS avg_quality""".stripMargin
+
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    sourceStats(kept(spark, dir))
 
   /** The shared gate pipeline as SQL CTEs, built from the same
     * language-marker / stopword definitions and the same integer
@@ -132,9 +144,7 @@ object Pipeline {
 
   val curateSql: String =
     s"""$curateCtes
-       |SELECT source, count(*) AS n_docs,
-       |  CAST(sum(n_words) AS BIGINT) AS total_words,
-       |  CAST(sum(quality_micro) AS DOUBLE) / (1000000.0 * count(*)) AS avg_quality
+       |$sourceStatsSelect
        |FROM survivors
        |GROUP BY source
        |ORDER BY source""".stripMargin
@@ -161,15 +171,8 @@ object Pipeline {
     val demoted = labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     val demotedSide = if (small) broadcast(demoted) else demoted
-    kept(spark, dir)
-      .join(demotedSide, Seq("doc_id"), "left_anti")
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_words")).as("total_words"),
-        (sum(col("quality_micro")).cast("double") / (lit(1000000.0) * count(lit(1))))
-          .as("avg_quality"))
-      .orderBy(col("source"))
+    sourceStats(
+      kept(spark, dir).join(demotedSide, Seq("doc_id"), "left_anti"))
   }
 
   /** Oracle: the curation CTEs ∩ the canonical set of the recursive
@@ -179,9 +182,7 @@ object Pipeline {
     s"""WITH RECURSIVE ${curateCtes.stripPrefix("WITH ")},
        |${Dedup.clustersCtes},
        |canon AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b))
-       |SELECT source, count(*) AS n_docs,
-       |  CAST(sum(n_words) AS BIGINT) AS total_words,
-       |  CAST(sum(quality_micro) AS DOUBLE) / (1000000.0 * count(*)) AS avg_quality
+       |$sourceStatsSelect
        |FROM survivors JOIN canon USING (doc_id)
        |GROUP BY source
        |ORDER BY source""".stripMargin
@@ -297,9 +298,15 @@ object Pipeline {
         Bridge.column(WordShingles(Bridge.expression(col("text")))))
       .select(col("doc_id"), col("shingles"))
     val grams = d.select(col("doc_id"), explode(col("shingles")).as("g"))
+    // localCheckpoint the (bounded, benchmark-sized) gram set once:
+    // both consumers — the blob build and the exact-verify semi-join —
+    // read the materialized blocks instead of re-running the shingle
+    // lineage (blocks are reclaimed by the ContextCleaner on GC, the
+    // minhashLsh pattern)
     val benchGrams = grams
       .filter(col("doc_id") % BenchmarkMod === 0)
       .select(col("g")).distinct()
+      .localCheckpoint()
     // one aggregate row holding the whole (bounded) benchmark gram set
     // → one blob; .head() ships only the blob bytes, never the grams
     val blob: Array[Byte] = benchGrams

@@ -108,7 +108,7 @@ object GraftArrowTableProvider {
 }
 
 class GraftArrowTable(endpoint: Endpoint, table: String, tschema: StructType,
-                      splitSize: Long, split: Boolean = true)
+                      splitSize: Long, split: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft-arrow:$table"
   override def schema(): StructType = tschema

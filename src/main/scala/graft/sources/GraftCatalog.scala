@@ -52,7 +52,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val t = ident.name()
     if (!tableNames.contains(t))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
-    new GraftArrowTable(endpoint, t, endpoint.schema(t), splitSize)
+    // catalog tables keep the Spark-side contract: always split-scan
+    // (the reference's split=false default is the raw-OPTION default
+    // only — a 1000-executor catalog read wants N partitions, not 1)
+    new GraftArrowTable(endpoint, t, endpoint.schema(t), splitSize, split = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

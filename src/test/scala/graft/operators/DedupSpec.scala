@@ -141,10 +141,11 @@ class DedupSpec extends SparkSpec {
     val res = Dedup.embeddingDedup(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // (0,1) is the planted near-dup; the operator additionally plants a
-    // 0.5-scaled twin of every PlantMod-th vec (here vec 0 → 1000000),
-    // which pairs with vec 0 (exact signature match) and its near-dup
-    // vec 1 — the de-vacuization guarantee the driver gate relies on
-    assert(res === Set((0L, 1L), (0L, 1000000L), (1L, 1000000L)))
+    // 0.5-scaled twin of every PlantMod-th vec at max(vec_id)+1 (here
+    // vec 0 → 3), which pairs with vec 0 (exact signature match) and
+    // its near-dup vec 1 — the de-vacuization guarantee the driver
+    // gate relies on, with an id offset that can never alias a real id
+    assert(res === Set((0L, 1L), (0L, 3L), (1L, 3L)))
     val plan = Dedup.embeddingDedup(spark, tmp).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }

@@ -109,7 +109,11 @@ def main():
     def vecsel(i):
         if i == 0:
             return f"SELECT * FROM '{src}/embeddings.parquet'"
-        rot = i % dim_n
+        # 1..dim-1, never 0: rot == 0 would make the "rotation" the
+        # identity and copy i a bit-exact duplicate of copy 0 at
+        # factor > dim, manufacturing cross-copy near-dup pairs the
+        # scaling model says must not exist
+        rot = 1 + (i - 1) % (dim_n - 1)
         return (f"SELECT * REPLACE (CAST(vec_id + {i * v} AS {tv['vec_id']}) AS vec_id, "
                 f"CAST(list_concat(embedding[{rot + 1}:], embedding[1:{rot}]) "
                 f"AS {tv['embedding']}) AS embedding) "
