@@ -73,12 +73,18 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- C1
-  /** Exact dedup: md5 groupBy, keep-first. Only (hash, doc_id) shuffles. */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  /** Exact dedup: md5 groupBy, keep-first. Only (hash, doc_id) shuffles.
+    * Library form: pure function of the documents frame (any frame with
+    * `doc_id`, `text`); the (spark, dir) overload is the test-table
+    * adapter. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
       .select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exact(docs(spark, dir))
 
   val exactSql: String =
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -88,12 +94,12 @@ object Dedup {
   /** Exact n-gram-Jaccard near-dup pairs at 0.5 — explode + equi-join on
     * gram + group. Exact by construction; the oracle is the same algebra
     * in DuckDB. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(documents: DataFrame): DataFrame = {
     // the shingle table feeds four consumers (sizes + hot-gram set +
     // both self-join sides); persist it or the tokenize/shingle
     // projection re-executes per consumer (MEMORY_AND_DISK: spills
     // rather than OOMs at scale, evicted by LRU when done)
-    val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+    val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // join/shuffle on the 64-bit gram hash, not the gram string: ~5×
     // fewer shuffle bytes and long-key joins. Distinctness per doc is
@@ -136,6 +142,9 @@ object Dedup {
     result
   }
 
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(docs(spark, dir))
+
   val ngramJaccardSql: String = jaccardPairsSql(0.5)
 
   // ---------------------------------------------------------------- C2
@@ -171,10 +180,10 @@ object Dedup {
     * The oracle is the pure exact-Jaccard SQL — equal because band
     * recall at the planted similarity level (≥0.9) is 1-(1-s⁴)¹⁶ ≈
     * 1-6e-14 and the data is fixed. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(documents: DataFrame): DataFrame = {
     // persist: shingles feed the minhash pipeline and both exact-verify
     // joins; the band table feeds both sides of the candidate self-join
-    val sh = withShingles(docs(spark, dir)).select(col("doc_id"), col("shingles"))
+    val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = withMinhashes(sh).select(col("doc_id"), col("minhashes"))
     // band key = xxhash64(band ordinal, the band's 4 minhash values):
@@ -213,6 +222,9 @@ object Dedup {
     result
   }
 
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(docs(spark, dir))
+
   val minhashLshSql: String = jaccardPairsSql(0.8)
 
   // ---------------------------------------------------------------- C3
@@ -222,12 +234,12 @@ object Dedup {
     * four 15-bit band keys for hamming-distance bucketing: two docs with
     * hamming distance ≤ 3 share at least one of the 4 bands (pigeonhole).
     * One shuffle of map-side-combined (doc_id, 60 bit-sums) rows. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(documents: DataFrame): DataFrame = {
     // explode tokens → one md5-derived 60-bit hash per token (codegen'd)
     // → groupBy(doc) with 60 per-bit ±1 sums (map-side partials) →
     // recombine. Same math and hash as the (slower, interpreted) nested
     // HOF formulation, so the SQL oracle is unchanged.
-    val tok = docs(spark, dir)
+    val tok = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .select(col("doc_id"),
         conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
@@ -245,6 +257,9 @@ object Dedup {
         shiftright(col("simhash"), 30).bitwiseAND((1L << 15) - 1).as("band2"),
         shiftright(col("simhash"), 45).bitwiseAND((1L << 15) - 1).as("band3"))
   }
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(docs(spark, dir))
 
   /** Shared CTEs computing (doc_id, simhash) — consumed by the per-doc
     * signature oracle and the pair-extraction oracle. */
@@ -275,8 +290,8 @@ object Dedup {
     * pigeonhole (≤3 differing bits cannot touch all 4 bands), so the
     * result equals the brute-force all-pairs hamming join — which is
     * the oracle — while the plan never compares all pairs. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val s = simhash(spark, dir)
+  def simhashPairs(documents: DataFrame): DataFrame = {
+    val s = simhash(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band ordinal folded into a long key, like the minhash bands
     val bands = s.select(col("doc_id"), col("simhash"),
@@ -299,6 +314,9 @@ object Dedup {
     s.unpersist()
     result
   }
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(docs(spark, dir))
 
   /** Oracle: ground-truth all-pairs hamming join (exact because banded
     * recall is 1 at distance ≤ 3). */
