@@ -42,9 +42,14 @@ object Ann {
       TopKAgg(Bridge.expression(score), Bridge.expression(id), k)
         .toAggregateExpression())
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+  /** Normalize any `(vec_id, embedding)` frame to the double-domain
+    * working projection. */
+  private def corpus(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("e"))
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    corpus(Tables(spark, dir, "embeddings"))
 
   /** Explode an array<struct<score,id>> top-k result into ranked rows.
     * The cosine is emitted RAW: it is the quotient of identically-
@@ -65,9 +70,9 @@ object Ann {
   // ---------------------------------------------------------------- C6
   /** Brute-force exact cosine top-k: broadcast queries × corpus scan,
     * partial top-k merge. This is the exactness baseline C7 is measured
-    * against. */
-  def bruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+    * against. Library form: any `(vec_id, embedding)` frame. */
+  def bruteforce(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = c.crossJoin(broadcast(q))
@@ -77,6 +82,9 @@ object Ann {
       scored.groupBy(col("q_id"))
         .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
   }
+
+  def bruteforce(spark: SparkSession, dir: String): DataFrame =
+    bruteforce(Tables(spark, dir, "embeddings"))
 
   val bruteforceSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -112,9 +120,10 @@ object Ann {
     * ([[Dedup.signBits]]). Approximate vs ground truth
     * (recall < 1 by design — DedupSpec asserts planted-neighbor recall),
     * but fully deterministic, so [[lshSql]] reproduces the algorithm in
-    * SQL for an exact oracle. */
-  def lsh(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+    * SQL for an exact oracle. Library form: any `(vec_id, embedding)`
+    * frame. */
+  def lsh(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
     val withSig = c.withColumn("sig", Dedup.signBits(col("e")))
     val q = withSig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("sig").as("qsig"))
@@ -130,6 +139,9 @@ object Ann {
       scored.groupBy(col("q_id"))
         .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
   }
+
+  def lsh(spark: SparkSession, dir: String): DataFrame =
+    lsh(Tables(spark, dir, "embeddings"))
 
   /** Algorithm-parity oracle for C7: the SAME fixed ±1 hyperplanes
     * (inlined as SQL literals), sign signature, 10×6-bit band match, and
@@ -196,9 +208,10 @@ object Ann {
     * of the k× exploded corpus); search scans nprobe/k of the corpus,
     * shuffled once on the list id; queries and probe lists are
     * broadcast. Fully deterministic (ties broken by centroid id, then
-    * vec_id) → exact algorithm-parity oracle in [[ivfSql]]. */
-  def ivf(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
+    * vec_id) → exact algorithm-parity oracle in [[ivfSql]].
+    * Library form: any `(vec_id, embedding)` frame. */
+  def ivf(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
     val cents = c
       .filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
@@ -224,6 +237,9 @@ object Ann {
       scored.groupBy(col("q_id"))
         .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
   }
+
+  def ivf(spark: SparkSession, dir: String): DataFrame =
+    ivf(Tables(spark, dir, "embeddings"))
 
   /** Algorithm-parity oracle for C15 (same structure as [[lshSql]]):
     * centroid selection, L2 list assignment, nprobe probing, and exact

@@ -55,9 +55,10 @@ object Multimodal {
 
   /** Build the media frame: binary payload + typed metadata. The payload
     * is the document's UTF-8 bytes posing as an opaque blob (the
-    * testdata has no real media); metadata derives deterministically. */
-  def mediaFrame(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents").select(
+    * testdata has no real media); metadata derives deterministically.
+    * Library form: any frame with `doc_id`, `text`, `lang`, `n_chars`. */
+  def mediaFrame(documents: DataFrame): DataFrame =
+    documents.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("content"),
       struct(
@@ -65,9 +66,12 @@ object Multimodal {
         col("n_chars").as("width"),
         lit(1L).as("height")).as("meta"))
 
+  def mediaFrame(spark: SparkSession, dir: String): DataFrame =
+    mediaFrame(Tables(spark, dir, "documents"))
+
   /** The pipeline: prune → batched per-partition decode → features. */
-  def pipeline(spark: SparkSession, dir: String): DataFrame = {
-    val media = mediaFrame(spark, dir)
+  def pipeline(documents: DataFrame): DataFrame = {
+    val media = mediaFrame(documents)
       .select(col("doc_id"), col("content"), col("meta.format").as("format"))
     val enc = RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
@@ -84,6 +88,9 @@ object Multimodal {
       }
     }(enc)
   }
+
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    pipeline(Tables(spark, dir, "documents"))
 
   /** Oracle: the fake codec's arithmetic is expressible in SQL (that's
     * the point of a deterministic stub) — byte stats over the UTF-8

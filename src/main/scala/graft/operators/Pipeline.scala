@@ -35,8 +35,8 @@ object Pipeline {
     *   (alpha/n_chars)·0.35    → (350000·alpha_chars) div n_chars
     * All terms are < 2³² and non-negative, so truncating and floor
     * division coincide and nothing overflows. */
-  private def qualityMicro(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+  private def qualityMicro(documents: DataFrame): DataFrame =
+    documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_words", size(col("toks")).cast("long"))
@@ -50,12 +50,13 @@ object Pipeline {
 
   /** The surviving documents after every gate — the pipeline's actual
     * output corpus (what a training run reads); [[curate]] aggregates
-    * it into per-source stats. */
-  def kept(spark: SparkSession, dir: String): DataFrame = {
-    val lang = Text.langId(spark, dir).select(col("doc_id"), col("pred_lang"))
-    val qual = qualityMicro(spark, dir)
-    val keep = Dedup.exact(spark, dir).select(col("keep_id").as("doc_id"))
-    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), col("source"))
+    * it into per-source stats. Library form: any frame with `doc_id`,
+    * `lang`, `source`, `text`. */
+  def kept(documents: DataFrame): DataFrame = {
+    val lang = Text.langId(documents).select(col("doc_id"), col("pred_lang"))
+    val qual = qualityMicro(documents)
+    val keep = Dedup.exact(documents).select(col("keep_id").as("doc_id"))
+    val d = documents.select(col("doc_id"), col("lang"), col("source"))
     d.join(lang, "doc_id")
       .join(qual, "doc_id")
       .join(keep, Seq("doc_id"), "left_semi") // first copy of each text wins
@@ -63,26 +64,35 @@ object Pipeline {
         col("quality_micro") >= QualityFloorMicro)
   }
 
+  def kept(spark: SparkSession, dir: String): DataFrame =
+    kept(Tables(spark, dir, "documents"))
+
   /** kept-corpus entry: the curated document set itself (id + lang +
     * source + size + score), deterministically ordered. `quality` is the
     * raw quotient micro/10⁶ — exact operands, bit-stable. */
-  def keptDocs(spark: SparkSession, dir: String): DataFrame =
-    kept(spark, dir)
+  def keptDocs(documents: DataFrame): DataFrame =
+    kept(documents)
       .select(col("doc_id"), col("lang"), col("source"), col("n_words"),
         (col("quality_micro") / lit(1000000.0)).as("quality"))
       .orderBy(col("doc_id"))
+
+  def keptDocs(spark: SparkSession, dir: String): DataFrame =
+    keptDocs(Tables(spark, dir, "documents"))
 
   /** Write the curated corpus as source-partitioned parquet — the
     * materialization a training pipeline consumes. Partitioning by
     * source keeps per-source reads pruned; maxRecordsPerFile bounds
     * file sizes at scale. */
-  def materialize(spark: SparkSession, dir: String, outDir: String): Unit =
-    kept(spark, dir)
-      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+  def materialize(documents: DataFrame, outDir: String): Unit =
+    kept(documents)
+      .join(documents.select(col("doc_id"), col("text")), "doc_id")
       .write.mode("overwrite")
       .partitionBy("source")
       .option("maxRecordsPerFile", 5000000)
       .parquet(outDir)
+
+  def materialize(spark: SparkSession, dir: String, outDir: String): Unit =
+    materialize(Tables(spark, dir, "documents"), outDir)
 
   /** Shared per-source stats tail of [[curate]] and [[curateNearDup]]
     * — ONE definition so a cross-engine-exactness fix (like the r5
@@ -106,8 +116,11 @@ object Pipeline {
       |  CAST(sum(n_words) AS BIGINT) AS total_words,
       |  CAST(sum(quality_micro) AS DOUBLE) / (1000000.0 * count(*)) AS avg_quality""".stripMargin
 
+  def curate(documents: DataFrame): DataFrame =
+    sourceStats(kept(documents))
+
   def curate(spark: SparkSession, dir: String): DataFrame =
-    sourceStats(kept(spark, dir))
+    curate(Tables(spark, dir, "documents"))
 
   /** The shared gate pipeline as SQL CTEs, built from the same
     * language-marker / stopword definitions and the same integer
@@ -166,14 +179,17 @@ object Pipeline {
     * the size gate proves it, AQE otherwise), never a corpus-sized
     * label join; the full `Dedup.clusters` output (every doc × label)
     * is never materialized here. */
-  def curateNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val (labels, small) = Dedup.labelMap(spark, dir)
+  def curateNearDup(documents: DataFrame): DataFrame = {
+    val (labels, small) = Dedup.labelMap(documents)
     val demoted = labels.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     val demotedSide = if (small) broadcast(demoted) else demoted
     sourceStats(
-      kept(spark, dir).join(demotedSide, Seq("doc_id"), "left_anti"))
+      kept(documents).join(demotedSide, Seq("doc_id"), "left_anti"))
   }
+
+  def curateNearDup(spark: SparkSession, dir: String): DataFrame =
+    curateNearDup(Tables(spark, dir, "documents"))
 
   /** Oracle: the curation CTEs ∩ the canonical set of the recursive
     * transitive-closure clusters oracle (both CTE lists verbatim —
@@ -194,6 +210,11 @@ object Pipeline {
   /** ≥ this many shared distinct 3-grams with the benchmark ⇒
     * contaminated. */
   private val ContaminationFloor = 3
+  /** Default cap on the benchmark gram set a bloom blob may compile
+    * (16M grams ≈ a 20 MB blob at 10 bits/element — far beyond any real
+    * eval set, far below the 2 GB single-row wall). Overridable via the
+    * `graft.bloom.maxGrams` Spark conf. */
+  private val BloomGramLimit = 16L * 1000 * 1000
 
   /** Benchmark decontamination — the training-data op that keeps eval
     * data out of the corpus: a document is contaminated when it shares
@@ -205,9 +226,9 @@ object Pipeline {
     * scale and the corpus shuffles nothing.
     *
     * All outputs are exact integers — no cross-engine float risk. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminate(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, WordShingles}
-    val d = Tables(spark, dir, "documents")
+    val d = documents
       .withColumn("shingles",
         Bridge.column(WordShingles(Bridge.expression(col("text")))))
       .select(col("doc_id"), col("shingles"))
@@ -227,6 +248,9 @@ object Pipeline {
       .select(col("doc_id"), col("n_shared_grams"))
       .orderBy(col("doc_id"))
   }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables(spark, dir, "documents"))
 
   val decontaminateSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -252,10 +276,10 @@ object Pipeline {
     * deterministic doc_id order (row_number over a per-source window;
     * the window sorts with Spark's spillable external sort, and the
     * output stats are exact integers). */
-  def sampleCap(spark: SparkSession, dir: String): DataFrame = {
+  def sampleCap(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    Tables(spark, dir, "documents")
+    documents
       .select(col("doc_id"), col("source"))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("source"))
@@ -264,6 +288,9 @@ object Pipeline {
         count(lit(1)).as("n_total"))
       .orderBy(col("source"))
   }
+
+  def sampleCap(spark: SparkSession, dir: String): DataFrame =
+    sampleCap(Tables(spark, dir, "documents"))
 
   val sampleCapSql: String =
     s"""SELECT source,
@@ -290,23 +317,37 @@ object Pipeline {
     * bits/element) enter the exact semi-join verify. Output is
     * IDENTICAL to [[decontaminate]] (bloom false positives are removed
     * by the verify), so the oracle is the same SQL. */
-  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminateBloom(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, WordShingles}
     import graft.functions.GraftFunctions
-    val d = Tables(spark, dir, "documents")
+    val d = documents
       .withColumn("shingles",
         Bridge.column(WordShingles(Bridge.expression(col("text")))))
       .select(col("doc_id"), col("shingles"))
     val grams = d.select(col("doc_id"), explode(col("shingles")).as("g"))
     // localCheckpoint the (bounded, benchmark-sized) gram set once:
-    // both consumers — the blob build and the exact-verify semi-join —
-    // read the materialized blocks instead of re-running the shingle
-    // lineage (blocks are reclaimed by the ContextCleaner on GC, the
-    // minhashLsh pattern)
+    // both consumers — the size gate, the blob build and the
+    // exact-verify semi-join — read the materialized blocks instead of
+    // re-running the shingle lineage (blocks are reclaimed by the
+    // ContextCleaner on GC, the minhashLsh pattern)
     val benchGrams = grams
       .filter(col("doc_id") % BenchmarkMod === 0)
       .select(col("g")).distinct()
       .localCheckpoint()
+    // fail-fast size gate BEFORE anything funnels through one aggregate
+    // row: the whole design rests on "the benchmark set is bounded"
+    // (eval sets are), and if that assumption ever breaks, the
+    // collect_set row below would hit the 2 GB single-row / driver-heap
+    // wall with an opaque OOM. limit(cap+1).count() is a BOUNDED action
+    // (CollectLimitExec stops at cap+1 rows — the Dedup.labelMap probe
+    // pattern) over the already-materialized checkpoint blocks.
+    val cap = documents.sparkSession.conf
+      .getOption("graft.bloom.maxGrams").map(_.toLong).getOrElse(BloomGramLimit)
+    val probed = benchGrams.limit((cap + 1).toInt).count()
+    require(probed <= cap,
+      s"decontaminateBloom: benchmark gram set exceeds the $cap-gram bloom " +
+        "cap (raise graft.bloom.maxGrams, or use the distributed " +
+        "semi-join decontaminate() for an unbounded benchmark side)")
     // one aggregate row holding the whole (bounded) benchmark gram set
     // → one blob; .head() ships only the blob bytes, never the grams
     val blob: Array[Byte] = benchGrams
@@ -324,6 +365,9 @@ object Pipeline {
       .select(col("doc_id"), col("n_shared_grams"))
       .orderBy(col("doc_id"))
   }
+
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloom(Tables(spark, dir, "documents"))
 
   // ------------------------------------------------- sequence packing
   /** Token budget of one packed training sequence. */
@@ -346,11 +390,11 @@ object Pipeline {
     * independently exactly like parallel writers over corpus shards.
     * All outputs are exact integers (whitespace token counts, floor
     * division — `div` ≡ DuckDB `//` on non-negatives). */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables(spark, dir, "documents")
+    documents
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("shard", expr(s"doc_id div $PackShard"))
@@ -360,6 +404,9 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
       .orderBy(col("source"), col("shard"), col("seq_id"))
   }
+
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables(spark, dir, "documents"))
 
   /** Oracle: same window cumsum; the window `sum()` and the final
     * `sum()` are HUGEINT in DuckDB, so both the derived `seq_id` and
@@ -402,8 +449,8 @@ object Pipeline {
     * counts are one tiny aggregate broadcast back over the corpus —
     * the corpus itself is scanned once and never shuffled until the
     * final per-source stats groupBy. */
-  def mixSources(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+  def mixSources(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("doc_id"), col("source"))
     val rates = d.groupBy(col("source"))
       .agg(count(lit(1)).as("n_total"))
       .withColumn("keep_ppm",
@@ -416,6 +463,9 @@ object Pipeline {
       .agg(count(when(col("h") < col("keep_ppm"), 1)).as("n_kept"))
       .orderBy(col("source"))
   }
+
+  def mixSources(spark: SparkSession, dir: String): DataFrame =
+    mixSources(Tables(spark, dir, "documents"))
 
   val mixSourcesSql: String =
     s"""WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),

@@ -44,9 +44,10 @@ object Text {
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
   /** n-gram-heuristic language ID: marker-word hit counts per language,
-    * argmax with a fixed priority-order tie-break. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val withToks = docs(spark, dir).withColumn("toks", toks(col("text")))
+    * argmax with a fixed priority-order tie-break. Library form: any
+    * frame with `doc_id`, `lang`, `text`. */
+  def langId(documents: DataFrame): DataFrame = {
+    val withToks = documents.withColumn("toks", toks(col("text")))
     val scored = langMarkers.foldLeft(withToks) { case (df, (l, ws)) =>
       df.withColumn(s"s_$l", wordCount(col("toks"), ws))
     }
@@ -59,6 +60,9 @@ object Text {
       .withColumn("pred_lang", predCol)
       .select(col("doc_id"), col("lang"), col("pred_lang"), col("m").cast("long").as("score"))
   }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langId(docs(spark, dir))
 
   val langIdSql: String = {
     val scoreSelect = langMarkers
@@ -79,9 +83,10 @@ object Text {
   private[operators] val enStops = Seq("the", "a", "and", "of", "to", "in", "is", "it")
 
   /** Quality scoring: length/stopword/alpha ratios combined into one
-    * deterministic score. Same formula tree on both engines. */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    * deterministic score. Same formula tree on both engines. Library
+    * form: any frame with `doc_id`, `text`. */
+  def quality(documents: DataFrame): DataFrame = {
+    val d = documents
       .withColumn("toks", toks(col("text")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_words", size(col("toks")).cast("long"))
@@ -103,6 +108,9 @@ object Text {
         (col("alpha_chars") / col("n_chars")) * 0.35).as("quality"))
   }
 
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    quality(docs(spark, dir))
+
   val qualitySql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
        |f AS (SELECT doc_id,
@@ -121,10 +129,11 @@ object Text {
 
   // --------------------------------------------------------------- C11
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
-    * (letter runs / digit runs / single punctuation). */
-  def tokens(spark: SparkSession, dir: String): DataFrame = {
+    * (letter runs / digit runs / single punctuation). Library form: any
+    * frame with `doc_id`, `text`. */
+  def tokens(documents: DataFrame): DataFrame = {
     val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
-    docs(spark, dir)
+    documents
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
       .withColumn("re_tokens", size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
@@ -132,6 +141,9 @@ object Text {
         // raw quotient of exact longs — bit-stable; see quality()
         (col("n_chars") / col("re_tokens")).as("chars_per_token"))
   }
+
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    tokens(docs(spark, dir))
 
   val tokensSql: String =
     """SELECT doc_id,
@@ -148,16 +160,20 @@ object Text {
     * [[org.apache.spark.sql.graft.PolyFingerprint]] expression: the
     * equivalent declarative fold (`aggregate` over per-char `ascii`
     * codes) is interpreted per element and dominated the scan. Same left
-    * fold as the oracle's `list_reduce`. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    * fold as the oracle's `list_reduce`. Library form: any frame with
+    * `doc_id`, `text`. */
+  def fingerprint(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, PolyFingerprint}
-    docs(spark, dir)
+    documents
       .select(
         col("doc_id"),
         substring(md5(col("text")), 1, 16).as("fp_md5"),
         Bridge.column(new PolyFingerprint(
           Bridge.expression(col("text")))).as("fp_poly"))
   }
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    fingerprint(docs(spark, dir))
 
   val fingerprintSql: String =
     """SELECT doc_id,

@@ -126,9 +126,10 @@ class DedupSpec extends SparkSpec {
     assert(res === Set((1L, 2L), (3L, 1L)))
   }
 
-  test("embedding dedup finds planted high-cosine pairs and no cartesian") {
+  test("embedding dedup is pure (no synthetic rows), finds high-cosine pairs, no cartesian") {
     import spark.implicits._
-    // plant: v0 ≈ v1 (cosine ~1), v2 orthogonal-ish
+    // v0 ≈ v1 (cosine ~1), v2 orthogonal-ish; v0's id is divisible by
+    // PlantMod, so a leaked in-operator plant would surface immediately
     val dim = 64
     val base = Array.tabulate(dim)(i => math.sin(i + 1))
     val near = base.map(x => (x * 1.0001).toFloat)
@@ -140,14 +141,62 @@ class DedupSpec extends SparkSpec {
     df.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val res = Dedup.embeddingDedup(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // (0,1) is the planted near-dup; the operator additionally plants a
-    // 0.5-scaled twin of every PlantMod-th vec at max(vec_id)+1 (here
-    // vec 0 → 3), which pairs with vec 0 (exact signature match) and
-    // its near-dup vec 1 — the de-vacuization guarantee the driver
-    // gate relies on, with an id offset that can never alias a real id
-    assert(res === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    // the PURE operator on a clean corpus: only the genuine near-dup
+    // pair — no fabricated ids (the planted-twin fixture lives in the
+    // entry layer, not the operator)
+    assert(res === Set((0L, 1L)))
     val plan = Dedup.embeddingDedup(spark, tmp).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("plantTwins entry fixture adds the 0.5-scaled twins the driver gate needs") {
+    import spark.implicits._
+    val dim = 64
+    val base = Array.tabulate(dim)(i => math.sin(i + 1))
+    val near = base.map(x => (x * 1.0001).toFloat)
+    val far = Array.tabulate(dim)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq(
+      (0L, base.map(_.toFloat).toSeq), (1L, near.toSeq), (2L, far.toSeq)
+    ).toDF("vec_id", "embedding")
+    // the registered dedup_embedding entry = plantTwins ∘ embeddingDedup:
+    // vec 0 (id % PlantMod == 0) gets a half-scale twin at max+1 = 3
+    // with a bit-identical signature → (0,3) exact, (1,3) via near-dup
+    val res = Dedup.embeddingDedup(Dedup.plantTwins(df))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res === Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("library forms accept any frame shape (extra columns, shuffled order)") {
+    import spark.implicits._
+    // extra columns + non-canonical column order: the scaladoc contract
+    // is "any frame with doc_id, text"
+    val docs = Seq(
+      ("x", 10L, "alpha beta gamma delta epsilon zeta", 1),
+      ("y", 11L, "alpha beta gamma delta epsilon zeta", 2),
+      ("z", 12L, "totally different words here now ok", 3)
+    ).toDF("noise", "doc_id", "text", "more_noise")
+    val ex = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(ex === Set((10L, 2L), (12L, 1L)))
+    // minhashLsh on the same frame: identical texts are jaccard-1 pairs
+    val lsh = Dedup.minhashLsh(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === Set((10L, 11L)))
+    // clusters: the pair collapses to one component, extra cols ignored
+    val clu = Dedup.clusters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(clu === Map(10L -> ((10L, true)), 11L -> ((10L, false)),
+      12L -> ((12L, true))))
+  }
+
+  test("forced-distributed clusters equals the gated path on the test corpus") {
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val gated = Dedup.clusters(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val dist = Dedup.clusters(docsDf, forceDistributed = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dist === gated)
+    assert(dist.exists(!_._3), "corpus has planted dup clusters (non-canonical rows)")
   }
 
   test("ann-lsh finds a planted near neighbor that bruteforce ranks #1") {

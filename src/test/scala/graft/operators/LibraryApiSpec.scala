@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Library-form (DataFrame-in/DataFrame-out) contracts: every C-suite
+  * operator must be a pure function of a hand-built in-memory frame —
+  * extra columns, non-canonical column order, data that never came from
+  * the Tables test layout. The (spark, dir) forms are thin adapters; these
+  * specs pin the frame-first surface the scaladoc promises. */
+class LibraryApiSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def docsFrame: DataFrame = {
+    import spark.implicits._
+    // stopword-heavy English text (kept), its exact dup (demoted), and a
+    // mislabeled doc (language gate drops it) — plus noise columns and a
+    // column order that differs from the documents table
+    val en = Array.fill(10)("the a and of to").mkString(" ")
+    Seq(
+      (9, "n1", 1L, en, "web", "en"),
+      (8, "n2", 2L, en, "web", "en"),
+      (7, "n3", 3L, en, "books", "de")
+    ).toDF("more_noise", "noise", "doc_id", "text", "source", "lang")
+  }
+
+  test("Text.* library forms run on an in-memory frame with extra columns") {
+    val d = docsFrame
+    val lang = Text.langId(d).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(lang === Map(1L -> "en", 2L -> "en", 3L -> "en"))
+    val q = Text.quality(d).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(q === Map(1L -> 50L, 2L -> 50L, 3L -> 50L)) // n_words
+    val t = Text.tokens(d).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(t === Map(1L -> 50L, 2L -> 50L, 3L -> 50L)) // ws_tokens
+    val f = Text.fingerprint(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f(1L) === f(2L)) // identical text, identical fingerprint
+    assert(f.size === 3) // every doc id fingerprinted
+  }
+
+  test("Pipeline curation library forms: kept/keptDocs/curate on an in-memory frame") {
+    val d = docsFrame
+    // doc 1 survives every gate; doc 2 is an exact dup (min-id loses);
+    // doc 3 fails the language gate (pred en != lang de)
+    val keptIds = Pipeline.keptDocs(d).collect().map(_.getLong(0)).toSeq
+    assert(keptIds === Seq(1L))
+    val stats = Pipeline.curate(d).collect()
+    assert(stats.map(_.getString(0)).toSeq === Seq("web"))
+    assert(stats.head.getLong(1) === 1L) // n_docs
+    val nd = Pipeline.curateNearDup(d).collect()
+    assert(nd.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("web", 1L)))
+  }
+
+  test("Pipeline.sampleCap/mixSources/packSequences library forms") {
+    import spark.implicits._
+    // 12 docs in one source (cap is 10), 3 in another
+    val d = (1L to 12L).map(i => (i, "s_big", s"w$i words here", "x")) ++
+      (20L to 22L).map(i => (i, "s_small", s"w$i words here", "x"))
+    val df = d.toDF("doc_id", "source", "text", "junk")
+    val cap = Pipeline.sampleCap(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cap === Map("s_big" -> ((10L, 12L)), "s_small" -> ((3L, 3L))))
+    val mix = Pipeline.mixSources(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // s_small is under the 10-doc budget: keep_ppm = 1e6 keeps all 3
+    assert(mix("s_small") === 3L)
+    assert(mix("s_big") <= 12L)
+    val packed = Pipeline.packSequences(df).collect()
+    // 3-token docs, 256-token budget, one shard: everything packs into
+    // seq 0 per source
+    assert(packed.map(r => (r.getString(0), r.getLong(2))).toSet ===
+      Set(("s_big", 0L), ("s_small", 0L)))
+    assert(packed.map(_.getLong(3)).sum === 15L) // n_docs adds up
+  }
+
+  test("Pipeline.decontaminate library form flags shared-gram docs; bloom variant agrees") {
+    import spark.implicits._
+    // doc 0 (id % 97 == 0) is the benchmark doc; doc 1 shares 3 distinct
+    // 3-grams with it (= the contamination floor); doc 2 shares none
+    val df = Seq(
+      (0L, "a b c d e f", "k"),
+      (1L, "a b c d e zz", "k"),
+      (2L, "p q r s t u", "k")
+    ).toDF("doc_id", "text", "junk")
+    val exact = Pipeline.decontaminate(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(exact === Seq((1L, 3L)))
+    val bloom = Pipeline.decontaminateBloom(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom === exact)
+  }
+
+  test("decontaminateBloom fails fast when the benchmark gram set exceeds the cap") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e f", "k"), // benchmark doc: 4 distinct grams > cap 2
+      (1L, "a b c d e zz", "k")
+    ).toDF("doc_id", "text", "junk")
+    spark.conf.set("graft.bloom.maxGrams", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.decontaminateBloom(df)
+      }
+      assert(e.getMessage.contains("bloom"))
+    } finally spark.conf.unset("graft.bloom.maxGrams")
+  }
+
+  test("Ann library forms run on an in-memory embeddings frame with extra columns") {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val near = base.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat)
+    // queries are vec_id < 5; vec 19 is the planted neighbor of query 0;
+    // ids 10..17 exist (the fixed IVF centroid seeds)
+    val rows = Seq((0L, base.map(_.toFloat).toSeq, "q")) ++
+      (1L to 18L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq, "c")) ++
+      Seq((19L, near.toSeq, "c"))
+    val df = rows.toDF("vec_id", "embedding", "role")
+    val bfTop = Ann.bruteforce(df)
+      .filter(col("q_id") === 0 && col("nn_rank") === 1).head
+    assert(bfTop.getLong(2) === 19L)
+    val lshHits = Ann.lsh(df).filter(col("q_id") === 0)
+      .collect().map(_.getLong(2)).toSet
+    assert(lshHits.contains(19L))
+    val ivfHits = Ann.ivf(df).filter(col("q_id") === 0)
+      .collect().map(_.getLong(2)).toSet
+    assert(ivfHits.contains(19L))
+  }
+
+  test("Multimodal.pipeline library form decodes an in-memory media frame") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abcd", "en", 4L, "x"),
+      (2L, "", "de", 0L, "y")
+    ).toDF("doc_id", "text", "lang", "n_chars", "junk")
+    val out = Multimodal.pipeline(df).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(5))).toMap
+    assert(out(1L) === (("img/en", 4L, 1L)))
+    assert(out(2L) === (("img/de", 0L, 0L)))
+  }
+}
