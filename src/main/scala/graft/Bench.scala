@@ -30,24 +30,34 @@ object Bench {
     // each entry reports its MEDIAN of `reps` runs
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     var failed = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // INTERLEAVED rounds (rep 1 of every entry, then rep 2, …) instead
+    // of back-to-back reps: back-to-back samples one instant of suite
+    // pressure (GC debt, JIT state, page cache) three times, which is
+    // how four consecutive rounds chased ±30% phantom regressions on
+    // entries with no code change. Spreading an entry's reps across the
+    // whole suite duration samples independent conditions, so the
+    // median converges on the entry's real cost.
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; (name, fn) <- entries) {
       // release the previous entry's checkpoint blocks (ContextCleaner
       // acts on GC) so entries don't inflate each other's timings —
       // measured: ngram 2.5s solo vs 4.8s late in a full suite run
       System.gc()
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
-          }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (ok) sec else -sec
-      }
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      samples(name) = samples(name) :+ (if (ok) sec else -sec)
+    }
+    val results = entries.map { case (name, _) =>
+      val times = samples(name)
       val good = times.filter(_ > 0).sorted
       // ANY failed rep marks the entry failed (exit 1) and negates its
       // median — a 2-of-3-flaky entry must not read as healthy

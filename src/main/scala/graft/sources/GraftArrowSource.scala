@@ -60,7 +60,8 @@ class GraftArrowTableProvider extends TableProvider
       table,
       schema,
       options.getLong("split_size", 128L * 1024 * 1024),
-      options.getBoolean("split", false))
+      options.getBoolean("split", false),
+      splitDefaulted = !options.containsKey("split"))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -108,7 +109,8 @@ object GraftArrowTableProvider {
 }
 
 class GraftArrowTable(endpoint: Endpoint, table: String, tschema: StructType,
-                      splitSize: Long, split: Boolean)
+                      splitSize: Long, split: Boolean,
+                      splitDefaulted: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-arrow:$table"
   override def schema(): StructType = tschema
@@ -119,11 +121,12 @@ class GraftArrowTable(endpoint: Endpoint, table: String, tschema: StructType,
   // which is exactly the reference's non-split single-stream contract
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftArrowScanBuilder(endpoint, table, tschema,
-      if (split) splitSize else Long.MaxValue)
+      if (split) splitSize else Long.MaxValue, splitDefaulted && !split)
 }
 
 class GraftArrowScanBuilder(endpoint: Endpoint, table: String,
-                            fullSchema: StructType, splitSize: Long)
+                            fullSchema: StructType, splitSize: Long,
+                            splitDefaulted: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -189,12 +192,33 @@ class GraftArrowScanBuilder(endpoint: Endpoint, table: String,
   }
 
   override def build(): Scan =
-    new GraftArrowScan(endpoint, table, required, pushed, aggSpec, aggSchema, splitSize)
+    new GraftArrowScan(endpoint, table, required, pushed, aggSpec, aggSchema,
+      splitSize, splitDefaulted)
+}
+
+object GraftArrowScan {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftArrowScan])
+
+  /** The notice text for a raw `format("graft-arrow")` read that fell
+    * back to the reference-parity default (`split` absent ⇒ one
+    * partition per file) on a file that HAS more parallelism to give.
+    * Pure function of the planned splits so the spec can pin it; the
+    * scan logs it once per plan. */
+  private[sources] def singleSplitNotice(table: String,
+                                         splits: Seq[SplitInfo]): Option[String] =
+    if (splits.exists(_.rowGroups.length > 1))
+      Some(s"graft-arrow: scan of '$table' uses the reference-parity " +
+        s"default split=false (option absent) — ${splits.length} partition(s) " +
+        "covering multi-row-group files scan single-stream. Set " +
+        "split=true (as the GraftArrow helpers do) for row-group-aligned " +
+        "parallel splits.")
+    else None
 }
 
 class GraftArrowScan(endpoint: Endpoint, table: String, required: StructType,
                      filters: Array[Filter], aggSpec: Option[AggSpec],
-                     aggSchema: Option[StructType], splitSize: Long)
+                     aggSchema: Option[StructType], splitSize: Long,
+                     splitDefaulted: Boolean = false)
     extends Scan with Batch {
 
   private val query = QuerySpec(table, required.fieldNames, filters)
@@ -207,9 +231,13 @@ class GraftArrowScan(endpoint: Endpoint, table: String, required: StructType,
   }
 
   // A5: one InputPartition per endpoint split
-  override def planInputPartitions(): Array[InputPartition] =
-    endpoint.plan(table, query, splitSize)
-      .map(s => GraftArrowPartition(s): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splits = endpoint.plan(table, query, splitSize)
+    if (splitDefaulted)
+      GraftArrowScan.singleSplitNotice(table, splits)
+        .foreach(GraftArrowScan.log.warn)
+    splits.map(s => GraftArrowPartition(s): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftArrowReaderFactory(endpoint, query, aggSpec, readSchema())

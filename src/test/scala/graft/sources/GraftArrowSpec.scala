@@ -208,6 +208,56 @@ class GraftArrowSpec extends SparkSpec {
       split.filter(col("l_orderkey") < 100).count())
   }
 
+  test("raw scan with split option ABSENT warns when files have more parallelism to give") {
+    // multi-row-group single file, as in the A5 test
+    val tmp = java.nio.file.Files.createTempDirectory("graft-splitwarn").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try plain("lineitem").repartition(1).write.mode("overwrite").parquet(s"$tmp/out")
+    finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/li.parquet"))
+    // capture the scan's log4j output
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, Logger => CoreLogger}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val captured = scala.collection.mutable.ArrayBuffer.empty[String]
+    val appender = new AbstractAppender("graft-test-capture", null, null, false,
+      Array.empty[org.apache.logging.log4j.core.config.Property]) {
+      override def append(e: LogEvent): Unit =
+        captured.synchronized { captured += e.getMessage.getFormattedMessage }
+    }
+    appender.start()
+    val logger = LogManager.getLogger(classOf[GraftArrowScan].getName)
+      .asInstanceOf[CoreLogger]
+    logger.addAppender(appender)
+    logger.setLevel(Level.WARN)
+    try {
+      // option ABSENT → reference-parity default + the degradation notice
+      spark.read.format("graft-arrow")
+        .option("dir", tmp).option("table", "li").load().count()
+      assert(captured.exists(m => m.contains("split=false") && m.contains("li")),
+        s"expected single-split notice, got: $captured")
+      captured.clear()
+      // option EXPLICITLY false → the user chose it; no warning
+      spark.read.format("graft-arrow")
+        .option("dir", tmp).option("table", "li").option("split", false).load().count()
+      assert(!captured.exists(_.contains("split=false")),
+        s"explicit split=false must not warn, got: $captured")
+    } finally logger.removeAppender(appender)
+    // the notice is a pure function of the planned splits: single-row-
+    // group files have no parallelism to lose, so no notice
+    val single = SplitInfo("local://x", 0L, "p", "q", "c", 0, Seq(0), 0L, 10L, 1L)
+    assert(GraftArrowScan.singleSplitNotice("t", Seq(single)).isEmpty)
+    val multi = single.copy(rowGroups = Seq(0, 1, 2))
+    assert(GraftArrowScan.singleSplitNotice("t", Seq(multi)).nonEmpty)
+  }
+
   test("multi-file table: a directory of part files scans as one table with per-file splits") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-multi").toString
     // the realistic at-scale layout: <table>.parquet/ is a directory
