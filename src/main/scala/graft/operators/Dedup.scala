@@ -90,6 +90,89 @@ object Dedup {
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- C1b
+  /** Tokens per paragraph. The synthetic corpus is a flat token stream
+    * (no newline/sentence structure), so "paragraph" is the structural
+    * proxy a packing pipeline would use: fixed 16-token chunks. A real
+    * corpus would split on blank lines first and chunk only oversized
+    * paragraphs — the plan below is identical either way. */
+  private val ParaTokens = 16
+
+  /** Paragraph-level exact dedup — the most common real training-data
+    * cleanup beyond whole-doc dedup (boilerplate headers/footers repeat
+    * across documents that are NOT duplicates themselves): explode docs
+    * into paragraphs, md5 each, keep the globally-first occurrence
+    * (min (doc_id, para_idx)), reassemble per doc. Output per doc:
+    * paragraph counts and the md5 of the reassembled (kept-only) text —
+    * proof of reassembly without hauling the text through the gate.
+    *
+    * Scale: paragraph rows are bounded (≤ [[ParaTokens]] tokens each);
+    * the winner table is one skew-proof map-side-combined groupBy on the
+    * paragraph hash (a boilerplate paragraph with 10⁹ copies collapses
+    * to one row per map task — the C1 argument); the join back on `h`
+    * is AQE-skew-splittable; reassembly groups by doc_id, bounded by
+    * doc size. Three shuffles of paragraph-mass data, corpus text never
+    * rides a shuffle twice. */
+  def exactParagraphs(documents: DataFrame): DataFrame = {
+    val paras = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          expr(s"sequence(0, ((size(toks) + ${ParaTokens - 1}) div $ParaTokens) - 1)"),
+          i => concat_ws(" ", slice(col("toks"), i * ParaTokens + 1, lit(ParaTokens))))))
+      .select(col("doc_id"), col("pos").as("para_idx"), col("col").as("para"))
+      .withColumn("h", md5(col("para")))
+    // keep-first winner per paragraph hash: min over the (doc_id,
+    // para_idx) struct — partial aggregation makes the hot-paragraph
+    // case map-side-collapse exactly like C1's exact()
+    val winners = paras.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("w"))
+    val flagged = paras.join(winners, Seq("h"))
+      .withColumn("kept",
+        col("doc_id") === col("w.doc_id") && col("para_idx") === col("w.para_idx"))
+    flagged.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // reassemble kept paragraphs in para_idx order (collect_list
+        // drops the nulls the `when` leaves for demoted paragraphs;
+        // sort_array orders the struct by its leading para_idx field)
+        md5(concat_ws(" ",
+          transform(
+            sort_array(collect_list(when(col("kept"),
+              struct(col("para_idx"), col("para"))))),
+            x => x.getField("para")))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  def exactParagraphs(spark: SparkSession, dir: String): DataFrame =
+    exactParagraphs(docs(spark, dir))
+
+  /** Oracle: same chunking (DuckDB inclusive-end list slice ≡ Spark
+    * length-bounded slice, both clamped), same keep-first rule
+    * (row_number over (h) ordered by (doc_id, para_idx) = 1 ≡ the
+    * min-struct winner), same space-joined reassembly. string_agg
+    * skips the non-kept NULLs like collect_list; coalesce('') matches
+    * Spark's md5 of the empty concat for fully-demoted docs. */
+  val exactParagraphsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (SELECT doc_id,
+       |    unnest(generate_series(0, (len(toks) + ${ParaTokens - 1}) // $ParaTokens - 1)) AS para_idx,
+       |    toks
+       |  FROM t),
+       |p2 AS (SELECT doc_id, para_idx,
+       |    array_to_string(toks[(para_idx * $ParaTokens + 1):(para_idx * $ParaTokens + $ParaTokens)], ' ') AS para
+       |  FROM p),
+       |w AS (SELECT doc_id, para_idx, para,
+       |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+       |  FROM p2)
+       |SELECT doc_id, count(*) AS n_paras,
+       |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY para_idx), '')) AS kept_md5
+       |FROM w
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- C4
   /** Exact n-gram-Jaccard near-dup pairs at 0.5 — explode + equi-join on
     * gram + group. Exact by construction; the oracle is the same algebra
@@ -682,6 +765,7 @@ object Dedup {
     "dedup_clusters_dist" ->
       ((s: SparkSession, d: String) => clusters(docs(s, d), forceDistributed = true)),
     "dedup_exact" -> exact _,
+    "dedup_exact_paragraph" -> exactParagraphs _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
@@ -697,6 +781,7 @@ object Dedup {
     "dedup_clusters" -> clustersSql,
     "dedup_clusters_dist" -> clustersSql,
     "dedup_exact" -> exactSql,
+    "dedup_exact_paragraph" -> exactParagraphsSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,

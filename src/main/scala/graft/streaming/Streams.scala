@@ -315,13 +315,56 @@ object Streams {
 
   val streamDedupSql: String = "SELECT DISTINCT md5(text) AS h FROM documents"
 
+  // --------------------------------------------------------------- D3b
+  /** The state-BOUNDED production form of D3: event-stream ingestion
+    * dedup via dropDuplicatesWithinWatermark — duplicate deliveries of
+    * the same event_id within the watermark horizon are dropped, and
+    * the per-key state is EVICTED once the watermark passes it, so
+    * state tracks the in-flight horizon, not stream history. This is
+    * the form that survives 100 TB/day ingestion; plain
+    * dropDuplicates (D3) keeps one state row per distinct key forever.
+    * Query shape only — applicable to any frame with `event_id`, `ts`
+    * (batch or streaming); StreamsSpec drives it through a real
+    * micro-batch stream and asserts the state eviction. */
+  def dedupWithinWatermarkQuery(ev: DataFrame, delay: String): DataFrame =
+    ev.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** D3b entry: the watermark dedup over the events micro-batch stream.
+    * The endpoint's splits arrive in order, the test events carry no
+    * duplicate ids, and dropDuplicatesWithinWatermark never drops a
+    * NON-duplicate however late it arrives — so the surviving id set is
+    * exactly the distinct ids, oracle-checkable. */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val stream = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "events")
+      .option("split", true)
+      .load()
+      .select(col("event_id"), col("ts"))
+    val sinkName = s"graft_d3b_${System.nanoTime()}"
+    val q = dedupWithinWatermarkQuery(stream, "1 hour")
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(sinkName)
+  }
+
+  val streamDedupWatermarkSql: String =
+    "SELECT DISTINCT event_id FROM events"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _,
     "stream_sessionize" -> sessionizeBatch _,
-    "stream_dedup" -> streamDedup _)
+    "stream_dedup" -> streamDedup _,
+    "stream_dedup_watermark" -> streamDedupWatermark _)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggSql,
     "stream_sessionize" -> sessionizeSql,
-    "stream_dedup" -> streamDedupSql)
+    "stream_dedup" -> streamDedupSql,
+    "stream_dedup_watermark" -> streamDedupWatermarkSql)
 }

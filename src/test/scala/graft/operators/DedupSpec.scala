@@ -227,6 +227,26 @@ class DedupSpec extends SparkSpec {
     assert(ivfHits.contains(99L), "IVF must recover the planted near neighbor")
   }
 
+  test("paragraph dedup: shared boilerplate demoted once, reassembly md5 exact") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ") // exactly one 16-token paragraph
+    val u1 = (1 to 16).map(i => s"u$i").mkString(" ")
+    val u2 = (1 to 16).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler $u1"), // paragraphs: boiler, u1 — first occurrence keeps both
+      (2L, s"$boiler $u2"), // boiler already seen at (1,0) → demoted
+      (3L, boiler)          // fully demoted doc
+    ).toDF("doc_id", "text")
+    val res = Dedup.exactParagraphs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(res(1L) === ((2L, 2L, md5hex(s"$boiler $u1"))))
+    assert(res(2L) === ((2L, 1L, md5hex(u2))))
+    assert(res(3L) === ((1L, 0L, md5hex(""))))
+  }
+
   test("operators release every cache they take (no persist leaks in a long-lived session)") {
     val dir = sf("sf0.001")
     Dedup.ngramJaccard(spark, dir).count()

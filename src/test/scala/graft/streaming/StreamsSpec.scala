@@ -23,6 +23,44 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("D3b: watermark dedup drops in-horizon duplicates and EVICTS state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val input = MemoryStream[Event]
+    val name = s"d3b_test_${System.nanoTime()}"
+    val q = Streams.dedupWithinWatermarkQuery(input.toDF(), "10 minutes")
+      .select(col("event_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events + an in-batch duplicate delivery of id 1
+      input.addData(
+        Event(1, t0, 7L, "click", 1.0),
+        Event(2, t0.plusMinutes(1), 7L, "click", 1.0),
+        Event(1, t0, 7L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate, still inside the horizon — dropped
+      input.addData(Event(2, t0.plusMinutes(1), 7L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+      // batches 3-4: far-future events advance the watermark past the
+      // old keys' expiry (ts + 10min < watermark) — their state EVICTS,
+      // which is the whole point of the watermark form: state tracks
+      // the in-flight horizon, not stream history
+      input.addData(Event(3, t0.plusHours(5), 7L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, t0.plusHours(5).plusMinutes(1), 7L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(0)).sorted.toSeq ===
+        Seq(1L, 2L, 3L, 4L))
+      val st = q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
+        .headOption.getOrElse(fail("no state operator progress reported"))
+      assert(st.numRowsTotal <= 2,
+        s"state not bounded by the watermark horizon: ${st.numRowsTotal} rows")
+    } finally q.stop()
+  }
+
   test("D3: streaming content-hash dedup equals batch distinct") {
     val streamed = Streams.streamDedup(spark, dir)
       .collect().map(_.getString(0)).toSet
