@@ -247,9 +247,80 @@ class DedupSpec extends SparkSpec {
     assert(res(3L) === ((1L, 0L, md5hex(""))))
   }
 
+  test("ngram-jaccard ppjoin prefix filter is exact: brute-force parity incl. hot boilerplate and a threshold-boundary pair") {
+    import spark.implicits._
+    def toks(prefix: String, n: Int): Seq[String] = (1 to n).map(i => s"$prefix$i")
+    val corpus = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    // a true near-dup pair: one substitution in 50 tokens (jacc ≈ 0.88)
+    val base = toks("nd", 50)
+    corpus += ((1L, base.mkString(" ")))
+    corpus += ((2L, base.updated(25, "ndX").mkString(" ")))
+    // exact-threshold subset pair: A's 10 shingles ⊂ B's 20 → jacc =
+    // 10/(10+20-10) = 0.5 exactly — must be INCLUDED (>= comparison),
+    // and exercises the prefix lemma's c = ⌈t·n⌉ equality edge
+    val subA = toks("sub", 12)
+    corpus += ((3L, subA.mkString(" ")))
+    corpus += ((4L, (subA ++ toks("sx", 10)).mkString(" ")))
+    corpus += ((5L, "a b")) // <3 tokens: dropped on both sides
+    // 20 docs sharing a 30-token boilerplate block + 60 unique tokens:
+    // pairwise jacc ≈ 28/148 < 0.5 — none may pair, even though the
+    // boilerplate grams are the hottest in the corpus (df=20). This is
+    // the pattern whose df² blow-up the prefix filter exists to kill.
+    val boiler = toks("hot", 30)
+    for (i <- 0 until 20)
+      corpus += ((100L + i, (boiler ++ toks(s"u${i}_", 60)).mkString(" ")))
+    def shingleSet(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    val all = corpus.toSeq
+    val expect = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      c = sa.intersect(sb).size
+      j = c.toDouble / (sa.size + sb.size - c) if j >= 0.5
+    } yield (ia, ib, j)).toSet
+    assert(expect.exists(_._3 == 0.5), "corpus must include an exact-threshold pair")
+    assert(expect.size >= 2)
+    val frame = all.toDF("doc_id", "text")
+    for (result <- Seq(Dedup.ngramJaccard(frame), Dedup.ngramJaccardPrefix(frame))) {
+      val plan = result.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+      val got = result.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expect)
+      assert(!got.exists { case (a, b, _) => a >= 100L && b >= 100L },
+        "sub-threshold boilerplate-sharing docs must not pair")
+    }
+    // the prefix variant at a higher threshold, against its own oracle
+    val expect07 = (for {
+      (ia, ta) <- all; (ib, tb) <- all if ia < ib
+      sa = shingleSet(ta); sb = shingleSet(tb)
+      if sa.nonEmpty && sb.nonEmpty
+      c = sa.intersect(sb).size
+      j = c.toDouble / (sa.size + sb.size - c) if j >= 0.7
+    } yield (ia, ib, j)).toSet
+    val got07 = Dedup.ngramJaccardPrefix(frame, 0.7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got07 === expect07)
+    assert(expect07.size < expect.size, "0.7 must prune the boundary pair")
+  }
+
+  test("ppjoin prefix variant equals the count-based C4 on the test corpus") {
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = pairs(Dedup.ngramJaccard(spark, dir))
+    val b = pairs(Dedup.ngramJaccardPrefix(spark, dir))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("operators release every cache they take (no persist leaks in a long-lived session)") {
     val dir = sf("sf0.001")
     Dedup.ngramJaccard(spark, dir).count()
+    Dedup.ngramJaccardPrefix(spark, dir).count()
     Dedup.minhashLsh(spark, dir).count()
     Dedup.simhashPairs(spark, dir).count()
     Dedup.clusters(spark, dir).count()
