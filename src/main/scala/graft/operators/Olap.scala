@@ -243,11 +243,19 @@ object Olap {
     val li = Tables(spark, dir, "lineitem")
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // rank FIRST, filter IMMEDIATELY, running-sum on the survivors: the
+    // running sum at rank k only reads ranks ≤ k, so filtering between
+    // the two windows changes nothing semantically — but it puts the
+    // rn<=3 predicate directly above the rank Window, which lets
+    // InferWindowGroupLimit plant a partial top-3-per-key below the
+    // shuffle (WindowGroupLimit Partial→Final). At scale that shuffles
+    // ~3 rows per key per map partition instead of the whole fact
+    // table; the second Window then sorts only the filtered survivors.
     li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
       .withColumn("running_qty",
         sum(dec2(col("l_quantity")))
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("rn") <= 3)
       .select(
         col("l_suppkey"), col("rn"),
         col("l_orderkey"), col("l_linenumber"),

@@ -28,4 +28,14 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("q7's rank filter plans a partial top-k below the shuffle (WindowGroupLimit)") {
+    // the rn<=3 predicate must sit directly above the rank Window so
+    // InferWindowGroupLimit fires — measured 3.7x at sf1; at cluster
+    // scale it is the difference between shuffling 3 rows per key per
+    // map partition and shuffling the whole fact table
+    val p = SparkEntry.queries("q7_window_rank")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"q7 lost its WindowGroupLimit:\n$p")
+  }
 }
