@@ -356,15 +356,95 @@ object Streams {
   val streamDedupWatermarkSql: String =
     "SELECT DISTINCT event_id FROM events"
 
+  // ---------------------------------------------------------------- D4
+  /** Attribution window: a click pairs with the same user's views from
+    * the preceding 2 hours. */
+  private val AttributionWindow = "INTERVAL 2 HOURS"
+
+  /** Watermarked stream-stream interval join — view→click attribution,
+    * the canonical two-stream stateful query. Both sides carry a
+    * watermark and the join bounds event time in BOTH directions, so
+    * Spark evicts join state older than the watermark minus the
+    * attribution window instead of buffering either stream forever —
+    * that eviction is what makes the join runnable against an unbounded
+    * 100 TB/day event stream. Inner join in append mode emits exactly
+    * the batch join (a pair emits when its later side arrives); with
+    * in-order sources and a watermark delay ≥ the attribution window no
+    * on-time row is dropped, so the result is oracle-checkable against
+    * the batch SQL join. Query shape only — applicable to batch or
+    * streaming frames with `event_id`, `ts`, `user_id`. */
+  def attributionJoinQuery(views: DataFrame, clicks: DataFrame,
+                           delay: String = "4 hours"): DataFrame = {
+    val v = views.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay).alias("v")
+    val c = clicks.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay).alias("c")
+    v.join(c,
+        col("v.user_id") === col("c.user_id") &&
+        col("c.ts") >= col("v.ts") &&
+        col("c.ts") <= col("v.ts") + expr(AttributionWindow))
+      .select(
+        col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("c.event_id").as("click_id"),
+        // exact integer microseconds — hash-stable across engines
+        (unix_micros(col("c.ts")) - unix_micros(col("v.ts"))).as("gap_us"))
+  }
+
+  /** D4 entry: two independent graft-arrow micro-batch streams (views
+    * and clicks filtered from the events endpoint) joined with
+    * watermarked state. The global watermark is the MIN across both
+    * sources (multipleWatermarkPolicy default), so neither side racing
+    * ahead can evict state the other still needs. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    def src = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "events")
+      .option("split", true)
+      .load()
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val views = src.filter(col("event_type") === "view")
+    val clicks = src.filter(col("event_type") === "click")
+    val sinkName = s"graft_d4_${System.nanoTime()}"
+    // a stream-stream join keeps FOUR state stores per side per
+    // partition, each committed every micro-batch — at the local
+    // fixture's size that fixed cost dwarfs the data, so the adapter
+    // sizes state partitions down (the state-partition count is an
+    // operational knob: a real deployment sizes it to key cardinality
+    // × state-store throughput, and it cannot change across restarts
+    // of one checkpointed query)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try attributionJoinQuery(views, clicks)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(sinkName)
+  }
+
+  val streamJoinSql: String =
+    """SELECT v.user_id AS user_id, v.event_id AS view_id,
+      |  c.event_id AS click_id,
+      |  CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+      |FROM events v JOIN events c
+      |  ON v.user_id = c.user_id
+      | AND v.event_type = 'view' AND c.event_type = 'click'
+      | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _,
     "stream_sessionize" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
-    "stream_dedup_watermark" -> streamDedupWatermark _)
+    "stream_dedup_watermark" -> streamDedupWatermark _,
+    "stream_join" -> streamJoin _)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_dedup" -> streamDedupSql,
-    "stream_dedup_watermark" -> streamDedupWatermarkSql)
+    "stream_dedup_watermark" -> streamDedupWatermarkSql,
+    "stream_join" -> streamJoinSql)
 }

@@ -61,6 +61,52 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D4: stream-stream attribution join equals the batch interval join") {
+    val streamed = Streams.streamJoin(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = Streams.events(spark, dir).toDF()
+    val batch = Streams.attributionJoinQuery(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty, "the corpus must produce attribution pairs")
+    // gap bounded by the attribution window, never negative
+    assert(streamed.forall { case (_, _, _, g) => g >= 0 && g <= 2L * 3600 * 1000000 })
+  }
+
+  test("D4: join state is EVICTED once the watermark passes the attribution window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val vIn = MemoryStream[Event]
+    val cIn = MemoryStream[Event]
+    val name = s"d4_test_${System.nanoTime()}"
+    val q = Streams.attributionJoinQuery(vIn.toDF(), cIn.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a view and a click 5 minutes later — one pair
+      vIn.addData(Event(1, t0, 7L, "view", 1.0))
+      cIn.addData(Event(2, t0.plusMinutes(5), 7L, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+        === Set((1L, 2L)))
+      // batches 2-3: far-future rows on BOTH sides advance the min
+      // watermark past t0 + window + delay, evicting the old state
+      vIn.addData(Event(3, t0.plusHours(8), 7L, "view", 1.0))
+      cIn.addData(Event(4, t0.plusHours(8), 9L, "click", 1.0))
+      q.processAllAvailable()
+      vIn.addData(Event(5, t0.plusHours(9), 7L, "view", 1.0))
+      cIn.addData(Event(6, t0.plusHours(9), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val st = q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
+        .headOption.getOrElse(fail("no state operator progress reported"))
+      assert(st.numRowsTotal <= 4,
+        s"join state not bounded by the watermark horizon: ${st.numRowsTotal} rows")
+    } finally q.stop()
+  }
+
   test("D3: streaming content-hash dedup equals batch distinct") {
     val streamed = Streams.streamDedup(spark, dir)
       .collect().map(_.getString(0)).toSet
