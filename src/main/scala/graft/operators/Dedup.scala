@@ -335,18 +335,17 @@ object Dedup {
     * h1+j·h2 broke the 1-(1-s⁴)ᵇ recall bound on a real 0.95-Jaccard
     * pair — per-seed hashes are genuinely independent.)
     *
-    * Shape: explode(shingles) → 64-hash codegen projection →
-    * groupBy(doc) with 64 MIN aggregates (map-side partials) → array.
-    * The shuffle carries only (doc_id, 64 longs) per doc. */
+    * One native [[org.apache.spark.sql.graft.MinhashSignature]]
+    * projection per doc — value-identical to the explode → 64-hash
+    * projection → 64-MIN groupBy it replaces (see its scaladoc), but
+    * with no row blow-up and no aggregation machinery: the signature
+    * never leaves the scan stage, and only (doc_id, 64 longs) exists
+    * downstream. */
   private def withMinhashes(sh: DataFrame): DataFrame = {
-    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val hashCols = (0 until MinhashK).map(j => xxhash64(lit(j), col("s")).as(s"h$j"))
-    val hv = exploded.select(col("doc_id") +: hashCols: _*)
-    val minAggs = (1 until MinhashK).map(j => min(col(s"h$j")).as(s"mh$j"))
-    hv.groupBy(col("doc_id"))
-      .agg(min(col("h0")).as("mh0"), minAggs: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashK).map(j => col(s"mh$j")): _*).as("minhashes"))
+    import org.apache.spark.sql.graft.{Bridge, MinhashSignature}
+    sh.select(col("doc_id"),
+      Bridge.column(
+        MinhashSignature(Bridge.expression(col("shingles")), MinhashK)).as("minhashes"))
   }
 
   /** MinHash + LSH banding: 16 bands × 4 rows; candidates = pairs

@@ -308,6 +308,25 @@ class DedupSpec extends SparkSpec {
     assert(expect07.size < expect.size, "0.7 must prune the boundary pair")
   }
 
+  test("native minhash signature equals the explode+min-agg formulation bit-for-bit") {
+    import org.apache.spark.sql.graft.{Bridge, MinhashSignature, WordShingles}
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("shingles", Bridge.column(WordShingles(Bridge.expression(col("text")))))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+    val native = sh.select(col("doc_id"),
+        Bridge.column(MinhashSignature(Bridge.expression(col("shingles")), 64)).as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val exploded = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val hashCols = (0 until 64).map(j => xxhash64(lit(j), col("s")).as(s"h$j"))
+    val legacy = exploded.select(col("doc_id") +: hashCols: _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"), (1 until 64).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(r.getLong(_)).toVector).toMap
+    assert(native === legacy)
+    assert(native.nonEmpty)
+  }
+
   test("ppjoin prefix variant equals the count-based C4 on the test corpus") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
