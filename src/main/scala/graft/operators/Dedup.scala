@@ -409,22 +409,16 @@ object Dedup {
     * hamming distance ≤ 3 share at least one of the 4 bands (pigeonhole).
     * One shuffle of map-side-combined (doc_id, 60 bit-sums) rows. */
   def simhash(documents: DataFrame): DataFrame = {
-    // explode tokens → one md5-derived 60-bit hash per token (codegen'd)
-    // → groupBy(doc) with 60 per-bit ±1 sums (map-side partials) →
-    // recombine. Same math and hash as the (slower, interpreted) nested
-    // HOF formulation, so the SQL oracle is unchanged.
-    val tok = documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    // one native SimhashSignature projection per doc — value-identical
+    // to the explode → 60 ±1-sum aggregates → recombination plan it
+    // replaces (see its scaladoc; a DedupSpec test pins the parity on
+    // the real corpus), md5-based as the oracle requires, with no token
+    // row blow-up and no aggregation machinery.
+    import org.apache.spark.sql.graft.{Bridge, SimhashSignature}
+    documents
       .select(col("doc_id"),
-        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$b")
-    }
-    val agged = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until SimhashBits).map { b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agged.withColumn("simhash", sim)
+        Bridge.column(
+          SimhashSignature(Bridge.expression(split(col("text"), " ")))).as("simhash"))
       .select(col("doc_id"), col("simhash"),
         col("simhash").bitwiseAND((1L << 15) - 1).as("band0"),
         shiftright(col("simhash"), 15).bitwiseAND((1L << 15) - 1).as("band1"),

@@ -327,6 +327,29 @@ class DedupSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("native simhash signature equals the explode+bit-sum formulation bit-for-bit") {
+    import org.apache.spark.sql.graft.{Bridge, SimhashSignature}
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val native = docsDf.select(col("doc_id"),
+        Bridge.column(SimhashSignature(Bridge.expression(split(col("text"), " ")))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tok = docsDf
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"s$b")
+    }
+    val agged = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60).map { b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val legacy = agged.select(col("doc_id"), sim.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native === legacy)
+    assert(native.nonEmpty)
+  }
+
   test("ppjoin prefix variant equals the count-based C4 on the test corpus") {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
