@@ -43,6 +43,23 @@ object Streams {
       .as[Event]
   }
 
+  /** Start a streaming query with the state-partition count sized to
+    * the local fixture instead of the session's shuffle width: every
+    * stateful operator commits one state store PER PARTITION PER
+    * MICRO-BATCH, a fixed cost that dwarfs the data at test scale
+    * (measured 8.4s → 2.9s on the stream-stream join). The partition
+    * count is an operational knob — a real deployment sizes it to key
+    * cardinality × store throughput, and it cannot change across
+    * restarts of one checkpointed query — so the adapters own it, not
+    * the query shapes. The session conf is restored immediately after
+    * `start()` captures it. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(start: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try start finally spark.conf.set(key, prev)
+  }
+
   // ---------------------------------------------------------------- D1
   /** The D1 query shape, applicable to a batch OR streaming frame.
     * Event-time columns must be TIMESTAMP (not NTZ) for watermarks; the
@@ -71,10 +88,12 @@ object Streams {
       .load()
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val sinkName = s"graft_d1_${System.nanoTime()}"
-    val q = windowAggQuery(stream)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Complete())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      windowAggQuery(stream)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Complete())
+        .start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(sinkName)
   }
@@ -305,10 +324,12 @@ object Streams {
       .select(md5(col("text")).as("h"))
       .dropDuplicates("h")
     val sinkName = s"graft_d3_${System.nanoTime()}"
-    val q = stream
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      stream
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(sinkName)
   }
@@ -344,11 +365,13 @@ object Streams {
       .load()
       .select(col("event_id"), col("ts"))
     val sinkName = s"graft_d3b_${System.nanoTime()}"
-    val q = dedupWithinWatermarkQuery(stream, "1 hour")
-      .select(col("event_id"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append())
-      .start()
+    val q = withStatePartitions(spark, 8) {
+      dedupWithinWatermarkQuery(stream, "1 hour")
+        .select(col("event_id"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(sinkName)
   }
@@ -406,21 +429,12 @@ object Streams {
     val views = src.filter(col("event_type") === "view")
     val clicks = src.filter(col("event_type") === "click")
     val sinkName = s"graft_d4_${System.nanoTime()}"
-    // a stream-stream join keeps FOUR state stores per side per
-    // partition, each committed every micro-batch — at the local
-    // fixture's size that fixed cost dwarfs the data, so the adapter
-    // sizes state partitions down (the state-partition count is an
-    // operational knob: a real deployment sizes it to key cardinality
-    // × state-store throughput, and it cannot change across restarts
-    // of one checkpointed query)
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try attributionJoinQuery(views, clicks)
+    val q = withStatePartitions(spark, 8) {
+      attributionJoinQuery(views, clicks)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append())
         .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(sinkName)
   }
