@@ -163,4 +163,52 @@ object GraftProperties extends Properties("graft") {
         ((sig >> i) & 1L) == (if (d > 0) 1L else 0L)
       }
     }
+
+  // ------------------------------------- Minhash/Simhash signatures
+  private val tokGen: Gen[List[String]] =
+    Gen.resize(20, Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.resize(8, Gen.alphaNumStr), Gen.const(""), Gen.const("é ß 的"))))
+
+  private def utf8Array(ss: Seq[String]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ss.map(s => UTF8String.fromString(s): Any).toArray)
+
+  private val mhSeeds: Array[Long] =
+    Array.tabulate(16)(j =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, 42L))
+
+  /** The three algebraic laws minhash NEEDS (set semantics + the
+    * union-min composition the banding argument rests on). */
+  property("minhash: order-invariant, duplicate-invariant, union takes elementwise min") =
+    forAll(tokGen, tokGen) { (a, b) =>
+      def sig(ss: Seq[String]): Seq[Long] = {
+        val r = org.apache.spark.sql.graft.MinhashSignature.signature(utf8Array(ss), mhSeeds)
+        (0 until r.numElements()).map(r.getLong)
+      }
+      val sa = sig(a)
+      sig(scala.util.Random.shuffle(a)) == sa &&
+        sig(a ++ a.take(1)) == sa &&
+        sig(a ++ b) == sa.zip(sig(b)).map { case (x, y) => math.min(x, y) }
+    }
+
+  /** Independent reimplementation through the HEX-STRING path (md5 hex
+    * → substring(1,15) → parse base 16), guarding the production
+    * byte-arithmetic extraction of the 60-bit token hash. */
+  private def naiveSimhash(tokens: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](60)
+    tokens.foreach { t =>
+      md.reset()
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      (0 until 60).foreach(b => counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1))
+    }
+    (0 until 60).map(b => if (counts(b) > 0) 1L << b else 0L).sum
+  }
+
+  property("simhash: equals the md5-hex reference implementation") =
+    forAll(tokGen) { tokens =>
+      org.apache.spark.sql.graft.SimhashSignature.signature(utf8Array(tokens)) ==
+        naiveSimhash(tokens)
+    }
 }
