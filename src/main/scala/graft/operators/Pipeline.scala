@@ -481,7 +481,52 @@ object Pipeline {
        |GROUP BY r.source, r.n_total, r.keep_ppm
        |ORDER BY r.source""".stripMargin
 
+  // ------------------------------------------------------------- P7
+  private val SplitScale = 1000L
+  private val ValPermille = 100L // 10% held out
+
+  /** Deterministic train/validation split: a doc is 'val' ⇔
+    * md5("split:" || doc_id) mod 1000 < [[ValPermille]]. The assignment
+    * is a pure function of the doc id — stable under re-runs,
+    * repartitioning, and corpus growth (new docs never reassign
+    * existing ones), which is what makes a held-out set trustworthy
+    * across pipeline iterations; the salt keeps it independent of the
+    * [[mixSources]] keep-hash. Pure per-doc map, no shuffle: the split
+    * column is computed in the scan stage. */
+  def splitTrainVal(documents: DataFrame): DataFrame =
+    documents.withColumn("split",
+      when(
+        conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % SplitScale < ValPermille, "val")
+        .otherwise("train"))
+
+  /** P7 entry: per-(source, split) doc and exact token mass — the
+    * sanity report every split step ships with. One map-side-combined
+    * groupBy over (source, split). */
+  def splitTrainValStats(documents: DataFrame): DataFrame =
+    splitTrainVal(documents)
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy(col("source"), col("split"))
+
+  def splitTrainValStats(spark: SparkSession, dir: String): DataFrame =
+    splitTrainValStats(Tables(spark, dir, "documents"))
+
+  val splitTrainValSql: String =
+    s"""SELECT source,
+       |  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |            % $SplitScale < $ValPermille
+       |       THEN 'val' ELSE 'train' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split_train_val" -> (splitTrainValStats(_, _)),
     "pipeline_curate" -> curate _,
     "pipeline_curate_neardup" -> curateNearDup _,
     "pipeline_kept_docs" -> keptDocs _,
@@ -492,6 +537,7 @@ object Pipeline {
     "pipeline_mix_sources" -> mixSources _)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_split_train_val" -> splitTrainValSql,
     "pipeline_curate" -> curateSql,
     "pipeline_curate_neardup" -> curateNearDupSql,
     "pipeline_kept_docs" -> keptDocsSql,

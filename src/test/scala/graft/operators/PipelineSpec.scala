@@ -107,6 +107,34 @@ class PipelineSpec extends SparkSpec {
     assert(n === expect, s"source $src")
   }
 
+  test("train/val split is deterministic, ~10%, and stable under corpus growth") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val assign = Pipeline.splitTrainVal(docs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // deterministic: recomputation is identical
+    val again = Pipeline.splitTrainVal(docs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assign === again)
+    // held-out fraction near 10% (binomial tolerance on 500 docs)
+    val valFrac = assign.values.count(_ == "val").toDouble / assign.size
+    assert(valFrac > 0.04 && valFrac < 0.16, s"val fraction $valFrac")
+    // growth-stable: adding docs never reassigns an existing one
+    val grown = docs.select("doc_id", "source", "text")
+      .union(Seq((900001L, "web", "new doc one"), (900002L, "web", "new doc two"))
+        .toDF("doc_id", "source", "text"))
+    val after = Pipeline.splitTrainVal(grown)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assign.forall { case (id, s) => after(id) == s })
+    // library form: in-memory frame with extra columns keeps them
+    val lib = Pipeline.splitTrainVal(
+      Seq((1L, "x", "a b c", 9)).toDF("doc_id", "source", "text", "extra"))
+    assert(lib.columns.toSeq === Seq("doc_id", "source", "text", "extra", "split"))
+  }
+
   test("materialize writes a source-partitioned parquet corpus with text") {
     val out = java.nio.file.Files.createTempDirectory("graft-curated").toString + "/corpus"
     Pipeline.materialize(spark, dir, out)
