@@ -852,10 +852,16 @@ object Dedup {
     "dedup_exact" -> exact _,
     "dedup_exact_paragraph" -> exactParagraphs _,
     "dedup_ngram_jaccard" -> ngramJaccard _,
-    // the PPJoin variant is output-identical to C4 (lemma-exact), so it
-    // shares C4's oracle — a driver row proving the prefix filter loses
-    // nothing on the real corpus
-    "dedup_ngram_prefix" -> (ngramJaccardPrefix(_, _)),
+    // the PPJoin variant at 0.8 is output-identical to the exact-verified
+    // LSH (lemma-exact), so it shares C2's oracle — a deterministic
+    // exact-recall alternative to probabilistic banding. 0.8 is also the
+    // right bench regime: at t the prefix is n − ⌈t·n⌉ + 1 grams, so a
+    // LOW threshold on a near-dup-dense corpus (this fixture) degenerates
+    // toward the all-pairs mass the filter exists to avoid — prefix
+    // filtering earns its keep at high thresholds or on boilerplate-
+    // dominant corpora (its scaladoc regime discussion).
+    "dedup_ngram_prefix" ->
+      ((s: SparkSession, d: String) => ngramJaccardPrefix(docs(s, d), 0.8)),
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -872,7 +878,7 @@ object Dedup {
     "dedup_exact" -> exactSql,
     "dedup_exact_paragraph" -> exactParagraphsSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_ngram_prefix" -> ngramJaccardSql,
+    "dedup_ngram_prefix" -> minhashLshSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
