@@ -47,4 +47,13 @@ class OlapPlanSpec extends SparkSpec {
     val plan = executed("q1_pricing_summary")
     assert(plan.contains("partial_"), "HashAggregate partial mode expected")
   }
+
+  test("q5 star join broadcasts its dimension side") {
+    // nation/region (and at this SF customer/supplier too) must come in
+    // as broadcast hash joins — a shuffle join on a dim is the classic
+    // star-schema scale bug
+    val plan = executed("q5_nation_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
+    assert(!plan.contains("SortMergeJoin(n_"), "nation must never shuffle")
+  }
 }
