@@ -260,8 +260,8 @@ object Dedup {
     * boilerplate grams to the END of every doc's order, so a df≈10⁶
     * gram lands in a prefix only for docs made almost entirely of even
     * hotter grams — the df² blow-up disappears while the result stays
-    * exact. Verification then counts shared grams per candidate pair
-    * (rows of three longs — no shingle arrays ride any shuffle). */
+    * exact. Verification is the C2 array-intersect shape over the
+    * cached shingle table, costed by candidate-pair mass only. */
   def ngramJaccardPrefix(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
@@ -292,20 +292,20 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification, count-based: replay doc_a's grams against
-    // doc_b's gram set, restricted to candidate pairs — the join keys
-    // are (doc, gram) longs; no arrays move
-    val shared = cand
-      .join(grams.as("ga"), col("doc_a") === col("ga.doc_id"))
-      .join(grams.as("gb"),
-        col("doc_b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
-    val result = shared
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jacc", col("c") / (col("sa.n") + col("sb.n") - col("c")))
+    // exact verification on the cached shingle arrays (the C2 verify
+    // shape): candidate-pair mass only, two doc-keyed joins against the
+    // persisted sh — measured several times cheaper than replaying the
+    // gram table through a (doc, gram) count join at the same candidate
+    // count. The division matches C4's c/(na+nb−c) operand order so an
+    // identical pair hashes identically across the two entries.
+    val result = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("c",
+        size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("long"))
+      .withColumn("jacc",
+        col("c") / (size(col("sa.shingles")).cast("long") +
+          size(col("sb.shingles")).cast("long") - col("c")))
       .filter(col("jacc") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jacc").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
