@@ -276,22 +276,46 @@ object Dedup {
     val hotPerDoc = grams.join(hotDf, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("gram"))).as("hot"))
-    // p = n − ⌈t·n⌉ + 1; join input = the (p − u) smallest hot grams
+    // p = n − ⌈t·n⌉ + 1; join input = the (p − u) smallest hot grams,
+    // each carrying its 0-based rank k in the doc's hot-gram order (the
+    // doc's full-order position is u + k + 1, so the count of grams
+    // AFTER it is hotSz − k − 1 — every gram after a hot gram is hot)
     val prefix = sh
       .select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
       .join(hotPerDoc, Seq("doc_id")) // inner: all-unique docs vanish here
+      .withColumn("hotSz", size(col("hot")).cast("long"))
       .withColumn("take",
         (col("n") - ceil(col("n") * lit(threshold)).cast("long") + 1 -
-          (col("n") - size(col("hot")))).cast("int"))
+          (col("n") - col("hotSz"))).cast("int"))
       .filter(col("take") >= 1)
-      .select(col("doc_id"),
-        explode(expr("slice(array_sort(hot), 1, take)")).as("hg"))
-      .select(col("doc_id"), col("hg.gram").as("gram"))
+      .select(col("doc_id"), col("n"), col("hotSz"),
+        posexplode(expr("slice(array_sort(hot), 1, take)")))
+      .select(col("doc_id"), col("n"), col("hotSz"),
+        col("pos").as("k"), col("col.gram").as("gram"))
+    // candidate pairs + PPJoin POSITIONAL filter: within a doc,
+    // position is monotone in the gram key, so min(k) over a pair's
+    // matched rows lands on the globally-smallest shared gram in BOTH
+    // docs; every shared gram is ≥ it, hence inside both suffixes from
+    // that position — overlap ≤ 1 + min(suffix lengths). A pair whose
+    // overlap BOUND cannot reach the threshold is pruned before any
+    // verification; on a corpus where rare grams link many
+    // low-similarity pairs this cuts the verify mass by orders of
+    // magnitude. The prune compares bound/(na+nb−bound) ≥ t — the SAME
+    // correctly-rounded division the final filter applies to the true
+    // c, which is monotone in the numerator, so float rounding can
+    // never prune a pair the final filter would keep.
+    val bound = lit(1L) +
+      least(col("ha") - col("ka") - 1, col("hb") - col("kb") - 1)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"),
+        first(col("a.hotSz")).as("ha"), first(col("b.hotSz")).as("hb"),
+        min(col("a.k")).cast("long").as("ka"), min(col("b.k")).cast("long").as("kb"))
+      .filter(bound / (col("na") + col("nb") - bound) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
     // exact verification on the cached shingle arrays (the C2 verify
     // shape): candidate-pair mass only, two doc-keyed joins against the
     // persisted sh — measured several times cheaper than replaying the
