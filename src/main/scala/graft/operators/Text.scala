@@ -183,15 +183,70 @@ object Text {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_poly
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------------------- C16
+  /** Repetition scoring — the Gopher-style duplicate-n-gram quality
+    * signal (Rae et al. 2021 §A1.1; the one standard filter the
+    * C10 ratio score does not cover): over a document's word 3-grams
+    * WITH multiplicity, report the duplicate-gram fraction and the
+    * share of the single most frequent gram. A bot page that repeats
+    * one sentence scores top_share → 1; clean prose scores → 1/n.
+    * Ratios are raw IEEE quotients of exact integers (the §5 rule).
+    * Docs under 3 tokens have no gram and are dropped, as in C4.
+    *
+    * Plan: gram explode → (doc, gram) count (map-side combined; per-doc
+    * key space, skew-proof) → per-doc count/sum/max. Only (doc, gram,
+    * count) rows shuffle. Library form: any frame with `doc_id`,
+    * `text`. */
+  def repetition(documents: DataFrame): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct"), col("top_count"),
+        ((col("n_grams") - col("n_distinct")) / col("n_grams")).as("dup_fraction"),
+        (col("top_count") / col("n_grams")).as("top_share"))
+  }
+
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetition(docs(spark, dir))
+
+  val repetitionSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |  WHERE len(toks) >= 3),
+      |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_grams,
+      |  count(*) AS n_distinct,
+      |  CAST(max(c) AS BIGINT) AS top_count,
+      |  (CAST(sum(c) AS BIGINT) - count(*)) / CAST(sum(c) AS BIGINT) AS dup_fraction,
+      |  CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_share
+      |FROM c GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId _,
     "text_quality" -> quality _,
     "text_tokens" -> tokens _,
-    "text_fingerprint" -> fingerprint _)
+    "text_fingerprint" -> fingerprint _,
+    "text_repetition" -> (repetition(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokensSql,
-    "text_fingerprint" -> fingerprintSql)
+    "text_fingerprint" -> fingerprintSql,
+    "text_repetition" -> repetitionSql)
 }

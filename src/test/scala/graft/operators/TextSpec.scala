@@ -78,4 +78,21 @@ class TextSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"$q must not shuffle:\n$plan")
     }
   }
+
+  test("repetition scoring flags duplicate-gram mass and the top-gram share") {
+    import spark.implicits._
+    val docs = Seq(
+      // "spam spam spam spam spam" → 3 identical trigrams
+      (1L, Seq.fill(5)("spam").mkString(" ")),
+      // all-distinct prose → zero duplicate fraction
+      (2L, "one two three four five"),
+      (3L, "a b") // <3 tokens: dropped
+    ).toDF("doc_id", "text")
+    val r = Text.repetition(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(1L) === ((3L, 1L, 3L, 2.0 / 3, 1.0)))
+    assert(r(2L) === ((3L, 3L, 1L, 0.0, 1.0 / 3)))
+  }
 }
