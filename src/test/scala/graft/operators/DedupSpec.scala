@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 /** Dedup/ANN operator specs: planted-near-dup recovery, LSH recall vs
   * the exact ground truth, and no-cartesian plan guarantees. */
@@ -357,6 +357,15 @@ class DedupSpec extends SparkSpec {
     val b = pairs(Dedup.ngramJaccardPrefix(spark, dir))
     assert(a === b)
     assert(a.nonEmpty)
+  }
+
+  test("prefix variant at 0.8 equals the exact-verified LSH pair set (the registered entry's contract)") {
+    val prefix = Dedup.ngramJaccardPrefix(Tables(spark, dir, "documents"), 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefix === lsh)
+    assert(prefix.nonEmpty)
   }
 
   test("operators release every cache they take (no persist leaks in a long-lived session)") {
