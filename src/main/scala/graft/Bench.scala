@@ -42,9 +42,16 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to reps; (name, fn) <- entries) {
-      // release the previous entry's checkpoint blocks (ContextCleaner
-      // acts on GC) so entries don't inflate each other's timings —
-      // measured: ngram 2.5s solo vs 4.8s late in a full suite run
+      // release the previous entry's checkpoint blocks so entries don't
+      // inflate each other's timings — measured: ngram 2.5s solo vs
+      // 4.8s late in a full suite run, q1's sf1 scan 1.3-2.3s solo vs
+      // 6-18s in-suite. The explicit blocking unpersist releases
+      // localCheckpoint blocks DETERMINISTICALLY (they are persistent
+      // RDDs outside the CacheManager, otherwise freed only when the
+      // async ContextCleaner reacts to GC); the GC then clears the
+      // heap debt itself
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val t0 = System.nanoTime()
       val ok =
