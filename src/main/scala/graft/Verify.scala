@@ -21,6 +21,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // release the previous entry's leaked localCheckpoint blocks
+      // deterministically (same hygiene as Bench): without it the
+      // session accretes every entry's checkpoint blocks until the
+      // async ContextCleaner runs, which at large SFs turns into
+      // eviction pressure on later entries
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
