@@ -341,6 +341,41 @@ object Dedup {
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPrefix(docs(spark, dir))
 
+  /** Regime AUTO-dispatcher for exact n-gram Jaccard: probes the gram
+    * document-frequency distribution and picks the plan the corpus
+    * favors — the count-based co-gram join ([[ngramJaccard]]) when
+    * shared grams are rare (near-dup-dense corpora), the
+    * prefix+positional variant ([[ngramJaccardPrefix]]) when hot grams
+    * dominate (boilerplate crawls), where the co-gram join's Σdf²
+    * blow-up is the scale killer. Both plans are exact and
+    * output-identical, so the choice is pure optimization — the
+    * statistics-then-plan step a SQL optimizer runs, expressed as one
+    * bounded single-row aggregate (join amplification Σdf²/Σdf over
+    * df≥2 grams; the co-gram join emits Σdf(df−1)/2 rows, so
+    * amplification ≈ rows per shared-gram occurrence). The probe scans
+    * the corpus once — at 100 TB that is ANALYZE, paid once and
+    * amortized over the dedup it steers. Threshold ≥ 0.5 (the count
+    * path's published primitive; its ≥0.5 output post-filters
+    * losslessly to any higher t). */
+  def ngramJaccardAuto(documents: DataFrame, threshold: Double = 0.5,
+                       amplificationCutoff: Double = 32.0): DataFrame = {
+    require(threshold >= 0.5 && threshold <= 1,
+      s"auto dispatch supports thresholds in [0.5, 1]: $threshold")
+    val dfStats = withShingles(documents)
+      .select(explode(col("shingles")).as("gram"))
+      .select(xxhash64(col("gram")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+      .agg(
+        coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"),
+        coalesce(sum(col("df")), lit(0L)).as("s1"))
+      .head() // bounded: exactly one row of two longs
+    val amplification =
+      if (dfStats.getLong(1) == 0L) 0.0
+      else dfStats.getLong(0).toDouble / dfStats.getLong(1)
+    if (amplification > amplificationCutoff) ngramJaccardPrefix(documents, threshold)
+    else ngramJaccard(documents).filter(col("jaccard") >= threshold)
+  }
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(docs(spark, dir))
 

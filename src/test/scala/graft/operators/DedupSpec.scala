@@ -359,6 +359,31 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("auto dispatcher: both regimes exact, cutoff steers, boilerplate corpus trips the prefix path") {
+    import spark.implicits._
+    // boilerplate-heavy corpus: one 40-token block shared by 30 docs →
+    // df=30 grams dominate, amplification ≈ 30 ≫ near-dup corpora (~2)
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i")
+    val boiler = toks("bp", 40)
+    val near = toks("nd", 40)
+    val corpus = ((1 to 30).map(i => (i.toLong, (boiler ++ toks(s"u${i}_", 10)).mkString(" "))) ++
+      Seq((100L, near.mkString(" ")), (101L, near.updated(20, "ndX").mkString(" "))))
+      .toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // forced through each regime: identical output
+    val viaPrefix = pairs(Dedup.ngramJaccardAuto(corpus, 0.5, amplificationCutoff = 0.0))
+    val viaCount = pairs(Dedup.ngramJaccardAuto(corpus, 0.5, amplificationCutoff = 1e18))
+    assert(viaPrefix === viaCount)
+    assert(viaPrefix.nonEmpty)
+    // the default cutoff must route this corpus to the prefix plan and
+    // still produce the same exact result
+    assert(pairs(Dedup.ngramJaccardAuto(corpus)) === viaCount)
+    // higher threshold post-filters losslessly on the count path too
+    val high = pairs(Dedup.ngramJaccardAuto(corpus, 0.8, amplificationCutoff = 1e18))
+    assert(high === viaCount.filter(_._3 >= 0.8))
+  }
+
   test("prefix variant at 0.8 equals the exact-verified LSH pair set (the registered entry's contract)") {
     val prefix = Dedup.ngramJaccardPrefix(Tables(spark, dir, "documents"), 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
