@@ -42,16 +42,12 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to reps; (name, fn) <- entries) {
-      // release the previous entry's checkpoint blocks so entries don't
-      // inflate each other's timings — measured: ngram 2.5s solo vs
-      // 4.8s late in a full suite run, q1's sf1 scan 1.3-2.3s solo vs
-      // 6-18s in-suite. The explicit blocking unpersist releases
-      // localCheckpoint blocks DETERMINISTICALLY (they are persistent
-      // RDDs outside the CacheManager, otherwise freed only when the
-      // async ContextCleaner reacts to GC); the GC then clears the
-      // heap debt itself
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // snapshot the persistent-RDD ids alive BEFORE the entry so the
+      // post-entry cleanup releases only what THIS entry leaked — a
+      // blanket unpersist would also destroy any pre-existing
+      // localCheckpoint'd frame (whose truncated lineage makes it
+      // unrecomputable) or intentional cross-entry cache
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       System.gc()
       val t0 = System.nanoTime()
       val ok =
@@ -62,6 +58,16 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       samples(name) = samples(name) :+ (if (ok) sec else -sec)
+      // release the entry's leaked checkpoint blocks so entries don't
+      // inflate each other's timings — measured: ngram 2.5s solo vs
+      // 4.8s late in a full suite run, q1's sf1 scan 1.3-2.3s solo vs
+      // 6-18s in-suite. The explicit blocking unpersist releases
+      // localCheckpoint blocks DETERMINISTICALLY (they are persistent
+      // RDDs outside the CacheManager, otherwise freed only when the
+      // async ContextCleaner reacts to GC)
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) rdd.unpersist(blocking = true) }
     }
     val results = entries.map { case (name, _) =>
       val times = samples(name)

@@ -21,18 +21,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // release the previous entry's leaked localCheckpoint blocks
-      // deterministically (same hygiene as Bench): without it the
-      // session accretes every entry's checkpoint blocks until the
+      // release each entry's leaked localCheckpoint blocks
+      // deterministically (same scoped hygiene as Bench): without it
+      // the session accretes every entry's checkpoint blocks until the
       // async ContextCleaner runs, which at large SFs turns into
-      // eviction pressure on later entries
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
+      // eviction pressure on later entries. Scoped to the ids the entry
+      // itself leaked so a pre-existing checkpoint'd frame can never be
+      // made unrecomputable.
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) rdd.unpersist(blocking = true) }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

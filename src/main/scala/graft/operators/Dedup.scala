@@ -473,8 +473,13 @@ object Dedup {
     // replaces (see its scaladoc; a DedupSpec test pins the parity on
     // the real corpus), md5-based as the oracle requires, with no token
     // row blow-up and no aggregation machinery.
+    // null text is DROPPED, pinned on both sides (oracle CTE filters
+    // identically): the native signature would yield NULL, the replaced
+    // explode plan dropped the doc, and the oracle's list_sum-of-CASE
+    // yields 0 — three divergent behaviors unless filtered here
     import org.apache.spark.sql.graft.{Bridge, SimhashSignature}
     documents
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         Bridge.column(
           SimhashSignature(Bridge.expression(split(col("text"), " ")))).as("simhash"))
@@ -494,7 +499,7 @@ object Dedup {
     s"""WITH t AS (SELECT doc_id,
        |  list_transform(string_split(text, ' '),
        |    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS th
-       |FROM documents),
+       |FROM documents WHERE text IS NOT NULL),
        |s AS (SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, ${SimhashBits - 1}),
        |  b -> CASE WHEN list_sum(list_transform(th,
        |         h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
@@ -921,6 +926,13 @@ object Dedup {
     // dominant corpora (its scaladoc regime discussion).
     "dedup_ngram_prefix" ->
       ((s: SparkSession, d: String) => ngramJaccardPrefix(docs(s, d), 0.8)),
+    // the production API: probe-then-dispatch between the two exact
+    // regimes. Output-identical to whichever plan it picks (both are
+    // exact at the same threshold), so it shares the t=0.8 oracle —
+    // this row proves the probe+dispatch COMPOSITION under the driver
+    // gate, not just its two component plans
+    "dedup_ngram_auto" ->
+      ((s: SparkSession, d: String) => ngramJaccardAuto(docs(s, d), 0.8)),
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -938,6 +950,7 @@ object Dedup {
     "dedup_exact_paragraph" -> exactParagraphsSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_ngram_prefix" -> minhashLshSql,
+    "dedup_ngram_auto" -> minhashLshSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

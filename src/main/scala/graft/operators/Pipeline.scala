@@ -343,6 +343,14 @@ object Pipeline {
     // pattern) over the already-materialized checkpoint blocks.
     val cap = documents.sparkSession.conf
       .getOption("graft.bloom.maxGrams").map(_.toLong).getOrElse(BloomGramLimit)
+    // cap + 1 must fit limit()'s Int argument — a cap ≥ Int.MaxValue
+    // would silently overflow negative and fail with an opaque
+    // AnalysisException (and a >2³¹-gram collect_set row could never
+    // fit the 2 GB row limit anyway, so the bound loses nothing)
+    require(cap >= 1 && cap < Int.MaxValue,
+      s"graft.bloom.maxGrams must be in [1, ${Int.MaxValue - 1}]: $cap " +
+        "(for benchmark gram sets beyond that, use the distributed " +
+        "semi-join decontaminate())")
     val probed = benchGrams.limit((cap + 1).toInt).count()
     require(probed <= cap,
       s"decontaminateBloom: benchmark gram set exceeds the $cap-gram bloom " +

@@ -105,6 +105,34 @@ class LibraryApiSpec extends SparkSpec {
     } finally spark.conf.unset("graft.bloom.maxGrams")
   }
 
+  test("decontaminateBloom rejects a cap that would overflow limit()'s Int argument") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c d e f", "k"), (1L, "a b c d e zz", "k"))
+      .toDF("doc_id", "text", "junk")
+    // cap + 1 > Int.MaxValue used to truncate negative inside limit();
+    // now it must fail fast with the range message
+    spark.conf.set("graft.bloom.maxGrams", (Int.MaxValue.toLong + 5).toString)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Pipeline.decontaminateBloom(df)
+      }
+      assert(e.getMessage.contains("graft.bloom.maxGrams"))
+    } finally spark.conf.unset("graft.bloom.maxGrams")
+  }
+
+  test("simhash drops null-text docs (pinned: native expr, explode plan and oracle diverge)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, null.asInstanceOf[String]),
+      (2L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhash(df).select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set(0L, 2L), "null-text doc must be dropped, not NULL/0-signed")
+    assert(out(0L) === out(2L))
+  }
+
   test("Ann library forms run on an in-memory embeddings frame with extra columns") {
     import spark.implicits._
     val dim = 64

@@ -54,6 +54,14 @@ class OlapPlanSpec extends SparkSpec {
     // star-schema scale bug
     val plan = executed("q5_nation_revenue")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$plan")
-    assert(!plan.contains("SortMergeJoin(n_"), "nation must never shuffle")
+    // Spark renders the node as `SortMergeJoin [leftKeys], [rightKeys]`
+    // — scan each SMJ line for a nation join key on EITHER side (the
+    // earlier `SortMergeJoin(n_` substring could never match)
+    val smjOnNation = plan.linesIterator
+      .filter(_.contains("SortMergeJoin"))
+      .filter(l => l.contains("n_nationkey") || l.contains("n_regionkey"))
+      .toSeq
+    assert(smjOnNation.isEmpty,
+      s"nation must never shuffle:\n${smjOnNation.mkString("\n")}")
   }
 }
