@@ -273,13 +273,148 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- C17
+  private val PqSubSpaces = 8   // M sub-quantizers
+  private val PqSubDim = Dim / PqSubSpaces
+  private val PqCodes = 16      // codewords per sub-space
+  private val PqSeedBase = 20L  // codebook sample: vec_ids [20, 36)
+  private val PqShortlist = 50  // ADC candidates per query before rerank
+
+  /** Product-quantization ANN — the technique that makes a 10⁹-vector
+    * index memory-resident: each vector is ENCODED as M small codes
+    * (one per sub-space, nearest of K codewords by sub-vector L2), a
+    * query precomputes an M×K distance table against the broadcast
+    * codebooks, and the scan scores every vector with M table lookups
+    * (asymmetric distance computation) instead of a 64-float kernel —
+    * 8 bytes per vector in the index vs 256. The ADC top-k′ shortlist
+    * is then reranked by EXACT cosine on the original vectors (the
+    * IVF-Flat pattern: PQ prunes, exact scores decide).
+    *
+    * Codebooks are a deterministic corpus sample (the [[ivf]]
+    * precedent — production trains them offline with k-means; the
+    * pipeline is identical from encode onward). Every stage is
+    * deterministic with (distance, id) tie-breaks and oracle-matched
+    * fold order, so the approximate operator gets an EXACT
+    * algorithm-parity oracle ([[pqSql]]).
+    *
+    * Scale shape: encode is one broadcast join + one map-side-combined
+    * groupBy (offline index build); the search scan is
+    * broadcast-join-only with [[graft.functions.TopKAgg]] partial
+    * top-k′ (shuffle O(queries × k′ × partitions)); rerank rescans
+    * only the shortlist-joined rows. Library form: any
+    * `(vec_id, embedding)` frame containing the seed ids. */
+  def pq(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    // codebooks: sub-vector m of sample j is codeword (m, j) — tiny
+    // (M×K = 128 rows), broadcast everywhere
+    val cw = c
+      .filter(col("vec_id") >= PqSeedBase && col("vec_id") < PqSeedBase + PqCodes)
+      .select((col("vec_id") - PqSeedBase).cast("int").as("j"),
+        explode(sequence(lit(0), lit(PqSubSpaces - 1))).as("m"), col("e"))
+      .select(col("m"), col("j"),
+        slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("cwv"))
+    // encode: nearest codeword per (vector, sub-space) via M
+    // conditional min-struct argmins in ONE map-side-combined groupBy
+    // (ties broken by codeword id, matching the oracle's ORDER BY d, j)
+    val encRows = c.crossJoin(broadcast(cw))
+      .select(col("vec_id"), col("e"), col("m"), col("j"),
+        l2(slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cwv")).as("d"))
+    val codes = encRows.groupBy(col("vec_id"))
+      .agg(first(col("e")).as("e"),
+        array((0 until PqSubSpaces).map(mm =>
+          min(when(col("m") === mm, struct(col("d"), col("j"))))
+            .getField("j")): _*).as("codes"))
+    // per-query ADC table, flattened m-major (index = m·K + j) so the
+    // scan reads it with plain element_at lookups
+    val dtab = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(cw))
+      .select(col("q_id"), col("qe"), col("m"), col("j"),
+        l2(slice(col("qe"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cwv")).as("d"))
+      .groupBy(col("q_id"))
+      .agg(first(col("qe")).as("qe"),
+        transform(
+          array_sort(collect_list(struct(col("m"), col("j"), col("d")))),
+          x => x.getField("d")).as("dt"))
+    // ADC scan: ad = Σₘ dt[m·K + code_m], summed in fixed m order —
+    // the left-to-right fold the oracle's list_reduce reproduces, so
+    // the shortlist boundary is bit-stable across engines
+    val ad = (0 until PqSubSpaces).map(mm =>
+      element_at(col("dt"),
+        element_at(col("codes"), mm + 1) + lit(mm * PqCodes) + 1)).reduce(_ + _)
+    val shortlist = codes.crossJoin(broadcast(dtab.select(col("q_id"), col("dt"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), ad.as("ad"))
+      .groupBy(col("q_id"))
+      // smallest approximate distance = largest -ad; TopKAgg's
+      // (score desc, id asc) order ≡ the oracle's ORDER BY ad, vec_id
+      .agg(topK(-col("ad"), col("vec_id"), PqShortlist).as("cands"))
+      .select(col("q_id"), explode(col("cands").getField("id")).as("vec_id"))
+    // exact rerank on the original vectors, shortlist-joined only
+    val rer = c.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(dtab.select(col("q_id"), col("qe"))), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
+    rankRows(
+      rer.groupBy(col("q_id"))
+        .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
+  }
+
+  def pq(spark: SparkSession, dir: String): DataFrame =
+    pq(Tables(spark, dir, "embeddings"))
+
+  /** Algorithm-parity oracle for C17 (the [[lshSql]]/[[ivfSql]]
+    * pattern): codebook extraction, per-sub-space argmin encoding, the
+    * ADC table, the m-ordered lookup sum (list(d ORDER BY m) folded
+    * left ≡ Spark's fixed-order + reduce), the (ad, vec_id) top-k′
+    * shortlist, and the exact cosine rerank — all reproduced in pure
+    * DuckDB SQL with identical fold order and tie-breaks. */
+  val pqSql: String = {
+    val subL2 = (vec: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($vec[c.m*$PqSubDim+i]-c.cwv[i])*($vec[c.m*$PqSubDim+i]-c.cwv[i])),
+         |      (x,y) -> x+y)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cw AS (SELECT m, CAST(vec_id - $PqSeedBase AS INT) AS j,
+       |    e[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS cwv
+       |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS m)
+       |  WHERE vec_id >= $PqSeedBase AND vec_id < ${PqSeedBase + PqCodes}),
+       |encd AS (SELECT v.vec_id, c.m, c.j, ${subL2("v.e")} AS d
+       |  FROM v CROSS JOIN cw c),
+       |enc AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < $NumQueries),
+       |dt AS (SELECT q.q_id, c.m, c.j, ${subL2("q.qe")} AS d
+       |  FROM q CROSS JOIN cw c),
+       |adt AS (SELECT dt.q_id, enc.vec_id,
+       |    list_reduce(list(dt.d ORDER BY dt.m), (x,y) -> x+y) AS ad
+       |  FROM enc JOIN dt ON enc.m = dt.m AND enc.j = dt.j
+       |  WHERE enc.vec_id <> dt.q_id
+       |  GROUP BY dt.q_id, enc.vec_id),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+       |    FROM adt) WHERE rn <= $PqShortlist),
+       |scored AS (SELECT s.q_id, s.vec_id,
+       |    list_inner_product(q.qe, v.e) /
+       |      (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(v.e, v.e))) AS cos
+       |  FROM short s JOIN q ON s.q_id = q.q_id JOIN v ON s.vec_id = v.vec_id)
+       |SELECT q_id, nn_rank, vec_id, cos AS cosine FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
-    "ann_ivf" -> ivf _)
+    "ann_ivf" -> ivf _,
+    "ann_pq" -> pq _)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> bruteforceSql,
     "ann_lsh" -> lshSql,
-    "ann_ivf" -> ivfSql)
+    "ann_ivf" -> ivfSql,
+    "ann_pq" -> pqSql)
 }

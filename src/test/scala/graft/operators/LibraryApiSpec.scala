@@ -156,6 +156,28 @@ class LibraryApiSpec extends SparkSpec {
     assert(ivfHits.contains(19L))
   }
 
+  test("Ann.pq surfaces a planted near neighbor through real ADC pruning + exact rerank") {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(dim)(rnd.nextGaussian())
+    val near = base.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat)
+    // 150 corpus vectors >> the 50-candidate ADC shortlist, so the
+    // shortlist genuinely prunes; ids 20..35 are the codebook sample.
+    // The twin's sub-vectors encode onto the query's own codes, so its
+    // ADC distance is near the attainable minimum — it must survive
+    // the shortlist and win the exact rerank.
+    val rows = Seq((0L, base.map(_.toFloat).toSeq)) ++
+      (1L to 148L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) ++
+      Seq((149L, near.toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val top = Ann.pq(df).filter(col("q_id") === 0 && col("nn_rank") === 1).head
+    assert(top.getLong(2) === 149L, "planted twin must rank first for its query")
+    // every query returns a full top-k (the shortlist is never starved)
+    val counts = Ann.pq(df).groupBy(col("q_id")).count().collect()
+    assert(counts.length === 5 && counts.forall(_.getLong(1) === 10L))
+  }
+
   test("Multimodal.pipeline library form decodes an in-memory media frame") {
     import spark.implicits._
     val df = Seq(
