@@ -1,90 +1,148 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
 
 import graft.Tables
 
 /** Multimodal-column pipeline (SURVEY.md §2 C8): media as opaque BINARY
-  * columns + typed metadata, with decode / feature-extract / resize /
-  * frame-sample as a batched mapPartitions stage.
+  * columns + typed metadata, with a REAL image decode (javax.imageio —
+  * public JDK, no external libs) as a batched mapPartitions stage.
   *
-  * ==== STUBBED CODEC ====
-  * This container has no image/audio libraries, so `FakeCodec` is a
-  * clearly-marked deterministic stand-in: it "decodes" a payload into
-  * byte statistics and "samples frames" as fixed-size byte chunks. The
-  * Spark-side plumbing is the real thing a production pipeline needs —
-  * binary column + metadata struct schema, per-partition batched decode
-  * (one codec instance per partition, like a real JNI/FFmpeg handle),
-  * and a declarative pre-projection so only the binary column and its
-  * metadata reach the decode stage.
+  * The container has no real media files, so the media column is
+  * GENERATED deterministically: each document renders as a small
+  * grayscale image (pixel (x,y) = (charByte(x) + y) mod 256 over the
+  * doc's first ≤64 chars, 4 rows), encoded as actual PNG (even doc_id)
+  * or BMP (odd) bytes. The decode stage then parses those real
+  * PNG/BMP payloads back with ImageIO and emits integer pixel
+  * statistics — byte-exact because both formats are lossless for 8-bit
+  * gray, which is what keeps the entry ORACLE-ABLE: the oracle cannot
+  * decode a PNG, but it can compute what a correct decoder must yield
+  * from the generative rule. A wrong decode (wrong dims, wrong
+  * samples, dropped rows) breaks the hash.
   *
-  * Scale: decode is a narrow per-partition map — no shuffle; the scan
-  * prunes to (doc_id, content, format) before the heavy stage; at 100 TB
-  * partition sizing (`maxPartitionBytes`) bounds per-task memory, and a
-  * real codec would stream frames rather than materialize them.
+  * Scale: encode and decode are narrow per-partition maps — no
+  * shuffle; the scan prunes to (doc_id, content, format) before the
+  * heavy stage; one codec context per partition is the shape a native
+  * decoder handle (JNI/turbojpeg/FFmpeg) requires; at 100 TB
+  * `maxPartitionBytes` bounds per-task memory, and frame-sampling
+  * codecs would stream rather than materialize.
   */
 object Multimodal {
 
-  /** ==== STUB ==== deterministic fake decoder standing in for a real
-    * image/audio codec binding. Same input bytes → same features, on
-    * every JVM. */
-  object FakeCodec {
-    val FrameBytes = 64
+  /** Real JDK image codec: deterministic grayscale render + PNG/BMP
+    * encode, and the matching ImageIO decode. Kept driver/executor
+    * agnostic (pure functions of bytes) so the same code serves the
+    * entry fixture and any caller's real binary column. */
+  object ImageCodec {
+    val Height = 4
+    val MaxWidth = 64
 
-    /** "decode" → (n_bytes, byte_sum, mean_byte, n_frames) */
-    def decode(payload: Array[Byte]): (Long, Long, Double, Long) = {
+    /** Render a doc's deterministic fixture image and encode it with
+      * the REAL ImageIO writer for `fmt` ("png" | "bmp"). Pixel (x,y) =
+      * (char x + y) mod 256 (chars past the text pad as 0); width is
+      * the text length clamped to [1, 64]. */
+    def encode(text: String, fmt: String): Array[Byte] = {
+      val len = text.length
+      val w = math.max(1, math.min(len, MaxWidth))
+      val img = new BufferedImage(w, Height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < Height) {
+        var x = 0
+        while (x < w) {
+          val c = if (x < len) text.charAt(x).toInt else 0
+          raster.setSample(x, y, 0, (c + y) % 256)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      require(ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-readable payload → (width, height,
+      * pixel_sum over band 0). Gray stays band 0 even if a decoder
+      * surfaces RGB (R=G=B for gray sources). */
+    def decode(payload: Array[Byte]): (Int, Int, Long) = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "undecodable media payload")
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
       var sum = 0L
-      var i = 0
-      while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-      val n = payload.length.toLong
-      val frames = (n + FrameBytes - 1) / FrameBytes
-      (n, sum, if (n == 0) 0.0 else sum.toDouble / n, frames)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      (w, h, sum)
     }
   }
 
   private val outSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("byte_sum", LongType, nullable = false),
-    StructField("mean_byte", DoubleType, nullable = false),
-    StructField("n_frames", LongType, nullable = false)))
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("mean_pixel", DoubleType, nullable = false)))
 
-  /** Build the media frame: binary payload + typed metadata. The payload
-    * is the document's UTF-8 bytes posing as an opaque blob (the
-    * testdata has no real media); metadata derives deterministically.
-    * Library form: any frame with `doc_id`, `text`, `lang`, `n_chars`. */
-  def mediaFrame(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("content"),
-      struct(
-        concat(lit("img/"), col("lang")).as("format"),
-        col("n_chars").as("width"),
-        lit(1L).as("height")).as("meta"))
+  private val mediaSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false))), nullable = false)))
+
+  /** Build the media frame: REAL encoded PNG/BMP payloads (format
+    * alternates by doc_id so both decode paths are exercised) + typed
+    * metadata. Per-row binary encode is genuine imperative work — the
+    * one place mapPartitions is the right tool. Library form: any
+    * frame with `doc_id`, `text`. */
+  def mediaFrame(documents: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    documents.select(col("doc_id"), col("text")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val text = r.getString(1)
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        val bytes = ImageCodec.encode(text, fmt)
+        val w = math.max(1, math.min(text.length, ImageCodec.MaxWidth)).toLong
+        Row(id, bytes, Row(fmt, w, ImageCodec.Height.toLong))
+      }
+    }(enc)
+  }
 
   def mediaFrame(spark: SparkSession, dir: String): DataFrame =
     mediaFrame(Tables(spark, dir, "documents"))
 
-  /** The pipeline: prune → batched per-partition decode → features. */
+  /** The pipeline: prune → batched per-partition REAL decode →
+    * integer pixel features. Dimensions come from the DECODED image,
+    * not the metadata — the decode is load-bearing. */
   def pipeline(documents: DataFrame): DataFrame = {
     val media = mediaFrame(documents)
       .select(col("doc_id"), col("content"), col("meta.format").as("format"))
     val enc = RowEncoder.encoderFor(outSchema)
     media.mapPartitions { rows =>
-      // one codec instance per partition — the shape a native decoder
-      // handle (JNI/FFmpeg/turbojpeg) requires
-      val codec = FakeCodec
       rows.map { r =>
-        val (n, sum, mean, frames) = codec.decode(r.getAs[Array[Byte]]("content"))
+        val (w, h, sum) = ImageCodec.decode(r.getAs[Array[Byte]]("content"))
+        val n = w.toLong * h
         // mean is emitted RAW: sum and n are exact integers on both
         // engines, so the IEEE quotient is bit-identical — while a
         // round(double, 6) is legal-to-disagree cross-engine at a 6-dp
         // boundary (the r2 pipeline_curate lesson)
-        Row(r.getLong(0), r.getString(2), n, sum, mean, frames)
+        Row(r.getLong(0), r.getString(2), w.toLong, h.toLong, n, sum, sum.toDouble / n)
       }
     }(enc)
   }
@@ -92,20 +150,32 @@ object Multimodal {
   def pipeline(spark: SparkSession, dir: String): DataFrame =
     pipeline(Tables(spark, dir, "documents"))
 
-  /** Oracle: the fake codec's arithmetic is expressible in SQL (that's
-    * the point of a deterministic stub) — byte stats over the UTF-8
-    * payload. The corpus is ASCII so ascii(char) == byte value. */
-  val pipelineSql: String =
-    """SELECT doc_id,
-      |  'img/' || lang AS format,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(list_sum(list_transform(generate_series(1, length(text)),
-      |       i -> ascii(substr(text, i, 1)))) AS BIGINT) AS byte_sum,
-      |  CAST(list_sum(list_transform(generate_series(1, length(text)),
-      |       i -> ascii(substr(text, i, 1)))) AS BIGINT)
-      |    / CAST(octet_length(encode(text)) AS BIGINT) AS mean_byte,
-      |  CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames
-      |FROM documents""".stripMargin
+  /** Oracle: what a CORRECT encode→decode roundtrip must yield, from
+    * the generative rule — w = clamp(len,1,64), h = 4, pixel (x,y) =
+    * (ascii(char x) + y) mod 256 with 0-padding past the text (ASCII
+    * corpus: char == byte). Flattened k = y·w + x so one
+    * generate_series covers both loops. */
+  val pipelineSql: String = {
+    val h = ImageCodec.Height
+    val mw = ImageCodec.MaxWidth
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       |    GREATEST(LEAST(length(text), $mw), 1) AS w
+       |  FROM documents),
+       |px AS (SELECT doc_id, format, w,
+       |    CAST(list_sum(list_transform(generate_series(0, w * $h - 1),
+       |      k -> ((CASE WHEN (k % w) < length(text)
+       |              THEN ascii(substr(text, (k % w) + 1, 1)) ELSE 0 END)
+       |            + (k // w)) % 256)) AS BIGINT) AS pixel_sum
+       |  FROM d)
+       |SELECT doc_id, format,
+       |  CAST(w AS BIGINT) AS width,
+       |  CAST($h AS BIGINT) AS height,
+       |  CAST(w * $h AS BIGINT) AS n_pixels,
+       |  pixel_sum,
+       |  pixel_sum / CAST(w * $h AS BIGINT) AS mean_pixel
+       |FROM px""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pipeline" -> pipeline _)

@@ -178,15 +178,28 @@ class LibraryApiSpec extends SparkSpec {
     assert(counts.length === 5 && counts.forall(_.getLong(1) === 10L))
   }
 
-  test("Multimodal.pipeline library form decodes an in-memory media frame") {
+  test("Multimodal round-trips REAL PNG/BMP payloads and the decode is load-bearing") {
     import spark.implicits._
-    val df = Seq(
-      (1L, "abcd", "en", 4L, "x"),
-      (2L, "", "de", 0L, "y")
-    ).toDF("doc_id", "text", "lang", "n_chars", "junk")
+    // known image: "ab" → 2×4 gray, pixel(x,y) = (char+y)%256
+    // sum = 4·(97+98) + 2·(0+1+2+3) = 792, via the real ImageIO decode
+    for (fmt <- Seq("png", "bmp")) {
+      val (w, h, sum) = Multimodal.ImageCodec.decode(
+        Multimodal.ImageCodec.encode("ab", fmt))
+      assert((w, h, sum) === ((2, 4, 792L)), fmt)
+    }
+    val df = Seq((1L, "abcd", "x"), (2L, "", "y")).toDF("doc_id", "text", "junk")
+    // payloads are genuine container bytes, not a fake: PNG magic /
+    // 'BM' header on the actual content column
+    val media = Multimodal.mediaFrame(df).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("content")).toMap
+    assert((media(2L)(1) & 0xff, media(2L)(2) & 0xff) === ((0x50, 0x4e)), "PNG magic") // 'P','N'
+    assert((media(1L)(0) & 0xff, media(1L)(1) & 0xff) === ((0x42, 0x4d)), "BM header")
     val out = Multimodal.pipeline(df).collect()
-      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(5))).toMap
-    assert(out(1L) === (("img/en", 4L, 1L)))
-    assert(out(2L) === (("img/de", 0L, 0L)))
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5), r.getDouble(6))).toMap
+    // "abcd": w=4, sum = 4·(97+98+99+100) + 4·6 = 1600, mean 100.0
+    assert(out(1L) === (("bmp", 4L, 4L, 1600L, 100.0)))
+    // empty text: w clamps to 1, pixels are (0+y)%256 → sum 6
+    assert(out(2L) === (("png", 1L, 4L, 6L, 1.5)))
   }
 }
