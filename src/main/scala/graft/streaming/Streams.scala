@@ -414,6 +414,37 @@ object Streams {
         (unix_micros(col("c.ts")) - unix_micros(col("v.ts"))).as("gap_us"))
   }
 
+  // ---------------------------------------------------------------- D5
+  /** The LEFT OUTER production form of D4 — the attribution shape real
+    * pipelines run: every view emits EXACTLY once, either paired with
+    * its click or with NULL click columns once the watermark proves no
+    * matching click can still arrive. The null emission is
+    * watermark-gated (a row can only be declared unmatched when its
+    * entire match window is behind the watermark), which is what keeps
+    * it correct on an unbounded stream — and also why this operator is
+    * SPEC-GATED rather than oracle-gated: the null-emission timing is a
+    * function of watermark progression, which batch SQL cannot express
+    * (SURVEY §5 records the precedent decision). StreamsSpec asserts
+    * both the NULL emission at watermark and the state eviction.
+    * Query shape only — any frames with `event_id`, `ts`, `user_id`. */
+  def attributionJoinLeftOuterQuery(views: DataFrame, clicks: DataFrame,
+                                    delay: String = "4 hours"): DataFrame = {
+    val v = views.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay).alias("v")
+    val c = clicks.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay).alias("c")
+    v.join(c,
+        col("v.user_id") === col("c.user_id") &&
+        col("c.ts") >= col("v.ts") &&
+        col("c.ts") <= col("v.ts") + expr(AttributionWindow),
+        "left_outer")
+      .select(
+        col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("c.event_id").as("click_id"),
+        (unix_micros(col("c.ts")) - unix_micros(col("v.ts"))).as("gap_us"))
+  }
+
   /** D4 entry: two independent graft-arrow micro-batch streams (views
     * and clicks filtered from the events endpoint) joined with
     * watermarked state. The global watermark is the MIN across both

@@ -107,6 +107,50 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("D5: left-outer attribution emits NULL exactly at watermark and evicts state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    val vIn = MemoryStream[Event]
+    val cIn = MemoryStream[Event]
+    val name = s"d5_test_${System.nanoTime()}"
+    val q = Streams.attributionJoinLeftOuterQuery(vIn.toDF(), cIn.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: view 1 (user 7) is clicked; view 3 (user 8) never is
+      vIn.addData(Event(1, t0, 7L, "view", 1.0), Event(3, t0, 8L, "view", 1.0))
+      cIn.addData(Event(2, t0.plusMinutes(5), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // the inner pair emits promptly; the unmatched view must NOT
+      // emit yet — its match window is still open
+      assert(spark.table(name).collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+        === Set((1L, 2L)),
+        "unmatched view must be withheld until the watermark closes its window")
+      // advance the min watermark on BOTH sides past t0 + window(2h) +
+      // delay(10m): view 3 is now provably unmatched → NULL emission
+      vIn.addData(Event(5, t0.plusHours(8), 7L, "view", 1.0))
+      cIn.addData(Event(6, t0.plusHours(8), 9L, "click", 1.0))
+      q.processAllAvailable()
+      vIn.addData(Event(7, t0.plusHours(9), 7L, "view", 1.0))
+      cIn.addData(Event(8, t0.plusHours(9), 9L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows === Set((1L, 2L), (3L, -1L)),
+        "view 3 must surface with NULL click at watermark; views 5/7 windows are still open")
+      // NULL row carries NULL gap too
+      val nullRow = spark.table(name).filter(col("view_id") === 3L).head
+      assert(nullRow.isNullAt(3), "gap_us must be NULL for an unmatched view")
+      // eviction: old state is gone; only the in-horizon rows remain
+      val st = q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
+        .headOption.getOrElse(fail("no state operator progress reported"))
+      assert(st.numRowsTotal <= 6,
+        s"outer-join state not bounded by the watermark horizon: ${st.numRowsTotal} rows")
+    } finally q.stop()
+  }
+
   test("D3: streaming content-hash dedup equals batch distinct") {
     val streamed = Streams.streamDedup(spark, dir)
       .collect().map(_.getString(0)).toSet
