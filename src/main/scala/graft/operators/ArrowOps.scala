@@ -37,6 +37,29 @@ object ArrowOps {
       |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
       |FROM lineitem WHERE l_discount > 0.02""".stripMargin
 
+  /** A4+ (r8): GROUPED aggregation pushdown — one partial row per
+    * (split, group) crosses the wire instead of the raw data. This
+    * EXCEEDS the reference optimizer's contract (it falls back local on
+    * any GROUP BY — aggregation_pushdown.cpp); divergence recorded in
+    * SURVEY §2/A4. sum(l_quantity) is exact (integer-valued doubles,
+    * < 2⁵³), so partial merge order cannot perturb the hash. */
+  def aggGroupBy(spark: SparkSession, dir: String): DataFrame =
+    GraftArrow.read(spark, dir, "lineitem")
+      .filter(col("l_discount") > 0.02)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+      .orderBy(col("l_returnflag"))
+
+  val aggGroupBySql: String =
+    """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+      |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+      |FROM lineitem WHERE l_discount > 0.02
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** A6: the split plan itself. One packed split at test SFs (row groups
     * are ≤1M rows), so the oracle is the full row count. */
   def splits(spark: SparkSession, dir: String): DataFrame =
@@ -81,6 +104,7 @@ object ArrowOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arrow_scan" -> scan _,
     "arrow_agg_pushdown" -> aggPushdown _,
+    "arrow_agg_groupby" -> aggGroupBy _,
     "arrow_splits" -> splits _,
     "arrow_sql_catalog" -> sqlCatalog _,
     "arrow_sql_query" -> sqlQuery _)
@@ -88,6 +112,7 @@ object ArrowOps {
   val oracles: Map[String, String] = Map(
     "arrow_scan" -> scanSql,
     "arrow_agg_pushdown" -> aggPushdownSql,
+    "arrow_agg_groupby" -> aggGroupBySql,
     "arrow_splits" -> splitsSql,
     "arrow_sql_catalog" -> sqlCatalogSql,
     "arrow_sql_query" -> sqlQueryText)

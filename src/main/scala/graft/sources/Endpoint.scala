@@ -95,13 +95,22 @@ case class QuerySpec(table: String, requiredColumns: Array[String],
 
 /** One pushed aggregate: op ∈ count_star|count|sum|min|max. */
 case class AggCall(op: String, column: String)
-case class AggSpec(calls: Seq[AggCall]) {
+
+/** A pushed aggregation: the aggregate calls plus (r8) optional GROUP
+  * BY columns — the wire form is standard SQL either way. Grouped
+  * pushdown EXCEEDS the reference optimizer's contract (it falls back
+  * local on any GROUP BY, aggregation_pushdown.cpp) — divergence
+  * recorded in SURVEY §2/A4: the server executes SQL anyway, so
+  * declining grouped aggregates would ship raw rows for no reason. */
+case class AggSpec(calls: Seq[AggCall], groupBy: Seq[String] = Nil) {
   def toSql(table: String, filters: Array[Filter]): String = {
     val exprs = calls.map {
       case AggCall("count_star", _) => "count(*)"
       case AggCall(op, c) => s"$op($c)"
     }
-    s"SELECT ${exprs.mkString(", ")} FROM $table${FilterSql.toWhere(filters)}"
+    val select = (groupBy ++ exprs).mkString(", ")
+    val group = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
+    s"SELECT $select FROM $table${FilterSql.toWhere(filters)}$group"
   }
 }
 

@@ -38,9 +38,11 @@ import scala.jdk.CollectionConverters._
   * scans 1000 splits concurrently and each split decodes only the
   * projected columns of its own byte range. Projection and filters are
   * pushed through the endpoint to the parquet layer; aggregation
-  * pushdown ships one partial row per split instead of the data
-  * (AVG/COUNT-DISTINCT/grouped aggs are NOT pushed — same all-or-nothing
-  * fallback contract as the reference optimizer).
+  * pushdown ships one partial row per split — or per (split, group)
+  * for plain-column GROUP BY (r8, exceeding the reference's
+  * local-fallback contract; SURVEY §2/A4) — instead of the data
+  * (COUNT-DISTINCT and expression group keys are NOT pushed — the
+  * same all-or-nothing fallback as the reference optimizer).
   */
 class GraftArrowTableProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -152,16 +154,27 @@ class GraftArrowScanBuilder(endpoint: Endpoint, table: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  // A4: aggregation pushdown — COUNT(*)/COUNT/SUM/MIN/MAX, no group-by,
-  // all-or-nothing (one unsupported aggregate ⇒ nothing pushed), partial
-  // per split with Spark merging (the reference's split-safe contract).
+  // A4: aggregation pushdown — COUNT(*)/COUNT/SUM/MIN/MAX, partial per
+  // split with Spark merging (the reference's split-safe contract),
+  // all-or-nothing (one unsupported aggregate ⇒ nothing pushed).
+  // r8: GROUP BY on plain columns is pushed too — one partial row per
+  // group per split instead of the raw data. This EXCEEDS the
+  // reference optimizer (local fallback on any grouped agg); the
+  // divergence is recorded in SURVEY §2/A4.
   override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    if (aggregation.groupByExpressions().nonEmpty) return false
     def colName(refs: Array[NamedReference]): Option[String] =
       refs.headOption.collect {
         case r if r.fieldNames().length == 1 => r.fieldNames()(0)
       }
+    // group-by columns: plain single-name references over groupable
+    // types only; anything fancier (expressions, nested fields)
+    // declines the whole pushdown
+    val groupCols = aggregation.groupByExpressions().toSeq.map {
+      case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    if (groupCols.exists(_.isEmpty)) return false
     val calls = aggregation.aggregateExpressions().toSeq.map {
       case _: CountStar => Some(AggCall("count_star", ""))
       case c: Count if !c.isDistinct =>
@@ -173,21 +186,28 @@ class GraftArrowScanBuilder(endpoint: Endpoint, table: String,
       case _ => None // AVG, COUNT(DISTINCT), UDAFs… ⇒ whole query local
     }
     if (calls.exists(_.isEmpty)) return false
-    val spec = AggSpec(calls.flatten)
+    val spec = AggSpec(calls.flatten, groupCols.flatten)
     val fieldsByName = fullSchema.fields.map(f => f.name -> f).toMap
     // decline the WHOLE pushdown if any aggregate folds a type the
-    // partial-aggregator can't handle (all-or-nothing, like the
-    // reference optimizer) — never silently compute a wrong partial
+    // partial-aggregator can't handle, or any group key isn't
+    // hash-groupable (all-or-nothing, like the reference optimizer) —
+    // never silently compute a wrong partial
     if (!spec.calls.forall(c => c.op == "count_star" ||
         (fieldsByName.contains(c.column) &&
           PartialAgg.supports(c.op, fieldsByName(c.column).dataType)))) return false
+    if (!spec.groupBy.forall(g => fieldsByName.contains(g) &&
+        PartialAgg.groupable(fieldsByName(g).dataType))) return false
+    // contract with Spark's final aggregation: group-by columns first
+    // (original names/types), then one partial per aggregate call
+    val groupFields = spec.groupBy.map(g =>
+      StructField(g, fieldsByName(g).dataType, nullable = true))
     val outFields = spec.calls.zipWithIndex.map { case (c, i) =>
       val colType = if (c.op == "count_star") org.apache.spark.sql.types.LongType
         else fieldsByName(c.column).dataType
       StructField(s"${c.op}_$i", PartialAgg.outputType(c.op, colType), nullable = true)
     }
     aggSpec = Some(spec)
-    aggSchema = Some(StructType(outFields))
+    aggSchema = Some(StructType(groupFields ++ outFields))
     true
   }
 

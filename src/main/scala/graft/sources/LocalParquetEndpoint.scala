@@ -132,7 +132,8 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
 
   override def scanAgg(split: SplitInfo, query: QuerySpec,
                        agg: AggSpec): IpcStream = {
-    val cols = agg.calls.collect { case AggCall(op, c) if op != "count_star" => c }.distinct
+    val aggCols = agg.calls.collect { case AggCall(op, c) if op != "count_star" => c }.distinct
+    val cols = (agg.groupBy ++ aggCols.filterNot(agg.groupBy.contains)).toSeq
     val (rows, sparkSchema, close) = readRows(split, query.copy(requiredColumns = cols.toArray))
     val idx = cols.zipWithIndex.toMap
     val fieldIdx = agg.calls.map(c => if (c.op == "count_star") -1 else idx(c.column))
@@ -141,13 +142,27 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
       case (AggCall("count", _), _) => LongType
       case (AggCall(_, _), i) => sparkSchema.fields(i).dataType
     }
-    // compute consumes the rows eagerly, so the reader is exhausted and
-    // released here; the explicit close is the cancellation path
-    val acc = try PartialAgg.compute(rows, agg.calls, fieldIdx, types) finally close()
-    val outSchema = StructType(agg.calls.zip(types).zipWithIndex.map {
+    val aggFields = agg.calls.zip(types).zipWithIndex.map {
       case ((c, t), i) => StructField(s"${c.op}_$i", PartialAgg.outputType(c.op, t), nullable = true)
-    })
-    IpcStream(ArrowBridge.toIpc(Iterator.single(acc), outSchema), () => ())
+    }
+    if (agg.groupBy.isEmpty) {
+      // compute consumes the rows eagerly, so the reader is exhausted
+      // and released here; the explicit close is the cancellation path
+      val acc = try PartialAgg.compute(rows, agg.calls, fieldIdx, types) finally close()
+      IpcStream(ArrowBridge.toIpc(Iterator.single(acc), StructType(aggFields)), () => ())
+    } else {
+      // grouped partials (r8): key columns lead the projection, so key
+      // ordinal i reads field i; one row per distinct key in the split
+      val keyIdx = agg.groupBy.indices
+      val keyTypes = keyIdx.map(sparkSchema.fields(_).dataType)
+      val grouped = try
+        PartialAgg.computeGrouped(rows, agg.calls, fieldIdx, types, keyIdx, keyTypes)
+      finally close()
+      val outSchema = StructType(
+        agg.groupBy.zip(keyTypes).map { case (g, t) => StructField(g, t, nullable = true) } ++
+        aggFields)
+      IpcStream(ArrowBridge.toIpc(grouped, outSchema), () => ())
+    }
   }
 
   /** Read the split's records with projection + filter applied by the
@@ -510,76 +525,132 @@ object PartialAgg {
     case _ => None
   }).asInstanceOf[Option[Ordering[_]]].map(_.asInstanceOf[Ordering[Any]])
 
-  def compute(rows: Iterator[InternalRow], calls: Seq[AggCall],
-              fieldIdx: Seq[Int], types: Seq[DataType]): InternalRow = {
-    val n = calls.length
+  /** Types usable as pushed GROUP BY keys: extracted values carry
+    * proper equals/hashCode (UTF8String, Decimal, boxed primitives),
+    * so they can key the per-split hash aggregation. */
+  def groupable(t: DataType): Boolean = t match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType |
+         DoubleType | FloatType | StringType | DateType | TimestampType |
+         TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** One in-flight partial-aggregation state (per split, or per group
+    * in the grouped path). */
+  private final class Acc(n: Int) {
     val counts = new Array[Long](n)
     val sumsL = new Array[Long](n)
     val sumsD = new Array[Double](n)
     val sumsB = new Array[java.math.BigDecimal](n)
     val mins = new Array[Any](n)
     val maxs = new Array[Any](n)
-    val ords: Seq[Ordering[Any]] = types.map(t => ordFor(t).getOrElse(
-      throw new UnsupportedOperationException(s"agg over $t")))
-    rows.foreach { r =>
-      var i = 0
-      while (i < n) {
-        calls(i).op match {
-          case "count_star" => counts(i) += 1
-          case "count" => if (!r.isNullAt(fieldIdx(i))) counts(i) += 1
-          case "sum" =>
-            if (!r.isNullAt(fieldIdx(i))) {
-              types(i) match {
-                case LongType => sumsL(i) += r.getLong(fieldIdx(i)); counts(i) += 1
-                case IntegerType => sumsL(i) += r.getInt(fieldIdx(i)); counts(i) += 1
-                case ShortType => sumsL(i) += r.getShort(fieldIdx(i)); counts(i) += 1
-                case ByteType => sumsL(i) += r.getByte(fieldIdx(i)); counts(i) += 1
-                case DoubleType => sumsD(i) += r.getDouble(fieldIdx(i)); counts(i) += 1
-                case FloatType => sumsD(i) += r.getFloat(fieldIdx(i)); counts(i) += 1
-                case d: DecimalType =>
-                  val v = r.getDecimal(fieldIdx(i), d.precision, d.scale).toJavaBigDecimal
-                  sumsB(i) = if (sumsB(i) == null) v else sumsB(i).add(v)
-                  counts(i) += 1
-                case _ =>
-              }
+  }
+
+  private def update(acc: Acc, r: InternalRow, calls: Seq[AggCall],
+                     fieldIdx: Seq[Int], types: Seq[DataType],
+                     ords: Seq[Ordering[Any]]): Unit = {
+    val n = calls.length
+    var i = 0
+    while (i < n) {
+      calls(i).op match {
+        case "count_star" => acc.counts(i) += 1
+        case "count" => if (!r.isNullAt(fieldIdx(i))) acc.counts(i) += 1
+        case "sum" =>
+          if (!r.isNullAt(fieldIdx(i))) {
+            types(i) match {
+              case LongType => acc.sumsL(i) += r.getLong(fieldIdx(i)); acc.counts(i) += 1
+              case IntegerType => acc.sumsL(i) += r.getInt(fieldIdx(i)); acc.counts(i) += 1
+              case ShortType => acc.sumsL(i) += r.getShort(fieldIdx(i)); acc.counts(i) += 1
+              case ByteType => acc.sumsL(i) += r.getByte(fieldIdx(i)); acc.counts(i) += 1
+              case DoubleType => acc.sumsD(i) += r.getDouble(fieldIdx(i)); acc.counts(i) += 1
+              case FloatType => acc.sumsD(i) += r.getFloat(fieldIdx(i)); acc.counts(i) += 1
+              case d: DecimalType =>
+                val v = r.getDecimal(fieldIdx(i), d.precision, d.scale).toJavaBigDecimal
+                acc.sumsB(i) = if (acc.sumsB(i) == null) v else acc.sumsB(i).add(v)
+                acc.counts(i) += 1
+              case _ =>
             }
-          case "min" | "max" =>
-            if (!r.isNullAt(fieldIdx(i))) {
-              val v = r.get(fieldIdx(i), types(i))
-              val cur = if (calls(i).op == "min") mins(i) else maxs(i)
-              val better = cur == null ||
-                (calls(i).op == "min" && ords(i).lt(v, cur)) ||
-                (calls(i).op == "max" && ords(i).gt(v, cur))
-              if (better) {
-                if (calls(i).op == "min") mins(i) = v else maxs(i) = v
-              }
+          }
+        case "min" | "max" =>
+          if (!r.isNullAt(fieldIdx(i))) {
+            val v = r.get(fieldIdx(i), types(i))
+            val cur = if (calls(i).op == "min") acc.mins(i) else acc.maxs(i)
+            val better = cur == null ||
+              (calls(i).op == "min" && ords(i).lt(v, cur)) ||
+              (calls(i).op == "max" && ords(i).gt(v, cur))
+            if (better) {
+              if (calls(i).op == "min") acc.mins(i) = v else acc.maxs(i) = v
             }
-        }
-        i += 1
+          }
       }
+      i += 1
     }
+  }
+
+  private def result(acc: Acc, calls: Seq[AggCall], types: Seq[DataType]): Array[Any] = {
+    val n = calls.length
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
       out(i) = calls(i).op match {
-        case "count_star" | "count" => counts(i)
+        case "count_star" | "count" => acc.counts(i)
         case "sum" =>
-          if (counts(i) == 0) null
+          if (acc.counts(i) == 0) null
           else types(i) match {
-            case LongType | IntegerType | ShortType | ByteType => sumsL(i)
+            case LongType | IntegerType | ShortType | ByteType => acc.sumsL(i)
             case d: DecimalType =>
               // overflow of the widened precision → null, matching
               // Spark's non-ANSI decimal SUM, instead of throwing
               val ot = outputType("sum", d).asInstanceOf[DecimalType]
-              val dec = Decimal(sumsB(i))
+              val dec = Decimal(acc.sumsB(i))
               if (dec.changePrecision(ot.precision, ot.scale)) dec else null
-            case _ => sumsD(i)
+            case _ => acc.sumsD(i)
           }
-        case "min" => mins(i)
-        case "max" => maxs(i)
+        case "min" => acc.mins(i)
+        case "max" => acc.maxs(i)
       }
       i += 1
     }
-    new GenericInternalRow(out)
+    out
+  }
+
+  private def ordsFor(types: Seq[DataType]): Seq[Ordering[Any]] =
+    types.map(t => ordFor(t).getOrElse(
+      throw new UnsupportedOperationException(s"agg over $t")))
+
+  def compute(rows: Iterator[InternalRow], calls: Seq[AggCall],
+              fieldIdx: Seq[Int], types: Seq[DataType]): InternalRow = {
+    val ords = ordsFor(types)
+    val acc = new Acc(calls.length)
+    rows.foreach(r => update(acc, r, calls, fieldIdx, types, ords))
+    new GenericInternalRow(result(acc, calls, types))
+  }
+
+  /** Grouped partials (r8): one output row per distinct key tuple in
+    * the split, key values first then partials. Keys are freshly
+    * extracted per row (the reader materializes a new row per record),
+    * so map keys are stable. Memory is bounded by the split's group
+    * cardinality — the same bound any map-side hash aggregate
+    * carries; a high-cardinality GROUP BY degrades toward one row per
+    * input row, which is still never worse than shipping the raw
+    * split. */
+  def computeGrouped(rows: Iterator[InternalRow], calls: Seq[AggCall],
+                     fieldIdx: Seq[Int], types: Seq[DataType],
+                     keyIdx: Seq[Int], keyTypes: Seq[DataType]): Iterator[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    val ords = ordsFor(types)
+    val n = calls.length
+    val groups = new java.util.LinkedHashMap[Seq[Any], Acc]()
+    rows.foreach { r =>
+      val key: Seq[Any] = keyIdx.zip(keyTypes).map {
+        case (i, t) => if (r.isNullAt(i)) null else r.get(i, t)
+      }
+      var acc = groups.get(key)
+      if (acc == null) { acc = new Acc(n); groups.put(key, acc) }
+      update(acc, r, calls, fieldIdx, types, ords)
+    }
+    groups.entrySet().iterator().asScala.map { e =>
+      new GenericInternalRow(e.getKey.toArray[Any] ++ result(e.getValue, calls, types))
+    }
   }
 }

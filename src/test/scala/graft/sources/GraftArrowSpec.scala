@@ -317,23 +317,40 @@ class GraftArrowSpec extends SparkSpec {
     assert(df.head === expected)
   }
 
-  test("AVG pushes as decomposed SUM+COUNT; group-by falls back local") {
+  test("AVG pushes as decomposed SUM+COUNT; grouped aggs push partials per group (A4+)") {
     // the reference computes AVG locally in split mode; Spark goes one
     // better and decomposes it into pushable SUM+COUNT partials
     val avg = arrow("lineitem").agg(org.apache.spark.sql.functions.avg(col("l_quantity")))
     val avgPlan = avg.queryExecution.executedPlan.toString
     assert(avgPlan.contains("sum(l_quantity)") && avgPlan.contains("count(l_quantity)"),
       s"AVG should decompose into pushed sum+count:\n$avgPlan")
+    // r8: GROUP BY on plain columns pushes too — one partial row per
+    // (split, group) crosses the wire. Exceeds the reference optimizer
+    // (local fallback on any GROUP BY); SURVEY §2/A4 records it.
     val grouped = arrow("lineitem").groupBy(col("l_returnflag")).count()
     val gPlan = grouped.queryExecution.executedPlan.toString
-    assert(!gPlan.contains("PushedAggregates"), "grouped agg must not push")
-    // and both still compute correctly
+    assert(gPlan.contains("PushedAggregates"), s"grouped agg should push:\n$gPlan")
+    assert(gPlan.contains("GROUP BY"), s"pushed SQL should carry the GROUP BY:\n$gPlan")
     val a = avg.head.getDouble(0)
     val e = plain("lineitem").agg(org.apache.spark.sql.functions.avg(col("l_quantity"))).head.getDouble(0)
     assert(math.abs(a - e) < 1e-9)
     assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toSet ===
       plain("lineitem").groupBy(col("l_returnflag")).count()
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("grouped pushdown parity: multi-key, multi-agg, filtered (A4+)") {
+    def both(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = (
+      f(arrow("lineitem")).collect().map(_.toSeq).toSet,
+      f(plain("lineitem")).collect().map(_.toSeq).toSet)
+    val (g1, e1) = both(_.filter(col("l_discount") > 0.02)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"),
+        min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx")))
+    assert(g1 === e1 && g1.nonEmpty)
+    // group-by an EXPRESSION must decline cleanly and stay correct
+    val (g2, e2) = both(_.groupBy((col("l_orderkey") % 7).as("k")).count())
+    assert(g2 === e2)
   }
 
   test("filter + aggregation pushdown compose") {
