@@ -85,9 +85,17 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-entry spread (max−min across reps): lets a reader separate
+    // noise from signal mechanically — a 3× "regression" on a 40 ms
+    // entry whose spread covers the delta is suite-pressure noise, not
+    // a plan change (the r7 fn_version lesson)
+    val spread = entries.map { case (name, _) =>
+      val good = samples(name).filter(_ > 0)
+      "\"" + name + "\":" + (if (good.size >= 2) good.max - good.min else 0.0)
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     val bSuite = results.collect { case (k, v) if k.startsWith("q") && v > 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"b_suite_total":$bSuite,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"b_suite_total":$bSuite,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

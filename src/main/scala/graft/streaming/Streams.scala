@@ -52,7 +52,14 @@ object Streams {
     * cardinality × store throughput, and it cannot change across
     * restarts of one checkpointed query — so the adapters own it, not
     * the query shapes. The session conf is restored immediately after
-    * `start()` captures it. */
+    * `start()` captures it.
+    *
+    * CONTRACT: single-threaded use only. The set/restore mutates the
+    * SHARED session conf, so two streaming entries starting
+    * concurrently on one session could capture each other's width (no
+    * per-query option exists for shuffle partitions). Every current
+    * caller starts queries sequentially; callers adding concurrency
+    * must serialize the start() window or use separate sessions. */
   private def withStatePartitions[A](spark: SparkSession, n: Int)(start: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
