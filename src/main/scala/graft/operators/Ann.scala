@@ -210,26 +210,35 @@ object Ann {
     * broadcast. Fully deterministic (ties broken by centroid id, then
     * vec_id) → exact algorithm-parity oracle in [[ivfSql]].
     * Library form: any `(vec_id, embedding)` frame. */
-  def ivf(embeddings: DataFrame): DataFrame = {
-    val c = corpus(embeddings)
-    val cents = c
-      .filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
-      .select(col("vec_id").as("cid"), col("e").as("ce"))
-    // index build: argmin over k centroids via min(struct) — partial
-    // aggregation ships one (vec_id, best) pair per map task
-    val assigned = c.crossJoin(broadcast(cents))
+  private def ivfCents(c: DataFrame): DataFrame = c
+    .filter(col("vec_id") >= IvfSeedBase && col("vec_id") < IvfSeedBase + IvfK)
+    .select(col("vec_id").as("cid"), col("e").as("ce"))
+
+  /** Index build: argmin over k broadcast centroids via min(struct) —
+    * partial aggregation ships one (vec_id, best) pair per map task. */
+  private def ivfAssign(c: DataFrame, cents: DataFrame): DataFrame =
+    c.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("e"), col("cid"), l2(col("e"), col("ce")).as("d"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d"), col("cid"))).as("m"), first(col("e")).as("e"))
       .select(col("vec_id"), col("e"), col("m.cid").as("cid"))
-    // query side (tiny): nprobe nearest lists per query
+
+  /** Query side (tiny): nprobe nearest lists per query. */
+  private def ivfProbes(c: DataFrame, cents: DataFrame): DataFrame = {
     val qw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
-    val probes = c.filter(col("vec_id") < NumQueries)
+    c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
       .crossJoin(broadcast(cents))
       .select(col("q_id"), col("qe"), col("cid"), l2(col("qe"), col("ce")).as("d"))
       .withColumn("rn", row_number().over(qw)).filter(col("rn") <= IvfProbe)
       .select(col("q_id"), col("qe"), col("cid"))
+  }
+
+  def ivf(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val cents = ivfCents(c)
+    val assigned = ivfAssign(c, cents)
+    val probes = ivfProbes(c, cents)
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
@@ -303,30 +312,35 @@ object Ann {
     * top-k′ (shuffle O(queries × k′ × partitions)); rerank rescans
     * only the shortlist-joined rows. Library form: any
     * `(vec_id, embedding)` frame containing the seed ids. */
-  def pq(embeddings: DataFrame): DataFrame = {
-    val c = corpus(embeddings)
-    // codebooks: sub-vector m of sample j is codeword (m, j) — tiny
-    // (M×K = 128 rows), broadcast everywhere
-    val cw = c
-      .filter(col("vec_id") >= PqSeedBase && col("vec_id") < PqSeedBase + PqCodes)
-      .select((col("vec_id") - PqSeedBase).cast("int").as("j"),
-        explode(sequence(lit(0), lit(PqSubSpaces - 1))).as("m"), col("e"))
-      .select(col("m"), col("j"),
-        slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("cwv"))
-    // encode: nearest codeword per (vector, sub-space) via M
-    // conditional min-struct argmins in ONE map-side-combined groupBy
-    // (ties broken by codeword id, matching the oracle's ORDER BY d, j)
-    val encRows = c.crossJoin(broadcast(cw))
-      .select(col("vec_id"), col("e"), col("m"), col("j"),
-        l2(slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cwv")).as("d"))
-    val codes = encRows.groupBy(col("vec_id"))
+  /** PQ codebooks: sub-vector m of sample j is codeword (m, j) — tiny
+    * (M×K = 128 rows), broadcast everywhere. */
+  private def pqCodebooks(c: DataFrame): DataFrame = c
+    .filter(col("vec_id") >= PqSeedBase && col("vec_id") < PqSeedBase + PqCodes)
+    .select((col("vec_id") - PqSeedBase).cast("int").as("j"),
+      explode(sequence(lit(0), lit(PqSubSpaces - 1))).as("m"), col("e"))
+    .select(col("m"), col("j"),
+      slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("cwv"))
+
+  /** Encode: nearest codeword per (vector, sub-space) via M conditional
+    * min-struct argmins in ONE map-side-combined groupBy (ties broken
+    * by codeword id, matching the oracle's ORDER BY d, j). Passes
+    * `carry` columns (e.g. the IVF list id) through with first(). */
+  private def pqEncode(c: DataFrame, cw: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    c.crossJoin(broadcast(cw))
+      .select((Seq(col("vec_id"), col("e"), col("m"), col("j"),
+        l2(slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cwv")).as("d")) ++
+        carry.map(col)): _*)
+      .groupBy(col("vec_id"))
       .agg(first(col("e")).as("e"),
-        array((0 until PqSubSpaces).map(mm =>
+        (Seq(array((0 until PqSubSpaces).map(mm =>
           min(when(col("m") === mm, struct(col("d"), col("j"))))
-            .getField("j")): _*).as("codes"))
-    // per-query ADC table, flattened m-major (index = m·K + j) so the
-    // scan reads it with plain element_at lookups
-    val dtab = c.filter(col("vec_id") < NumQueries)
+            .getField("j")): _*).as("codes")) ++
+          carry.map(x => first(col(x)).as(x))): _*)
+
+  /** Per-query ADC table, flattened m-major (index = m·K + j) so the
+    * scan reads it with plain element_at lookups. */
+  private def pqDtab(c: DataFrame, cw: DataFrame): DataFrame =
+    c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
       .crossJoin(broadcast(cw))
       .select(col("q_id"), col("qe"), col("m"), col("j"),
@@ -336,27 +350,41 @@ object Ann {
         transform(
           array_sort(collect_list(struct(col("m"), col("j"), col("d")))),
           x => x.getField("d")).as("dt"))
-    // ADC scan: ad = Σₘ dt[m·K + code_m], summed in fixed m order —
-    // the left-to-right fold the oracle's list_reduce reproduces, so
-    // the shortlist boundary is bit-stable across engines
-    val ad = (0 until PqSubSpaces).map(mm =>
+
+  /** ADC scan score: ad = Σₘ dt[m·K + code_m], summed in fixed m order
+    * — the left-to-right fold the oracle's list_reduce reproduces, so
+    * the shortlist boundary is bit-stable across engines. */
+  private def adcSum: Column =
+    (0 until PqSubSpaces).map(mm =>
       element_at(col("dt"),
         element_at(col("codes"), mm + 1) + lit(mm * PqCodes) + 1)).reduce(_ + _)
-    val shortlist = codes.crossJoin(broadcast(dtab.select(col("q_id"), col("dt"))))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), ad.as("ad"))
+
+  /** Shortlist by smallest approximate distance = largest -ad;
+    * TopKAgg's (score desc, id asc) ≡ the oracle's ORDER BY ad, vec_id.
+    * Then exact rerank on the original vectors, shortlist-joined. */
+  private def adcShortlistRerank(c: DataFrame, scored: DataFrame,
+                                 dtab: DataFrame): DataFrame = {
+    val shortlist = scored
       .groupBy(col("q_id"))
-      // smallest approximate distance = largest -ad; TopKAgg's
-      // (score desc, id asc) order ≡ the oracle's ORDER BY ad, vec_id
       .agg(topK(-col("ad"), col("vec_id"), PqShortlist).as("cands"))
       .select(col("q_id"), explode(col("cands").getField("id")).as("vec_id"))
-    // exact rerank on the original vectors, shortlist-joined only
     val rer = c.join(broadcast(shortlist), Seq("vec_id"))
       .join(broadcast(dtab.select(col("q_id"), col("qe"))), Seq("q_id"))
       .select(col("q_id"), col("vec_id"), cosine(col("qe"), col("e")).as("cos"))
     rankRows(
       rer.groupBy(col("q_id"))
         .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
+  }
+
+  def pq(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val cw = pqCodebooks(c)
+    val codes = pqEncode(c, cw)
+    val dtab = pqDtab(c, cw)
+    val scored = codes.crossJoin(broadcast(dtab.select(col("q_id"), col("dt"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adcSum.as("ad"))
+    adcShortlistRerank(c, scored, dtab)
   }
 
   def pq(spark: SparkSession, dir: String): DataFrame =
@@ -406,15 +434,109 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- C18
+  /** IVF-PQ — the composition production web-scale indexes actually run
+    * (inverted lists bound the scan, PQ codes bound the memory): the
+    * corpus is partitioned into IVF lists, each vector stored as its M
+    * PQ codes, and a query ADC-scores ONLY the vectors in its nprobe
+    * nearest lists before the exact rerank. Vectors are encoded raw
+    * (not as centroid residuals — the residual variant needs per-list
+    * codebooks; production trains both offline, and the pipeline from
+    * encode onward is identical). Same deterministic centroids as
+    * [[ivf]] and codebooks as [[pq]], so the whole composition keeps an
+    * exact algorithm-parity oracle ([[ivfPqSql]]).
+    *
+    * Scale shape: everything [[pq]] ships plus the list restriction —
+    * the ADC scan touches nprobe/k of the corpus, all joins broadcast,
+    * shortlist shuffle O(queries × k′ × partitions). */
+  def ivfPq(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val cents = ivfCents(c)
+    val assigned = ivfAssign(c, cents)
+    val cw = pqCodebooks(c)
+    // the index: (vec_id, cid, codes) — 8 codes + a list id per vector
+    val codes = pqEncode(assigned, cw, carry = Seq("cid"))
+    val dtab = pqDtab(c, cw)
+    val probes = ivfProbes(c, cents).select(col("q_id"), col("cid"))
+    val scored = codes.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(dtab.select(col("q_id"), col("dt"))), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adcSum.as("ad"))
+    adcShortlistRerank(c, scored, dtab)
+  }
+
+  def ivfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPq(Tables(spark, dir, "embeddings"))
+
+  /** Algorithm-parity oracle for C18: [[ivfSql]]'s assignment/probing
+    * CTEs composed with [[pqSql]]'s codebook/encode/ADC CTEs, the ADC
+    * sum restricted to probed lists — identical fold order and
+    * tie-breaks throughout. */
+  val ivfPqSql: String = {
+    val fullL2 = (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, $Dim), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    val subL2 = (vec: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($vec[c.m*$PqSubDim+i]-c.cwv[i])*($vec[c.m*$PqSubDim+i]-c.cwv[i])),
+         |      (x,y) -> x+y)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
+       |ad0 AS (SELECT v.vec_id, c.cid, ${fullL2("v.e", "c.ce")} AS d
+       |        FROM v CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM ad0) WHERE rn = 1),
+       |cw AS (SELECT m, CAST(vec_id - $PqSeedBase AS INT) AS j,
+       |    e[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS cwv
+       |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS m)
+       |  WHERE vec_id >= $PqSeedBase AND vec_id < ${PqSeedBase + PqCodes}),
+       |encd AS (SELECT v.vec_id, c.m, c.j, ${subL2("v.e")} AS d
+       |  FROM v CROSS JOIN cw c),
+       |enc AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < $NumQueries),
+       |qd AS (SELECT q.q_id, c.cid, ${fullL2("q.qe", "c.ce")} AS d
+       |       FROM q CROSS JOIN cents c),
+       |probes AS (SELECT q_id, cid FROM (
+       |    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |    FROM qd) WHERE rn <= $IvfProbe),
+       |dt AS (SELECT q.q_id, c.m, c.j, ${subL2("q.qe")} AS d
+       |  FROM q CROSS JOIN cw c),
+       |adt AS (SELECT dt.q_id, enc.vec_id,
+       |    list_reduce(list(dt.d ORDER BY dt.m), (x,y) -> x+y) AS ad
+       |  FROM enc JOIN dt ON enc.m = dt.m AND enc.j = dt.j
+       |  JOIN assigned a ON enc.vec_id = a.vec_id
+       |  JOIN probes p ON p.cid = a.cid AND p.q_id = dt.q_id
+       |  WHERE enc.vec_id <> dt.q_id
+       |  GROUP BY dt.q_id, enc.vec_id),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+       |    FROM adt) WHERE rn <= $PqShortlist),
+       |scored AS (SELECT s.q_id, s.vec_id,
+       |    list_inner_product(q.qe, v.e) /
+       |      (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(v.e, v.e))) AS cos
+       |  FROM short s JOIN q ON s.q_id = q.q_id JOIN v ON s.vec_id = v.vec_id)
+       |SELECT q_id, nn_rank, vec_id, cos AS cosine FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
     "ann_ivf" -> ivf _,
-    "ann_pq" -> pq _)
+    "ann_pq" -> pq _,
+    "ann_ivfpq" -> ivfPq _)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> bruteforceSql,
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
-    "ann_pq" -> pqSql)
+    "ann_pq" -> pqSql,
+    "ann_ivfpq" -> ivfPqSql)
 }

@@ -176,6 +176,11 @@ class LibraryApiSpec extends SparkSpec {
     // every query returns a full top-k (the shortlist is never starved)
     val counts = Ann.pq(df).groupBy(col("q_id")).count().collect()
     assert(counts.length === 5 && counts.forall(_.getLong(1) === 10L))
+    // IVF-PQ: the twin shares the query's nearest lists (near-identical
+    // vector ⇒ same coarse assignment), survives the list restriction
+    // AND the ADC shortlist, and wins the exact rerank
+    val ivfpqTop = Ann.ivfPq(df).filter(col("q_id") === 0 && col("nn_rank") === 1).head
+    assert(ivfpqTop.getLong(2) === 149L, "planted twin must rank first through IVF-PQ")
   }
 
   test("Multimodal round-trips REAL PNG/BMP payloads and the decode is load-bearing") {
