@@ -193,6 +193,18 @@ object Dedup {
     // rather than OOMs at scale, evicted by LRU when done)
     val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = ngramJaccardFromShingles(sh)
+    sh.unpersist()
+    result
+  }
+
+  /** [[ngramJaccard]] over a CALLER-persisted `(doc_id, shingles)`
+    * frame — the shared-lineage form [[ngramJaccardAuto]] dispatches
+    * to, so the probe and the chosen plan read one cached shingle
+    * table instead of re-tokenizing the corpus. The caller owns the
+    * persist/unpersist; the returned frame is localCheckpoint-
+    * materialized, so releasing `sh` afterwards is safe. */
+  private def ngramJaccardFromShingles(sh: DataFrame): DataFrame = {
     // join/shuffle on the 64-bit gram hash, not the gram string: ~5×
     // fewer shuffle bytes and long-key joins. Distinctness per doc is
     // preserved by array_distinct upstream; a cross-gram collision
@@ -218,7 +230,7 @@ object Dedup {
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
-    val result = shared
+    shared
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jacc", col("c") / (col("sa.n") + col("sb.n") - col("c")))
@@ -230,8 +242,6 @@ object Dedup {
       // session (localCheckpoint blocks live outside the CacheManager
       // and are reclaimed by the ContextCleaner when the frame is GC'd)
       .localCheckpoint()
-    sh.unpersist()
-    result
   }
 
   // --------------------------------------------------------------- C4b
@@ -263,9 +273,17 @@ object Dedup {
     * exact. Verification is the C2 array-intersect shape over the
     * cached shingle table, costed by candidate-pair mass only. */
   def ngramJaccardPrefix(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
-    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = ngramJaccardPrefixFromShingles(sh, threshold)
+    sh.unpersist()
+    result
+  }
+
+  /** [[ngramJaccardPrefix]] over a CALLER-persisted shingle frame (the
+    * [[ngramJaccardFromShingles]] contract). */
+  private def ngramJaccardPrefixFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val grams = sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
     // a cross-gram hash collision can only ADD a candidate (verification
@@ -322,7 +340,7 @@ object Dedup {
     // gram table through a (doc, gram) count join at the same candidate
     // count. The division matches C4's c/(na+nb−c) operand order so an
     // identical pair hashes identically across the two entries.
-    val result = cand
+    cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("c",
@@ -334,8 +352,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jacc").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    sh.unpersist()
-    result
   }
 
   def ngramJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
@@ -361,7 +377,12 @@ object Dedup {
                        amplificationCutoff: Double = 32.0): DataFrame = {
     require(threshold >= 0.5 && threshold <= 1,
       s"auto dispatch supports thresholds in [0.5, 1]: $threshold")
-    val dfStats = withShingles(documents)
+    // ONE persisted shingle table serves the probe AND the dispatched
+    // plan (r8) — previously the chosen plan re-tokenized the corpus
+    // the probe had just scanned, an extra full pass at 100 TB
+    val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfStats = sh
       .select(explode(col("shingles")).as("gram"))
       .select(xxhash64(col("gram")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df")).filter(col("df") >= 2)
@@ -372,8 +393,14 @@ object Dedup {
     val amplification =
       if (dfStats.getLong(1) == 0L) 0.0
       else dfStats.getLong(0).toDouble / dfStats.getLong(1)
-    if (amplification > amplificationCutoff) ngramJaccardPrefix(documents, threshold)
-    else ngramJaccard(documents).filter(col("jaccard") >= threshold)
+    val result =
+      if (amplification > amplificationCutoff) ngramJaccardPrefixFromShingles(sh, threshold)
+      else ngramJaccardFromShingles(sh).filter(col("jaccard") >= threshold)
+    // both branches return an EAGERLY checkpoint-materialized frame
+    // (the trailing filter reads checkpoint blocks, not sh's lineage),
+    // so the shared shingle cache can be released immediately
+    sh.unpersist()
+    result
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
