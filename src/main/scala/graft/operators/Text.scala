@@ -236,17 +236,63 @@ object Text {
       |  CAST(max(c) AS BIGINT) / CAST(sum(c) AS BIGINT) AS top_share
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** C19 (r8): lexical-diversity signal — type-token ratio and the
+    * Simpson collision probability (Σpᵢ², the chance two random tokens
+    * coincide; 1/Σpᵢ² is the effective vocabulary size) over unigram
+    * counts. The standard diversity complement to [[repetition]]'s
+    * duplicate-n-gram signals: boilerplate and template spam crater TTR
+    * and spike Simpson long before exact dedup fires. Every emitted
+    * ratio is a raw IEEE quotient of EXACT integer operands (no
+    * transcendentals — a true entropy needs ln, whose last-ulp
+    * behavior is not cross-engine stable, while Σcᵢ² is), so the
+    * oracle hash-matches bit-for-bit.
+    *
+    * Plan: token explode → (doc, token) count (map-side combined,
+    * per-doc key space → skew-proof) → per-doc sums. Only (doc, token,
+    * count) rows shuffle. Library form: any frame with `doc_id`,
+    * `text`. */
+  def diversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("sum_c2"),
+        (col("n_distinct") / col("n_tokens")).as("ttr"),
+        (col("sum_c2") / (col("n_tokens") * col("n_tokens"))).as("simpson"))
+
+  def diversity(spark: SparkSession, dir: String): DataFrame =
+    diversity(docs(spark, dir))
+
+  val diversitySql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct,
+      |  CAST(sum(c*c) AS BIGINT) AS sum_c2,
+      |  count(*) / CAST(sum(c) AS BIGINT) AS ttr,
+      |  CAST(sum(c*c) AS BIGINT) / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS simpson
+      |FROM c GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId _,
     "text_quality" -> quality _,
     "text_tokens" -> tokens _,
     "text_fingerprint" -> fingerprint _,
-    "text_repetition" -> (repetition(_, _)))
+    "text_repetition" -> (repetition(_, _)),
+    "text_diversity" -> (diversity(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokensSql,
     "text_fingerprint" -> fingerprintSql,
-    "text_repetition" -> repetitionSql)
+    "text_repetition" -> repetitionSql,
+    "text_diversity" -> diversitySql)
 }

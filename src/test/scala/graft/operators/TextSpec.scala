@@ -95,4 +95,19 @@ class TextSpec extends SparkSpec {
     assert(r(1L) === ((3L, 1L, 3L, 2.0 / 3, 1.0)))
     assert(r(2L) === ((3L, 3L, 1L, 0.0, 1.0 / 3)))
   }
+
+  test("diversity: TTR and Simpson collision probability on known counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),                  // counts {a:2, b:1}
+      (2L, "x x x x"),                // degenerate: one type
+      (3L, "one two three four")      // all distinct
+    ).toDF("doc_id", "text")
+    val r = Text.diversity(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))).toMap
+    assert(r(1L) === ((3L, 2L, 5L, 2.0 / 3, 5.0 / 9)))
+    assert(r(2L) === ((4L, 1L, 16L, 1.0 / 4, 1.0)))
+    assert(r(3L) === ((4L, 4L, 4L, 1.0, 4.0 / 16)))
+  }
 }
