@@ -29,6 +29,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ann entries never shuffle a join: every join side is broadcast") {
+    // the exemption above is from the BNLJ/cartesian sweep (broadcast
+    // query-cross-corpus IS their semantics); what they must still
+    // never do is SHUFFLE-join the corpus — a SortMergeJoin anywhere
+    // in an ANN plan means a fact-scale exchange that the broadcast
+    // design exists to avoid, and a CartesianProduct means a
+    // non-broadcast cross (both sides fact-scale)
+    exempt.toSeq.sorted.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"$name shuffle-joins:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
   test("q7's rank filter plans a partial top-k below the shuffle (WindowGroupLimit)") {
     // the rn<=3 predicate must sit directly above the rank Window so
     // InferWindowGroupLimit fires — measured 3.7x at sf1; at cluster
