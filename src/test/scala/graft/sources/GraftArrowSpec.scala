@@ -361,6 +361,28 @@ class GraftArrowSpec extends SparkSpec {
     assert(df.head === expected)
   }
 
+  test("grouped pushdown handles NULL group keys as one group (A4+)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nullgrp").toString
+    Seq((Option("a"), 1L), (Option("a"), 2L), (Option.empty[String], 10L),
+        (Option.empty[String], 20L), (Option("b"), 5L))
+      .toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/grp.parquet"))
+    val g = GraftArrow.read(spark, tmp, "grp")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    assert(g.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+      "nullable-key grouped agg should still push")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val exp = rows(spark.read.parquet(s"$tmp/grp.parquet")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"), sum(col("v")).as("s")))
+    assert(rows(g) === exp)
+    assert(exp.contains(("<null>", 2L, 30L)), "null keys must fold into ONE group")
+  }
+
   test("all-types scan + aggregation parity (tiny/small/decimal/date, like the reference all_types suite)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
