@@ -93,9 +93,25 @@ object Bench {
       val good = samples(name).filter(_ > 0)
       "\"" + name + "\":" + (if (good.size >= 2) good.max - good.min else 0.0)
     }.mkString("{", ",", "}")
+    // rep-1 timing per entry (samples append in rep order, so .head is
+    // the chronologically-first run): on a cold page cache this is the
+    // I/O-bearing rep, so first-vs-median separates disk cost from
+    // compute mechanically — the r8 q1-at-sf3 lesson (68.7s median
+    // dominated by cold reads of a 552 MB file; solo-warm 4.9s)
+    val firstRep = entries.map { case (name, _) =>
+      "\"" + name + "\":" + samples(name).head
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     val bSuite = results.collect { case (k, v) if k.startsWith("q") && v > 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"b_suite_total":$bSuite,"failed":$failed,"reps":$reps,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"first":$firstRep,"b_suite_total":$bSuite,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the artifact to a file: the driver captures the log
+    // tail, and r8's capture truncated mid-JSON — readers then mistook
+    // the spread map for the medians. A file can't be cut by a tail.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

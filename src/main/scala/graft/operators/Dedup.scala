@@ -186,25 +186,29 @@ object Dedup {
     * blow-up on globally-hot grams; for boilerplate-dominant corpora use
     * [[ngramJaccardPrefix]], whose prefix filter eliminates exactly that
     * blow-up (identical output, lemma-exact). */
-  def ngramJaccard(documents: DataFrame): DataFrame = {
-    // the shingle table feeds four consumers (sizes + hot-gram set +
-    // both self-join sides); persist it or the tokenize/shingle
-    // projection re-executes per consumer (MEMORY_AND_DISK: spills
-    // rather than OOMs at scale, evicted by LRU when done)
+  def ngramJaccard(documents: DataFrame): DataFrame =
+    ngramJaccardImpl(documents, None)
+
+  /** Shared body: persists the shingle table for the plan's multiple
+    * consumers (sizes + hot-gram set + both self-join sides) —
+    * MEMORY_AND_DISK spills rather than OOMs at scale — and releases
+    * it deterministically even when the plan throws (the returned
+    * frame is localCheckpoint-materialized, so the release is safe).
+    * `hot` is an optional caller-persisted `(gram, df>=2)` frame
+    * ([[ngramJaccardAuto]]'s probe output) standing in for the plan's
+    * own hot-gram aggregate. */
+  private def ngramJaccardImpl(documents: DataFrame, hot: Option[DataFrame]): DataFrame = {
     val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result = ngramJaccardFromShingles(sh)
-    sh.unpersist()
-    result
+    try ngramJaccardFromShingles(sh, hot) finally sh.unpersist()
   }
 
   /** [[ngramJaccard]] over a CALLER-persisted `(doc_id, shingles)`
-    * frame — the shared-lineage form [[ngramJaccardAuto]] dispatches
-    * to, so the probe and the chosen plan read one cached shingle
-    * table instead of re-tokenizing the corpus. The caller owns the
-    * persist/unpersist; the returned frame is localCheckpoint-
-    * materialized, so releasing `sh` afterwards is safe. */
-  private def ngramJaccardFromShingles(sh: DataFrame): DataFrame = {
+    * frame. The caller owns the persist/unpersist; the returned frame
+    * is localCheckpoint-materialized, so releasing `sh` afterwards is
+    * safe. */
+  private def ngramJaccardFromShingles(sh: DataFrame,
+                                       hot: Option[DataFrame] = None): DataFrame = {
     // join/shuffle on the 64-bit gram hash, not the gram string: ~5×
     // fewer shuffle bytes and long-key joins. Distinctness per doc is
     // preserved by array_distinct upstream; a cross-gram collision
@@ -218,9 +222,12 @@ object Dedup {
     // df>=2 gram set before the self-join. The hot set is tiny on
     // mostly-unique corpora (only genuinely shared content survives), so
     // AQE broadcasts it and the self-join input shrinks by an order of
-    // magnitude without changing any result.
-    val hotGrams = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select(col("gram"))
+    // magnitude without changing any result. A caller-supplied hot
+    // frame (the auto-dispatcher's already-persisted probe aggregate)
+    // replaces the groupBy — one full-gram-mass shuffle saved.
+    val hotGrams = hot.map(_.select(col("gram"))).getOrElse(
+      grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select(col("gram")))
     // no persist on pruned: both self-join sides are identical
     // subplans and ReuseExchange shares the materialized shuffle —
     // measured equal to an explicit cache without the write overhead
@@ -272,25 +279,33 @@ object Dedup {
     * hotter grams — the df² blow-up disappears while the result stays
     * exact. Verification is the C2 array-intersect shape over the
     * cached shingle table, costed by candidate-pair mass only. */
-  def ngramJaccardPrefix(documents: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def ngramJaccardPrefix(documents: DataFrame, threshold: Double = 0.5): DataFrame =
+    ngramJaccardPrefixImpl(documents, threshold, None)
+
+  /** [[ngramJaccardImpl]]'s persist/try-finally shape for the prefix
+    * variant. */
+  private def ngramJaccardPrefixImpl(documents: DataFrame, threshold: Double,
+                                     hot: Option[DataFrame]): DataFrame = {
     val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val result = ngramJaccardPrefixFromShingles(sh, threshold)
-    sh.unpersist()
-    result
+    try ngramJaccardPrefixFromShingles(sh, threshold, hot) finally sh.unpersist()
   }
 
   /** [[ngramJaccardPrefix]] over a CALLER-persisted shingle frame (the
     * [[ngramJaccardFromShingles]] contract). */
-  private def ngramJaccardPrefixFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
+  private def ngramJaccardPrefixFromShingles(sh: DataFrame, threshold: Double,
+                                             hot: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val grams = sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
     // a cross-gram hash collision can only ADD a candidate (verification
     // recounts real shared grams), never lose one: equal strings always
-    // hash equal, and the lemma's order just needs global consistency
-    val hotDf = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    // hash equal, and the lemma's order just needs global consistency.
+    // The auto-dispatcher hands its persisted probe aggregate in as
+    // `hot` — identical values, one full-gram-mass shuffle saved.
+    val hotDf = hot.getOrElse(
+      grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 2))
     val hotPerDoc = grams.join(hotDf, Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("gram"))).as("hot"))
@@ -372,35 +387,44 @@ object Dedup {
     * the corpus once — at 100 TB that is ANALYZE, paid once and
     * amortized over the dedup it steers. Threshold ≥ 0.5 (the count
     * path's published primitive; its ≥0.5 output post-filters
-    * losslessly to any higher t). */
+    * losslessly to any higher t).
+    *
+    * What is (and is NOT) persisted: the probe materializes only the
+    * SMALL `(gram, df≥2)` aggregate — two longs per genuinely-shared
+    * gram — and hands that same frame to the dispatched plan as its
+    * hot-gram input, so the probe's full-gram-mass shuffle is spent
+    * once and reused, never discarded. The per-doc shingle arrays are
+    * deliberately NOT persisted across the probe: r8 cached them
+    * MEMORY_AND_DISK to share one tokenization, and at sf10 the
+    * arrays overflowed local storage memory and the spill thrash cost
+    * 2.4× the dispatched plan itself (207s vs 86s) — tokenization is
+    * a cheap narrow map, re-run by the plan's own scoped persist; the
+    * expensive global aggregate is the thing worth keeping. */
   def ngramJaccardAuto(documents: DataFrame, threshold: Double = 0.5,
                        amplificationCutoff: Double = 32.0): DataFrame = {
     require(threshold >= 0.5 && threshold <= 1,
       s"auto dispatch supports thresholds in [0.5, 1]: $threshold")
-    // ONE persisted shingle table serves the probe AND the dispatched
-    // plan (r8) — previously the chosen plan re-tokenized the corpus
-    // the probe had just scanned, an extra full pass at 100 TB
-    val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfStats = sh
+    val hotDf = withShingles(documents)
       .select(explode(col("shingles")).as("gram"))
       .select(xxhash64(col("gram")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df")).filter(col("df") >= 2)
-      .agg(
-        coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"),
-        coalesce(sum(col("df")), lit(0L)).as("s1"))
-      .head() // bounded: exactly one row of two longs
-    val amplification =
-      if (dfStats.getLong(1) == 0L) 0.0
-      else dfStats.getLong(0).toDouble / dfStats.getLong(1)
-    val result =
-      if (amplification > amplificationCutoff) ngramJaccardPrefixFromShingles(sh, threshold)
-      else ngramJaccardFromShingles(sh).filter(col("jaccard") >= threshold)
-    // both branches return an EAGERLY checkpoint-materialized frame
-    // (the trailing filter reads checkpoint blocks, not sh's lineage),
-    // so the shared shingle cache can be released immediately
-    sh.unpersist()
-    result
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfStats = hotDf.agg(
+          coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"),
+          coalesce(sum(col("df")), lit(0L)).as("s1"))
+        .head() // bounded: exactly one row of two longs
+      val amplification =
+        if (dfStats.getLong(1) == 0L) 0.0
+        else dfStats.getLong(0).toDouble / dfStats.getLong(1)
+      // both branches return an EAGERLY checkpoint-materialized frame
+      // (the trailing filter reads checkpoint blocks, not hotDf's
+      // lineage), so the probe cache is released on every path
+      if (amplification > amplificationCutoff)
+        ngramJaccardPrefixImpl(documents, threshold, Some(hotDf))
+      else
+        ngramJaccardImpl(documents, Some(hotDf)).filter(col("jaccard") >= threshold)
+    } finally hotDf.unpersist()
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -458,6 +482,7 @@ object Dedup {
           b => xxhash64(b, slice(col("minhashes"), b * MinhashRows + 1, lit(MinhashRows)))))
           .as("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_key") === col("b.band_key") &&
@@ -465,7 +490,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // exact verification on shingle sets
-    val result = cand
+    cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
       .withColumn("jacc",
@@ -477,9 +502,7 @@ object Dedup {
       // eager-materialize (pairs only) → release both caches before
       // returning; also makes the downstream clusters() reuse free
       .localCheckpoint()
-    bands.unpersist()
-    sh.unpersist()
-    result
+    } finally { bands.unpersist(); sh.unpersist() }
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
@@ -552,6 +575,7 @@ object Dedup {
   def simhashPairs(documents: DataFrame): DataFrame = {
     val s = simhash(documents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // band ordinal folded into a long key, like the minhash bands
     val bands = s.select(col("doc_id"), col("simhash"),
       explode(transform(sequence(lit(0), lit(3)),
@@ -563,15 +587,14 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
       .distinct()
-    val result = cand
+    cand
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
       .localCheckpoint() // eager: release the signature cache now
-    s.unpersist()
-    result
+    } finally s.unpersist()
   }
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame =

@@ -112,7 +112,12 @@ object Multimodal {
     * frame with `doc_id`, `text`. */
   def mediaFrame(documents: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
-    documents.select(col("doc_id"), col("text")).mapPartitions { rows =>
+    // null text is DROPPED, pinned on both engine sides (the oracle
+    // filters identically) — the simhash precedent: without the filter
+    // the codec NPEs here while the oracle would emit a NULL-width row
+    documents.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val text = r.getString(1)
@@ -161,7 +166,7 @@ object Multimodal {
     s"""WITH d AS (SELECT doc_id, text,
        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
        |    GREATEST(LEAST(length(text), $mw), 1) AS w
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |px AS (SELECT doc_id, format, w,
        |    CAST(list_sum(list_transform(generate_series(0, w * $h - 1),
        |      k -> ((CASE WHEN (k % w) < length(text)

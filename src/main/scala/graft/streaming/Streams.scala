@@ -54,18 +54,21 @@ object Streams {
     * the query shapes. The session conf is restored immediately after
     * `start()` captures it.
     *
-    * CONTRACT: single-threaded use only. The set/restore mutates the
-    * SHARED session conf, so two streaming entries starting
-    * concurrently on one session could capture each other's width (no
-    * per-query option exists for shuffle partitions). Every current
-    * caller starts queries sequentially; callers adding concurrency
-    * must serialize the start() window or use separate sessions. */
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(start: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try start finally spark.conf.set(key, prev)
-  }
+    * The set/restore mutates the SHARED session conf (no per-query
+    * option exists for shuffle partitions), so the whole window is
+    * serialized under a lock: two entries starting concurrently would
+    * otherwise capture each other's width into their checkpoints,
+    * which cannot change across restarts. The lock is held only across
+    * `start()` (query planning captures the conf there), never for the
+    * query's lifetime — concurrent RUNNING queries are fine. */
+  private val statePartitionsLock = new Object
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(start: => A): A =
+    statePartitionsLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try start finally spark.conf.set(key, prev)
+    }
 
   // ---------------------------------------------------------------- D1
   /** The D1 query shape, applicable to a batch OR streaming frame.
