@@ -101,8 +101,18 @@ case class AggCall(op: String, column: String)
   * pushdown EXCEEDS the reference optimizer's contract (it falls back
   * local on any GROUP BY, aggregation_pushdown.cpp) — divergence
   * recorded in SURVEY §2/A4: the server executes SQL anyway, so
-  * declining grouped aggregates would ship raw rows for no reason. */
-case class AggSpec(calls: Seq[AggCall], groupBy: Seq[String] = Nil) {
+  * declining grouped aggregates would ship raw rows for no reason.
+  *
+  * `maxGroupsPerSplit` (r9) bounds the endpoint-side hash map: past
+  * that many distinct keys in one split, further NEW keys stream
+  * through as per-row singleton partials instead of entering the map
+  * (Spark's final aggregation merges partial rows for the same key
+  * regardless of how many the split emitted, so the degradation is
+  * pure perf — worst case the split ships ~one partial per input row,
+  * the no-combine shape, with O(cap) endpoint memory). Conf
+  * `spark.graft.arrow.maxGroupsPerSplit`. */
+case class AggSpec(calls: Seq[AggCall], groupBy: Seq[String] = Nil,
+                   maxGroupsPerSplit: Int = AggSpec.DefaultMaxGroupsPerSplit) {
   def toSql(table: String, filters: Array[Filter]): String = {
     val exprs = calls.map {
       case AggCall("count_star", _) => "count(*)"
@@ -112,6 +122,13 @@ case class AggSpec(calls: Seq[AggCall], groupBy: Seq[String] = Nil) {
     val group = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
     s"SELECT $select FROM $table${FilterSql.toWhere(filters)}$group"
   }
+}
+
+object AggSpec {
+  /** ~tens of MB of Acc map at worst — far below a split's raw data,
+    * and far above any GROUP BY that benefits from pushdown. */
+  val DefaultMaxGroupsPerSplit: Int = 1 << 20
+  val MaxGroupsConfKey = "spark.graft.arrow.maxGroupsPerSplit"
 }
 
 /** A planned split (reference split_info.cpp / dd_splits.cpp): an

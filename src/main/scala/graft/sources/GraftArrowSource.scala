@@ -186,7 +186,14 @@ class GraftArrowScanBuilder(endpoint: Endpoint, table: String,
       case _ => None // AVG, COUNT(DISTINCT), UDAFs… ⇒ whole query local
     }
     if (calls.exists(_.isEmpty)) return false
-    val spec = AggSpec(calls.flatten, groupCols.flatten)
+    // endpoint-side group cap (r9): resolved from the session conf at
+    // plan time (driver-side) and shipped with the spec, so executors
+    // never read a conf
+    val maxGroups = scala.util.Try(
+      org.apache.spark.sql.SparkSession.active.conf
+        .get(AggSpec.MaxGroupsConfKey).toInt)
+      .getOrElse(AggSpec.DefaultMaxGroupsPerSplit)
+    val spec = AggSpec(calls.flatten, groupCols.flatten, maxGroups)
     val fieldsByName = fullSchema.fields.map(f => f.name -> f).toMap
     // decline the WHOLE pushdown if any aggregate folds a type the
     // partial-aggregator can't handle, or any group key isn't

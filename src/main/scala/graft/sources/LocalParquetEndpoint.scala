@@ -153,15 +153,17 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
     } else {
       // grouped partials (r8): key columns lead the projection, so key
       // ordinal i reads field i; one row per distinct key in the split
+      // up to the r9 cap, then streamed singleton partials. The
+      // iterator is lazy over the reader, so the close rides the
+      // IpcStream like a raw scan (exhaustion or caller close)
       val keyIdx = agg.groupBy.indices
       val keyTypes = keyIdx.map(sparkSchema.fields(_).dataType)
-      val grouped = try
-        PartialAgg.computeGrouped(rows, agg.calls, fieldIdx, types, keyIdx, keyTypes)
-      finally close()
+      val grouped = PartialAgg.computeGrouped(rows, agg.calls, fieldIdx, types,
+        keyIdx, keyTypes, agg.maxGroupsPerSplit)
       val outSchema = StructType(
         agg.groupBy.zip(keyTypes).map { case (g, t) => StructField(g, t, nullable = true) } ++
         aggFields)
-      IpcStream(ArrowBridge.toIpc(grouped, outSchema), () => ())
+      IpcStream(ArrowBridge.toIpc(grouped, outSchema), close)
     }
   }
 
@@ -626,31 +628,53 @@ object PartialAgg {
     new GenericInternalRow(result(acc, calls, types))
   }
 
-  /** Grouped partials (r8): one output row per distinct key tuple in
-    * the split, key values first then partials. Keys are freshly
-    * extracted per row (the reader materializes a new row per record),
-    * so map keys are stable. Memory is bounded by the split's group
-    * cardinality — the same bound any map-side hash aggregate
-    * carries; a high-cardinality GROUP BY degrades toward one row per
-    * input row, which is still never worse than shipping the raw
-    * split. */
+  /** Grouped partials (r8, capped r9): one output row per distinct key
+    * tuple the hash map holds, key values first then partials. Keys are
+    * freshly extracted per row (the reader materializes a new row per
+    * record), so map keys are stable.
+    *
+    * Memory: the map is bounded by `maxGroups` entries, NOT by the
+    * split's group cardinality — a near-unique group key would
+    * otherwise make the whole split's projection resident at once
+    * (boxed keys + an Acc per group), which is WORSE peak memory than
+    * streaming the raw split. Past the cap, rows with a NEW key stream
+    * through immediately as singleton partial rows (rows whose key is
+    * already mapped keep combining): Spark's final aggregation merges
+    * however many partials a key produced, so the result is identical
+    * and only the map-side-combine benefit degrades. The returned
+    * iterator is LAZY over `rows` — the caller keeps the reader open
+    * until it is exhausted or closed. */
   def computeGrouped(rows: Iterator[InternalRow], calls: Seq[AggCall],
                      fieldIdx: Seq[Int], types: Seq[DataType],
-                     keyIdx: Seq[Int], keyTypes: Seq[DataType]): Iterator[InternalRow] = {
+                     keyIdx: Seq[Int], keyTypes: Seq[DataType],
+                     maxGroups: Int = AggSpec.DefaultMaxGroupsPerSplit): Iterator[InternalRow] = {
     import scala.jdk.CollectionConverters._
+    require(maxGroups >= 1, s"maxGroups must be >= 1: $maxGroups")
     val ords = ordsFor(types)
     val n = calls.length
     val groups = new java.util.LinkedHashMap[Seq[Any], Acc]()
-    rows.foreach { r =>
+    def row(key: Seq[Any], acc: Acc): InternalRow =
+      new GenericInternalRow(key.toArray[Any] ++ result(acc, calls, types))
+    val overflow = rows.flatMap { r =>
       val key: Seq[Any] = keyIdx.zip(keyTypes).map {
         case (i, t) => if (r.isNullAt(i)) null else r.get(i, t)
       }
-      var acc = groups.get(key)
-      if (acc == null) { acc = new Acc(n); groups.put(key, acc) }
-      update(acc, r, calls, fieldIdx, types, ords)
+      val existing = groups.get(key)
+      if (existing != null) {
+        update(existing, r, calls, fieldIdx, types, ords); Nil
+      } else if (groups.size < maxGroups) {
+        val acc = new Acc(n); groups.put(key, acc)
+        update(acc, r, calls, fieldIdx, types, ords); Nil
+      } else {
+        // cap reached: this key bypasses the map as its own partial
+        val acc = new Acc(n)
+        update(acc, r, calls, fieldIdx, types, ords)
+        Seq(row(key, acc))
+      }
     }
-    groups.entrySet().iterator().asScala.map { e =>
-      new GenericInternalRow(e.getKey.toArray[Any] ++ result(e.getValue, calls, types))
-    }
+    // `++`'s right operand is evaluated only after `overflow` is
+    // exhausted, i.e. after every input row has been consumed — the
+    // map is complete by then
+    overflow ++ groups.entrySet().iterator().asScala.map(e => row(e.getKey, e.getValue))
   }
 }

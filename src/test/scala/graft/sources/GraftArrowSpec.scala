@@ -353,6 +353,47 @@ class GraftArrowSpec extends SparkSpec {
     assert(g2 === e2)
   }
 
+  test("grouped pushdown caps the endpoint hash map and stays exact (A4+, r9)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.LongType
+    // unit level: 6 rows over 3 keys, cap 1 — only the first key maps;
+    // the other keys' rows stream through as singleton partials
+    def rows = Iterator(
+      InternalRow(1L, 10L), InternalRow(2L, 20L), InternalRow(1L, 30L),
+      InternalRow(3L, 40L), InternalRow(2L, 50L), InternalRow(1L, 60L))
+    val calls = Seq(AggCall("count_star", ""), AggCall("sum", "v"))
+    def run(cap: Int) = PartialAgg.computeGrouped(
+      rows, calls, Seq(-1, 1), Seq(LongType, LongType),
+      Seq(0), Seq(LongType), cap).toVector
+    val capped = run(1)
+    val uncapped = run(Int.MaxValue)
+    assert(uncapped.size === 3)
+    assert(capped.size === 4, "cap 1: key 1 combines (3 rows -> 1), keys 2/3 stream as 3 singletons")
+    // merging the partials per key (what Spark's final agg does) must
+    // agree exactly with the uncapped result
+    def merged(v: Vector[InternalRow]) = v.groupBy(_.getLong(0)).view.mapValues(rs =>
+      (rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum)).toMap
+    assert(merged(capped) === merged(uncapped))
+    assert(merged(capped) === Map(1L -> ((3L, 100L)), 2L -> ((2L, 70L)), 3L -> ((1L, 40L))))
+
+    // end-to-end: a near-unique group key under a tiny conf'd cap still
+    // answers exactly, and the pushdown stays on (the cap changes the
+    // partial SHAPE, never the plan or the merged answer)
+    val key = AggSpec.MaxGroupsConfKey
+    spark.conf.set(key, "4")
+    try {
+      val g = arrow("lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"),
+          max(col("l_extendedprice")).as("mx"))
+      assert(g.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+        "capped grouped agg should still push")
+      val e = plain("lineitem").groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sq"),
+          max(col("l_extendedprice")).as("mx"))
+      assert(g.collect().map(_.toSeq).toSet === e.collect().map(_.toSeq).toSet)
+    } finally spark.conf.unset(key)
+  }
+
   test("filter + aggregation pushdown compose") {
     val df = arrow("lineitem").filter(col("l_quantity") < 10)
       .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
