@@ -526,17 +526,142 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  // -------------------------------------------------------------- C18b
+  /** Element-wise vector difference — exact IEEE subtraction on both
+    * engines, so residual parity is positional, not fold-ordered. */
+  private def vecSub(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x - y)
+
+  /** Residual-encoded IVF-PQ (FAISS `by_residual=true` — the
+    * production default): PQ codes quantize the RESIDUAL
+    * r = v − centroid(list(v)) instead of the raw vector. The coarse
+    * quantizer removes the between-list component of the variance, so
+    * residuals concentrate around 0 and the same M×K codebook budget
+    * spends its resolution on within-list detail — higher recall at
+    * identical index bytes (M codes per vector). The price is ADC
+    * tables per (query, PROBED LIST) — the query's residual differs
+    * per probed centroid — i.e. nprobe small tables per query instead
+    * of one, still broadcast-size (queries × nprobe × M×K doubles).
+    * Codebooks come from the deterministic sample's residuals (the
+    * [[pq]] precedent — production trains k-means offline); identical
+    * tie-breaks and fold order keep the whole composition on an exact
+    * algorithm-parity oracle ([[ivfPqResidualSql]]).
+    *
+    * Scale shape: identical to [[ivfPq]] — assignment and encode are
+    * broadcast joins + one map-side-combined groupBy each (offline
+    * index build), the ADC scan touches nprobe/k of the corpus and
+    * never shuffles it, shortlist O(queries × k′ × partitions). */
+  def ivfPqResidual(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val cents = ivfCents(c)
+    val assigned = ivfAssign(c, cents)
+    // the residual corpus: the (vec_id, e, cid) contract with e := v − ce,
+    // so the whole PQ machinery composes unchanged over residuals
+    val resid = assigned.join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), vecSub(col("e"), col("ce")).as("e"), col("cid"))
+    val cw = pqCodebooks(resid)
+    val codes = pqEncode(resid, cw, carry = Seq("cid"))
+    // per-(query, probed list) residual ADC table, m-major like pqDtab
+    val dtab = ivfProbes(c, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("q_id"), col("cid"), vecSub(col("qe"), col("ce")).as("qr"))
+      .crossJoin(broadcast(cw))
+      .select(col("q_id"), col("cid"), col("m"), col("j"),
+        l2(slice(col("qr"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cwv")).as("d"))
+      .groupBy(col("q_id"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("j"), col("d")))),
+        x => x.getField("d")).as("dt"))
+    // joining codes to the (q, list) tables on cid IS the IVF list
+    // restriction and the per-list table selection in one broadcast join
+    val scored = codes.join(broadcast(dtab), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adcSum.as("ad"))
+    val qf = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    adcShortlistRerank(c, scored, qf)
+  }
+
+  def ivfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidual(Tables(spark, dir, "embeddings"))
+
+  /** Algorithm-parity oracle for C18b: [[ivfPqSql]] with the codebook /
+    * encode / ADC CTEs re-based on residual vectors (rv, qrv CTEs), the
+    * dt join carrying the probed-list id so each vector is scored
+    * against ITS list's table — identical fold order and tie-breaks. */
+  val ivfPqResidualSql: String = {
+    val fullL2 = (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, $Dim), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    val subL2 = (vec: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($vec[c.m*$PqSubDim+i]-c.cwv[i])*($vec[c.m*$PqSubDim+i]-c.cwv[i])),
+         |      (x,y) -> x+y)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
+       |ad0 AS (SELECT v.vec_id, c.cid, ${fullL2("v.e", "c.ce")} AS d
+       |        FROM v CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM ad0) WHERE rn = 1),
+       |rv AS (SELECT a.vec_id, a.cid,
+       |    list_transform(generate_series(1, $Dim), i -> v.e[i] - ct.ce[i]) AS r
+       |  FROM assigned a JOIN v ON a.vec_id = v.vec_id JOIN cents ct ON a.cid = ct.cid),
+       |cw AS (SELECT m, CAST(vec_id - $PqSeedBase AS INT) AS j,
+       |    r[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS cwv
+       |  FROM rv CROSS JOIN (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS m)
+       |  WHERE vec_id >= $PqSeedBase AND vec_id < ${PqSeedBase + PqCodes}),
+       |encd AS (SELECT rv.vec_id, c.m, c.j, ${subL2("rv.r")} AS d
+       |  FROM rv CROSS JOIN cw c),
+       |enc AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < $NumQueries),
+       |qd AS (SELECT q.q_id, c.cid, ${fullL2("q.qe", "c.ce")} AS d
+       |       FROM q CROSS JOIN cents c),
+       |probes AS (SELECT q_id, cid FROM (
+       |    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |    FROM qd) WHERE rn <= $IvfProbe),
+       |qrv AS (SELECT p.q_id, p.cid,
+       |    list_transform(generate_series(1, $Dim), i -> q.qe[i] - ct.ce[i]) AS qr
+       |  FROM probes p JOIN q ON p.q_id = q.q_id JOIN cents ct ON p.cid = ct.cid),
+       |dt AS (SELECT qrv.q_id, qrv.cid, c.m, c.j, ${subL2("qrv.qr")} AS d
+       |  FROM qrv CROSS JOIN cw c),
+       |adt AS (SELECT dt.q_id, enc.vec_id,
+       |    list_reduce(list(dt.d ORDER BY dt.m), (x,y) -> x+y) AS ad
+       |  FROM enc
+       |  JOIN assigned a ON enc.vec_id = a.vec_id
+       |  JOIN dt ON dt.cid = a.cid AND enc.m = dt.m AND enc.j = dt.j
+       |  WHERE enc.vec_id <> dt.q_id
+       |  GROUP BY dt.q_id, enc.vec_id),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+       |    FROM adt) WHERE rn <= $PqShortlist),
+       |scored AS (SELECT s.q_id, s.vec_id,
+       |    list_inner_product(q.qe, v.e) /
+       |      (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(v.e, v.e))) AS cos
+       |  FROM short s JOIN q ON s.q_id = q.q_id JOIN v ON s.vec_id = v.vec_id)
+       |SELECT q_id, nn_rank, vec_id, cos AS cosine FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
     "ann_ivf" -> ivf _,
     "ann_pq" -> pq _,
-    "ann_ivfpq" -> ivfPq _)
+    "ann_ivfpq" -> ivfPq _,
+    "ann_ivfpq_residual" -> ivfPqResidual _)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> bruteforceSql,
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
     "ann_pq" -> pqSql,
-    "ann_ivfpq" -> ivfPqSql)
+    "ann_ivfpq" -> ivfPqSql,
+    "ann_ivfpq_residual" -> ivfPqResidualSql)
 }

@@ -183,6 +183,37 @@ class LibraryApiSpec extends SparkSpec {
     assert(ivfpqTop.getLong(2) === 149L, "planted twin must rank first through IVF-PQ")
   }
 
+  test("residual IVF-PQ: planted twins surface; recall >= raw encoding (C18b)") {
+    import spark.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(13)
+    // five planted twins (one per query); 405 corpus vectors so a
+    // query's ~2/8 probed lists hold ~100 vectors — MORE than the
+    // 50-candidate shortlist, so the ADC ordering genuinely prunes
+    // and encoding quality (raw vs residual) can change recall
+    val bases = (0 until 5).map(_ => Array.fill(dim)(rnd.nextGaussian()))
+    val rows =
+      bases.zipWithIndex.map { case (b, i) => (i.toLong, b.map(_.toFloat).toSeq) } ++
+      (5L to 399L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)) ++
+      bases.zipWithIndex.map { case (b, i) =>
+        (400L + i, b.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq) }
+    val df = rows.toDF("vec_id", "embedding")
+    def hits(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      res.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val truth = hits(Ann.bruteforce(df))
+    val raw = hits(Ann.ivfPq(df))
+    val residual = hits(Ann.ivfPqResidual(df))
+    // every query's near-identical twin must come through the residual
+    // pipeline: same coarse list as its query, near-minimal ADC
+    (0 until 5).foreach { q =>
+      assert(residual.contains((q.toLong, 400L + q)), s"query $q must recover its twin")
+    }
+    val rawRecall = (raw intersect truth).size
+    val resRecall = (residual intersect truth).size
+    assert(resRecall >= rawRecall,
+      s"residual encoding recall $resRecall must be >= raw $rawRecall")
+  }
+
   test("Multimodal round-trips REAL PNG/BMP payloads and the decode is load-bearing") {
     import spark.implicits._
     // known image: "ab" → 2×4 gray, pixel(x,y) = (char+y)%256
