@@ -69,12 +69,19 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Decode any ImageIO-readable payload to its BufferedImage — the
+      * single decode the fusion API amortizes across extractors. */
+    def decodeImage(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "undecodable media payload")
+      img
+    }
+
     /** Decode any ImageIO-readable payload → (width, height,
       * pixel_sum over band 0). Gray stays band 0 even if a decoder
       * surfaces RGB (R=G=B for gray sources). */
     def decode(payload: Array[Byte]): (Int, Int, Long) = {
-      val img = ImageIO.read(new ByteArrayInputStream(payload))
-      require(img != null, "undecodable media payload")
+      val img = decodeImage(payload)
       val raster = img.getRaster
       val (w, h) = (img.getWidth, img.getHeight)
       var sum = 0L
@@ -88,14 +95,110 @@ object Multimodal {
     }
   }
 
-  private val outSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("format", StringType, nullable = false),
-    StructField("width", LongType, nullable = false),
-    StructField("height", LongType, nullable = false),
-    StructField("n_pixels", LongType, nullable = false),
-    StructField("pixel_sum", LongType, nullable = false),
-    StructField("mean_pixel", DoubleType, nullable = false)))
+  /** One feature over a DECODED image: the output fields it appends and
+    * the values it computes from the raster. Extractors compose inside
+    * [[decodeFeatures]]'s single per-row decode — the fusion contract:
+    * adding a feature never adds a decode. (The decode is the dominant
+    * cost of the C8 pipeline — 63.7s of linear codec CPU at sf10 — so
+    * a consumer wanting stats AND a histogram must not pay it twice.) */
+  trait ImageFeature extends Serializable {
+    def fields: Seq[StructField]
+    def compute(img: BufferedImage): Seq[Any]
+  }
+
+  /** Dimensions + integer pixel statistics (the original C8 features).
+    * mean is the RAW IEEE quotient of exact integers (cross-engine
+    * bit-identical; round(double, 6) is not — the r2 lesson). */
+  object PixelStats extends ImageFeature {
+    val fields = Seq(
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false),
+      StructField("mean_pixel", DoubleType, nullable = false))
+    def compute(img: BufferedImage): Seq[Any] = {
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      val n = w.toLong * h
+      // Seq[Any], NOT Seq(...): mixed Long/Double literals would widen
+      // the longs to Double (weak conformance) and break the encoder
+      Seq[Any](w.toLong, h.toLong, n, sum, sum.toDouble / n)
+    }
+  }
+
+  /** Min/max sample value — the contrast-range signal. */
+  object PixelRange extends ImageFeature {
+    val fields = Seq(
+      StructField("pixel_min", LongType, nullable = false),
+      StructField("pixel_max", LongType, nullable = false))
+    def compute(img: BufferedImage): Seq[Any] = {
+      val raster = img.getRaster
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v = raster.getSample(x, y, 0)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      Seq(mn.toLong, mx.toLong)
+    }
+  }
+
+  /** Four equal-width intensity buckets over [0, 256) — the brightness
+    * profile a curation filter thresholds on. */
+  object PixelHistogram extends ImageFeature {
+    val fields = (0 until 4).map(b =>
+      StructField(s"hist_$b", LongType, nullable = false))
+    def compute(img: BufferedImage): Seq[Any] = {
+      val raster = img.getRaster
+      val counts = new Array[Long](4)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          counts(raster.getSample(x, y, 0) / 64) += 1
+          x += 1
+        }
+        y += 1
+      }
+      counts.toSeq
+    }
+  }
+
+  /** The fusion API: one batched per-partition pass that decodes each
+    * payload ONCE and runs every extractor over the shared raster.
+    * Input: any frame with `doc_id`, `content` (the opaque binary
+    * column), `format`. Downstream consumers compose feature LISTS
+    * instead of chaining decode stages — at 100 TB, each extra decode
+    * pass over the corpus is the bill this API exists to avoid. */
+  def decodeFeatures(media: DataFrame, features: Seq[ImageFeature]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = false)) ++
+      features.flatMap(_.fields))
+    val enc = RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("content"), col("format"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = ImageCodec.decodeImage(r.getAs[Array[Byte]]("content"))
+          Row.fromSeq(
+            Seq(r.getLong(0), r.getString(2)) ++ features.flatMap(_.compute(img)))
+        }
+      }(enc)
+  }
 
   private val mediaSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -133,27 +236,30 @@ object Multimodal {
     mediaFrame(Tables(spark, dir, "documents"))
 
   /** The pipeline: prune → batched per-partition REAL decode →
-    * integer pixel features. Dimensions come from the DECODED image,
-    * not the metadata — the decode is load-bearing. */
-  def pipeline(documents: DataFrame): DataFrame = {
-    val media = mediaFrame(documents)
-      .select(col("doc_id"), col("content"), col("meta.format").as("format"))
-    val enc = RowEncoder.encoderFor(outSchema)
-    media.mapPartitions { rows =>
-      rows.map { r =>
-        val (w, h, sum) = ImageCodec.decode(r.getAs[Array[Byte]]("content"))
-        val n = w.toLong * h
-        // mean is emitted RAW: sum and n are exact integers on both
-        // engines, so the IEEE quotient is bit-identical — while a
-        // round(double, 6) is legal-to-disagree cross-engine at a 6-dp
-        // boundary (the r2 pipeline_curate lesson)
-        Row(r.getLong(0), r.getString(2), w.toLong, h.toLong, n, sum, sum.toDouble / n)
-      }
-    }(enc)
-  }
+    * integer pixel features, routed through [[decodeFeatures]] so the
+    * C8 entry and any richer feature set share ONE decode code path.
+    * Dimensions come from the DECODED image, not the metadata — the
+    * decode is load-bearing. */
+  def pipeline(documents: DataFrame): DataFrame =
+    decodeFeatures(
+      mediaFrame(documents)
+        .select(col("doc_id"), col("content"), col("meta.format").as("format")),
+      Seq(PixelStats))
 
   def pipeline(spark: SparkSession, dir: String): DataFrame =
     pipeline(Tables(spark, dir, "documents"))
+
+  /** The fused multi-feature entry (C8b): stats + contrast range +
+    * intensity histogram from ONE decode per row — what a production
+    * curation pass runs, and the proof the fusion API composes. */
+  def features(documents: DataFrame): DataFrame =
+    decodeFeatures(
+      mediaFrame(documents)
+        .select(col("doc_id"), col("content"), col("meta.format").as("format")),
+      Seq(PixelStats, PixelRange, PixelHistogram))
+
+  def features(spark: SparkSession, dir: String): DataFrame =
+    features(Tables(spark, dir, "documents"))
 
   /** Oracle: what a CORRECT encode→decode roundtrip must yield, from
     * the generative rule — w = clamp(len,1,64), h = 4, pixel (x,y) =
@@ -182,9 +288,43 @@ object Multimodal {
        |FROM px""".stripMargin
   }
 
+  /** Oracle for the fused entry: the same generative rule materialized
+    * ONCE as a pixel list per doc, then every feature as a list
+    * aggregate over it — integer-exact throughout, mean as the raw
+    * IEEE quotient like [[pipelineSql]]. */
+  val featuresSql: String = {
+    val h = ImageCodec.Height
+    val mw = ImageCodec.MaxWidth
+    val hists = (0 until 4).map(b =>
+      s"CAST(len(list_filter(ps, p -> p // 64 = $b)) AS BIGINT) AS hist_$b")
+      .mkString(",\n  ")
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       |    GREATEST(LEAST(length(text), $mw), 1) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |px AS (SELECT doc_id, format, w,
+       |    list_transform(generate_series(0, w * $h - 1),
+       |      k -> ((CASE WHEN (k % w) < length(text)
+       |              THEN ascii(substr(text, (k % w) + 1, 1)) ELSE 0 END)
+       |            + (k // w)) % 256) AS ps
+       |  FROM d)
+       |SELECT doc_id, format,
+       |  CAST(w AS BIGINT) AS width,
+       |  CAST($h AS BIGINT) AS height,
+       |  CAST(w * $h AS BIGINT) AS n_pixels,
+       |  CAST(list_sum(ps) AS BIGINT) AS pixel_sum,
+       |  CAST(list_sum(ps) AS BIGINT) / CAST(w * $h AS BIGINT) AS mean_pixel,
+       |  CAST(list_min(ps) AS BIGINT) AS pixel_min,
+       |  CAST(list_max(ps) AS BIGINT) AS pixel_max,
+       |  $hists
+       |FROM px""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_pipeline" -> pipeline _)
+    "multimodal_pipeline" -> pipeline _,
+    "multimodal_features" -> features _)
 
   val oracles: Map[String, String] = Map(
-    "multimodal_pipeline" -> pipelineSql)
+    "multimodal_pipeline" -> pipelineSql,
+    "multimodal_features" -> featuresSql)
 }

@@ -237,5 +237,13 @@ class LibraryApiSpec extends SparkSpec {
     assert(out(1L) === (("bmp", 4L, 4L, 1600L, 100.0)))
     // empty text: w clamps to 1, pixels are (0+y)%256 → sum 6
     assert(out(2L) === (("png", 1L, 4L, 6L, 1.5)))
+    // fused extractors: ONE decode feeds stats + range + histogram.
+    // "abcd" pixels are (97..100)+(0..3) → [97, 103]: all 16 in
+    // bucket 1 ([64,128)); empty text's pixels are 0..3 → bucket 0
+    val fused = Multimodal.features(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(fused(1L).getLong(7) === 97L && fused(1L).getLong(8) === 103L)
+    assert((9 to 12).map(fused(1L).getLong) === Seq(0L, 16L, 0L, 0L))
+    assert((9 to 12).map(fused(2L).getLong) === Seq(4L, 0L, 0L, 0L))
   }
 }
