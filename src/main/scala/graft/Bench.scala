@@ -29,6 +29,17 @@ object Bench {
     // (±30% on dedup entries) makes single-run deltas meaningless, so
     // each entry reports its MEDIAN of `reps` runs
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // Warm mode (SPARK_GRAFT_BENCH_WARM=1): at big SFs the suite's
+    // working set exceeds the page cache, so interleaved reps each pay
+    // their own cold file reads and the median measures the I/O
+    // lottery, not compute (the r9 sf10 ngram trio: spreads 107-200s
+    // >= medians). In warm mode each entry runs ONE untimed-for-median
+    // pre-rep (recorded in `first` — it IS the cold-I/O-bearing run)
+    // and then its timed reps back-to-back while the cache is warm, so
+    // the median measures compute. Default (off) keeps interleaved
+    // rounds, which at cache-resident SFs sample independent suite
+    // pressure and converge better (the r7 lesson).
+    val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
     var failed = 0
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -38,10 +49,14 @@ object Bench {
     // how four consecutive rounds chased ±30% phantom regressions on
     // entries with no code change. Spreading an entry's reps across the
     // whole suite duration samples independent conditions, so the
-    // median converges on the entry's real cost.
+    // median converges on the entry's real cost. (Overridden by warm
+    // mode above, where per-entry back-to-back is the point.)
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 1 to reps; (name, fn) <- entries) {
+    // cold pre-rep timings per entry (warm mode only); negative = the
+    // pre-rep failed, matching the `queries`/`first` sign convention
+    val coldPre = scala.collection.mutable.Map.empty[String, Double]
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // snapshot the persistent-RDD ids alive BEFORE the entry so the
       // post-entry cleanup releases only what THIS entry leaked — a
       // blanket unpersist would also destroy any pre-existing
@@ -57,7 +72,6 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      samples(name) = samples(name) :+ (if (ok) sec else -sec)
       // release the entry's leaked checkpoint blocks so entries don't
       // inflate each other's timings — measured: ngram 2.5s solo vs
       // 4.8s late in a full suite run, q1's sf1 scan 1.3-2.3s solo vs
@@ -68,6 +82,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
           if (!preexisting.contains(id)) rdd.unpersist(blocking = true) }
+      if (ok) sec else -sec
+    }
+    if (warm) {
+      for ((name, fn) <- entries) {
+        coldPre(name) = runOnce(name, fn)
+        for (_ <- 1 to reps) samples(name) = samples(name) :+ runOnce(name, fn)
+      }
+    } else {
+      for (_ <- 1 to reps; (name, fn) <- entries)
+        samples(name) = samples(name) :+ runOnce(name, fn)
     }
     val results = entries.map { case (name, _) =>
       val times = samples(name)
@@ -93,23 +117,29 @@ object Bench {
       val good = samples(name).filter(_ > 0)
       "\"" + name + "\":" + (if (good.size >= 2) good.max - good.min else 0.0)
     }.mkString("{", ",", "}")
-    // rep-1 timing per entry (samples append in rep order, so .head is
-    // the chronologically-first run): on a cold page cache this is the
-    // I/O-bearing rep, so first-vs-median separates disk cost from
+    // chronologically-first run per entry: on a cold page cache this is
+    // the I/O-bearing rep, so first-vs-median separates disk cost from
     // compute mechanically — the r8 q1-at-sf3 lesson (68.7s median
-    // dominated by cold reads of a 552 MB file; solo-warm 4.9s)
+    // dominated by cold reads of a 552 MB file; solo-warm 4.9s). In
+    // warm mode the untimed cold pre-rep IS the first run. SIGN
+    // CONVENTION (same as `queries`): a NEGATIVE value means that run
+    // FAILED and the magnitude is its wall time — downstream ratio math
+    // (e.g. cold-I/O share = first − median) must filter values <= 0.
     val firstRep = entries.map { case (name, _) =>
-      "\"" + name + "\":" + samples(name).head
+      "\"" + name + "\":" + coldPre.getOrElse(name, samples(name).head)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
     val bSuite = results.collect { case (k, v) if k.startsWith("q") && v > 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"first":$firstRep,"b_suite_total":$bSuite,"failed":$failed,"reps":$reps,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"first":$firstRep,"b_suite_total":$bSuite,"failed":$failed,"reps":$reps,"warm":${if (warm) 1 else 0},"sf":"$sfDir"}"""
     println(json)
     // ALSO write the artifact to a file: the driver captures the log
     // tail, and r8's capture truncated mid-JSON — readers then mistook
-    // the spread map for the medians. A file can't be cut by a tail.
+    // the spread map for the medians (and r9's tail ended on the
+    // `first` map — cold-rep times read as medians). The default path
+    // is the TRACKED repo-root BENCH_local.json, not target/ (which is
+    // gitignored — r9's file-write fix wrote medians nobody could see).
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json"))
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()

@@ -158,7 +158,12 @@ object Multimodal {
   }
 
   /** Four equal-width intensity buckets over [0, 256) — the brightness
-    * profile a curation filter thresholds on. */
+    * profile a curation filter thresholds on. Bucket edges assume 8-bit
+    * samples; deeper rasters (e.g. 16-bit grayscale PNG, samples up to
+    * 65535) are clamped into the top bucket rather than indexing out of
+    * bounds — decodeFeatures accepts any ImageIO-readable payload, so
+    * the general surface must not throw on depths the generated corpus
+    * doesn't exercise. */
   object PixelHistogram extends ImageFeature {
     val fields = (0 until 4).map(b =>
       StructField(s"hist_$b", LongType, nullable = false))
@@ -169,7 +174,7 @@ object Multimodal {
       while (y < img.getHeight) {
         var x = 0
         while (x < img.getWidth) {
-          counts(raster.getSample(x, y, 0) / 64) += 1
+          counts(math.min(raster.getSample(x, y, 0) / 64, 3)) += 1
           x += 1
         }
         y += 1
