@@ -649,13 +649,157 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  // -------------------------------------------------------------- C18c
+  /** Per-list residual IVF-PQ — the production refinement [[ivfPqResidual]]
+    * documents: each inverted list trains its OWN codebooks on its own
+    * residuals (FAISS-style `by_residual` with per-list quantizers),
+    * so a list whose residual cloud is tight spends all 16 codewords on
+    * its local detail instead of sharing them with every other list's
+    * geometry. The deterministic "training" sample per list is the
+    * list's [[PqCodes]] smallest vec_ids — selected with
+    * [[graft.functions.TopKAgg]] (map-side partial top-k per list, no
+    * corpus-wide window sort), so codebook selection ships at most
+    * M×K rows per map task. Lists smaller than K train fewer codewords;
+    * the ADC table indexing derives its stride from the table length
+    * (`size(dt)/M`), so short codebooks index correctly instead of
+    * assuming a fixed K. Identical (d, j) tie-breaks and m-ordered fold
+    * keep the exact algorithm-parity oracle ([[ivfPqPerListSql]]).
+    *
+    * Scale shape: identical to [[ivfPqResidual]] plus one broadcast of
+    * the (k·M·K)-row codebook frame; encode and the ADC scan join on
+    * the list id, so every join stays broadcast and the scan still
+    * touches nprobe/k of the corpus. */
+  def ivfPqPerList(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val cents = ivfCents(c)
+    val assigned = ivfAssign(c, cents)
+    val resid = assigned.join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"), vecSub(col("e"), col("ce")).as("e"), col("cid"))
+    // per-list codeword seeds: the PqCodes smallest vec_ids of each
+    // list, ranked — j is the rank, matching the oracle's row_number
+    val seeds = resid.groupBy(col("cid"))
+      .agg(topK(-col("vec_id").cast("double"), col("vec_id"), PqCodes).as("tk"))
+      .select(col("cid"), posexplode(col("tk").getField("id")))
+      .select(col("cid"), col("pos").cast("int").as("j"), col("col").as("vec_id"))
+    val cw = resid.join(broadcast(seeds), Seq("cid", "vec_id"))
+      .select(col("cid"), col("j"),
+        explode(sequence(lit(0), lit(PqSubSpaces - 1))).as("m"), col("e"))
+      .select(col("cid"), col("m"), col("j"),
+        slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("cwv"))
+    // encode against the vector's OWN list's codebook (join on cid)
+    val codes = resid.join(broadcast(cw), Seq("cid"))
+      .select(col("cid"), col("vec_id"), col("m"), col("j"),
+        l2(slice(col("e"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cwv")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("cid")).as("cid"),
+        array((0 until PqSubSpaces).map(mm =>
+          min(when(col("m") === mm, struct(col("d"), col("j"))))
+            .getField("j")): _*).as("codes"))
+    // per-(query, probed list) ADC table against THAT list's codebook
+    val dtab = ivfProbes(c, cents)
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("q_id"), col("cid"), vecSub(col("qe"), col("ce")).as("qr"))
+      .join(broadcast(cw), Seq("cid"))
+      .select(col("q_id"), col("cid"), col("m"), col("j"),
+        l2(slice(col("qr"), col("m") * PqSubDim + 1, lit(PqSubDim)), col("cwv")).as("d"))
+      .groupBy(col("q_id"), col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("m"), col("j"), col("d")))),
+        x => x.getField("d")).as("dt"))
+    // m-major lookup with the stride DERIVED from the table (lists
+    // smaller than PqCodes train fewer codewords); Column `/` is double
+    // division — cast back, the quotient is exact (size = M·K_list)
+    val stride = (size(col("dt")) / PqSubSpaces).cast("int")
+    val adcSumPerList = (0 until PqSubSpaces).map(mm =>
+      element_at(col("dt"),
+        element_at(col("codes"), mm + 1) + lit(mm) * stride + 1)).reduce(_ + _)
+    val scored = codes.join(broadcast(dtab), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adcSumPerList.as("ad"))
+    val qf = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    adcShortlistRerank(c, scored, qf)
+  }
+
+  def ivfPqPerList(spark: SparkSession, dir: String): DataFrame =
+    ivfPqPerList(Tables(spark, dir, "embeddings"))
+
+  /** Algorithm-parity oracle for C18c: [[ivfPqResidualSql]] with the
+    * shared-codebook CTE replaced by a per-list one (rank-by-vec_id
+    * seeds per list), encode and ADC joining on the list id — identical
+    * fold order and (d, j) tie-breaks. The adt join on (m, j) is count-
+    * agnostic, so short codebooks need no special casing here. */
+  val ivfPqPerListSql: String = {
+    val fullL2 = (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, $Dim), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    val subL2 = (vec: String) =>
+      s"""list_reduce(list_transform(generate_series(1, $PqSubDim),
+         |      i -> ($vec[c.m*$PqSubDim+i]-c.cwv[i])*($vec[c.m*$PqSubDim+i]-c.cwv[i])),
+         |      (x,y) -> x+y)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
+       |ad0 AS (SELECT v.vec_id, c.cid, ${fullL2("v.e", "c.ce")} AS d
+       |        FROM v CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+       |    FROM ad0) WHERE rn = 1),
+       |rv AS (SELECT a.vec_id, a.cid,
+       |    list_transform(generate_series(1, $Dim), i -> v.e[i] - ct.ce[i]) AS r
+       |  FROM assigned a JOIN v ON a.vec_id = v.vec_id JOIN cents ct ON a.cid = ct.cid),
+       |cwseed AS (SELECT cid, vec_id, CAST(rn - 1 AS INT) AS j FROM (
+       |    SELECT cid, vec_id, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+       |    FROM rv) WHERE rn <= $PqCodes),
+       |cw AS (SELECT s.cid, m, s.j,
+       |    rv.r[(m*$PqSubDim+1):(m*$PqSubDim+$PqSubDim)] AS cwv
+       |  FROM cwseed s JOIN rv ON s.vec_id = rv.vec_id
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${PqSubSpaces - 1})) AS m)),
+       |encd AS (SELECT rv.vec_id, c.m, c.j, ${subL2("rv.r")} AS d
+       |  FROM rv JOIN cw c ON rv.cid = c.cid),
+       |enc AS (SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+       |    FROM encd) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < $NumQueries),
+       |qd AS (SELECT q.q_id, c.cid, ${fullL2("q.qe", "c.ce")} AS d
+       |       FROM q CROSS JOIN cents c),
+       |probes AS (SELECT q_id, cid FROM (
+       |    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+       |    FROM qd) WHERE rn <= $IvfProbe),
+       |qrv AS (SELECT p.q_id, p.cid,
+       |    list_transform(generate_series(1, $Dim), i -> q.qe[i] - ct.ce[i]) AS qr
+       |  FROM probes p JOIN q ON p.q_id = q.q_id JOIN cents ct ON p.cid = ct.cid),
+       |dt AS (SELECT qrv.q_id, qrv.cid, c.m, c.j, ${subL2("qrv.qr")} AS d
+       |  FROM qrv JOIN cw c ON qrv.cid = c.cid),
+       |adt AS (SELECT dt.q_id, enc.vec_id,
+       |    list_reduce(list(dt.d ORDER BY dt.m), (x,y) -> x+y) AS ad
+       |  FROM enc
+       |  JOIN assigned a ON enc.vec_id = a.vec_id
+       |  JOIN dt ON dt.cid = a.cid AND enc.m = dt.m AND enc.j = dt.j
+       |  WHERE enc.vec_id <> dt.q_id
+       |  GROUP BY dt.q_id, enc.vec_id),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rn
+       |    FROM adt) WHERE rn <= $PqShortlist),
+       |scored AS (SELECT s.q_id, s.vec_id,
+       |    list_inner_product(q.qe, v.e) /
+       |      (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(v.e, v.e))) AS cos
+       |  FROM short s JOIN q ON s.q_id = q.q_id JOIN v ON s.vec_id = v.vec_id)
+       |SELECT q_id, nn_rank, vec_id, cos AS cosine FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
     "ann_ivf" -> ivf _,
     "ann_pq" -> pq _,
     "ann_ivfpq" -> ivfPq _,
-    "ann_ivfpq_residual" -> ivfPqResidual _)
+    "ann_ivfpq_residual" -> ivfPqResidual _,
+    "ann_ivfpq_perlist" -> ivfPqPerList _)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> bruteforceSql,
@@ -663,5 +807,6 @@ object Ann {
     "ann_ivf" -> ivfSql,
     "ann_pq" -> pqSql,
     "ann_ivfpq" -> ivfPqSql,
-    "ann_ivfpq_residual" -> ivfPqResidualSql)
+    "ann_ivfpq_residual" -> ivfPqResidualSql,
+    "ann_ivfpq_perlist" -> ivfPqPerListSql)
 }

@@ -212,6 +212,18 @@ class LibraryApiSpec extends SparkSpec {
     val resRecall = (residual intersect truth).size
     assert(resRecall >= rawRecall,
       s"residual encoding recall $resRecall must be >= raw $rawRecall")
+    // C18c: per-list codebooks spend the same index bytes on each
+    // list's LOCAL residual geometry — on this fixture (~50 vectors,
+    // hence full 16-codeword books, per list) that must not lose the
+    // planted twins and must at least match the shared-codebook recall
+    val perlist = hits(Ann.ivfPqPerList(df))
+    (0 until 5).foreach { q =>
+      assert(perlist.contains((q.toLong, 400L + q)),
+        s"query $q must recover its twin through per-list codebooks")
+    }
+    val perlistRecall = (perlist intersect truth).size
+    assert(perlistRecall >= resRecall,
+      s"per-list recall $perlistRecall must be >= shared-codebook $resRecall")
   }
 
   test("Multimodal round-trips REAL PNG/BMP payloads and the decode is load-bearing") {
