@@ -792,6 +792,60 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  // ------------------------------------------------------ recall curve
+  /** Recall@k of every quantized ANN variant against the exact
+    * brute-force ground truth, as INTEGER hit counts per (method,
+    * query) — the number a user tuning the family actually reads. All
+    * methods spend the same index bytes (M=8 codes/vector), so the
+    * rows compare encoding quality alone: pq (no list restriction) vs
+    * ivfpq (raw codes) vs ivfpq_residual (shared residual codebooks)
+    * vs ivfpq_perlist (per-list residual codebooks). Counts, not
+    * floats: the overlap of two deterministic top-k sets is exact on
+    * both engines, so the entry is oracle-checkable without any
+    * cross-engine float tolerance. A (method, query) with zero overlap
+    * emits no row on either engine (inner-join semantics, identical).
+    *
+    * Scale shape: a union of the member pipelines (each already
+    * broadcast-only, audited) followed by a broadcast join on the
+    * (queries × k)-row truth set — the comparison adds no fact-scale
+    * work beyond running the members. */
+  def recallCurve(embeddings: DataFrame): DataFrame = {
+    val truth = bruteforce(embeddings).select(col("q_id"), col("vec_id"))
+    val members = Seq(
+      "ann_pq" -> pq(embeddings),
+      "ann_ivfpq" -> ivfPq(embeddings),
+      "ann_ivfpq_residual" -> ivfPqResidual(embeddings),
+      "ann_ivfpq_perlist" -> ivfPqPerList(embeddings))
+    members.map { case (name, res) =>
+      res.select(col("q_id"), col("vec_id"))
+        .join(broadcast(truth), Seq("q_id", "vec_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("q_id"), col("hits"))
+    }.reduce(_ unionByName _).orderBy(col("method"), col("q_id"))
+  }
+
+  def recallCurve(spark: SparkSession, dir: String): DataFrame =
+    recallCurve(Tables(spark, dir, "embeddings"))
+
+  /** Oracle for the recall curve: each member's algorithm-parity SQL
+    * nested as a subquery, inner-joined to the brute-force SQL on
+    * (q_id, vec_id), counts grouped per query — the same integer
+    * overlap the Spark side computes. */
+  val recallCurveSql: String = {
+    val members = Seq(
+      "ann_pq" -> pqSql,
+      "ann_ivfpq" -> ivfPqSql,
+      "ann_ivfpq_residual" -> ivfPqResidualSql,
+      "ann_ivfpq_perlist" -> ivfPqPerListSql)
+    members.map { case (name, sql) =>
+      s"""SELECT '$name' AS method, m.q_id, CAST(count(*) AS BIGINT) AS hits
+         |FROM ($sql) m JOIN ($bruteforceSql) t
+         |  ON m.q_id = t.q_id AND m.vec_id = t.vec_id
+         |GROUP BY m.q_id""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY method, q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
@@ -799,7 +853,8 @@ object Ann {
     "ann_pq" -> pq _,
     "ann_ivfpq" -> ivfPq _,
     "ann_ivfpq_residual" -> ivfPqResidual _,
-    "ann_ivfpq_perlist" -> ivfPqPerList _)
+    "ann_ivfpq_perlist" -> ivfPqPerList _,
+    "ann_recall_curve" -> recallCurve _)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" -> bruteforceSql,
@@ -808,5 +863,6 @@ object Ann {
     "ann_pq" -> pqSql,
     "ann_ivfpq" -> ivfPqSql,
     "ann_ivfpq_residual" -> ivfPqResidualSql,
-    "ann_ivfpq_perlist" -> ivfPqPerListSql)
+    "ann_ivfpq_perlist" -> ivfPqPerListSql,
+    "ann_recall_curve" -> recallCurveSql)
 }
