@@ -637,11 +637,17 @@ object PartialAgg {
     * split's group cardinality — a near-unique group key would
     * otherwise make the whole split's projection resident at once
     * (boxed keys + an Acc per group), which is WORSE peak memory than
-    * streaming the raw split. Past the cap, rows with a NEW key stream
-    * through immediately as singleton partial rows (rows whose key is
-    * already mapped keep combining): Spark's final aggregation merges
-    * however many partials a key produced, so the result is identical
-    * and only the map-side-combine benefit degrades. The returned
+    * streaming the raw split. Past the cap, rows with a NEW key go
+    * through a SECONDARY run map (also `maxGroups`-bounded, so peak
+    * memory is 2×cap accumulators): same-key overflow rows keep
+    * combining there, and when the run fills it flushes as merged
+    * partial rows and starts a new run (r10 — the r9 form streamed
+    * every new key as a singleton partial, so an adversarial key order
+    * that cycled a few hot keys after the cap degraded to one wire row
+    * per input row; sort-run merging keeps the wire volume at
+    * O(distinct keys) per run window instead). Spark's final
+    * aggregation merges however many partials a key produced, so the
+    * result is identical under any flush pattern. The returned
     * iterator is LAZY over `rows` — the caller keeps the reader open
     * until it is exhausted or closed. */
   def computeGrouped(rows: Iterator[InternalRow], calls: Seq[AggCall],
@@ -653,8 +659,14 @@ object PartialAgg {
     val ords = ordsFor(types)
     val n = calls.length
     val groups = new java.util.LinkedHashMap[Seq[Any], Acc]()
+    val run = new java.util.LinkedHashMap[Seq[Any], Acc]()
     def row(key: Seq[Any], acc: Acc): InternalRow =
       new GenericInternalRow(key.toArray[Any] ++ result(acc, calls, types))
+    def drain(m: java.util.LinkedHashMap[Seq[Any], Acc]): Vector[InternalRow] = {
+      val out = m.entrySet().iterator().asScala
+        .map(e => row(e.getKey, e.getValue)).toVector
+      m.clear(); out
+    }
     val overflow = rows.flatMap { r =>
       val key: Seq[Any] = keyIdx.zip(keyTypes).map {
         case (i, t) => if (r.isNullAt(i)) null else r.get(i, t)
@@ -666,15 +678,22 @@ object PartialAgg {
         val acc = new Acc(n); groups.put(key, acc)
         update(acc, r, calls, fieldIdx, types, ords); Nil
       } else {
-        // cap reached: this key bypasses the map as its own partial
-        val acc = new Acc(n)
-        update(acc, r, calls, fieldIdx, types, ords)
-        Seq(row(key, acc))
+        // primary cap reached: combine into the bounded secondary run;
+        // flush the run as merged partials only when IT fills
+        val inRun = run.get(key)
+        if (inRun != null) {
+          update(inRun, r, calls, fieldIdx, types, ords); Nil
+        } else {
+          val flushed = if (run.size < maxGroups) Vector.empty else drain(run)
+          val acc = new Acc(n); run.put(key, acc)
+          update(acc, r, calls, fieldIdx, types, ords)
+          flushed
+        }
       }
     }
-    // `++`'s right operand is evaluated only after `overflow` is
-    // exhausted, i.e. after every input row has been consumed — the
-    // map is complete by then
-    overflow ++ groups.entrySet().iterator().asScala.map(e => row(e.getKey, e.getValue))
+    // `++`'s right operand is BY-NAME: each drain below runs only after
+    // everything to its left is exhausted, i.e. after every input row
+    // has been consumed — both maps are complete by then
+    overflow ++ drain(run).iterator ++ drain(groups).iterator
   }
 }

@@ -394,6 +394,39 @@ class GraftArrowSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("grouped pushdown overflow run-merges: adversarial key order stays sublinear (r10)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.LongType
+    val calls = Seq(AggCall("count_star", ""), AggCall("sum", "v"))
+    def run(rows: Iterator[InternalRow], cap: Int) = PartialAgg.computeGrouped(
+      rows, calls, Seq(-1, 1), Seq(LongType, LongType),
+      Seq(0), Seq(LongType), cap).toVector
+    def merged(v: Vector[InternalRow]) = v.groupBy(_.getLong(0)).view.mapValues(rs =>
+      (rs.map(_.getLong(1)).sum, rs.map(_.getLong(2)).sum)).toMap
+
+    // the r9 degenerate case: primary (cap 2) fills on keys 1/2, then
+    // TWO hot keys alternate 100 times — the r9 singleton path emitted
+    // one wire row per input row (100); the bounded secondary run
+    // combines both hot keys, so the wire carries 4 rows total
+    val adversarial = Iterator(InternalRow(1L, 1L), InternalRow(2L, 1L)) ++
+      Iterator.tabulate(100)(i => InternalRow(3L + (i % 2), 1L))
+    val out = run(adversarial, 2)
+    assert(out.size === 4,
+      s"2 primary + 2 run-merged rows expected, got ${out.size} — overflow must combine")
+    assert(merged(out) === Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 1L)), 3L -> ((50L, 50L)), 4L -> ((50L, 50L))))
+
+    // past 2×cap distinct overflow keys the run MUST flush (memory
+    // bound) — exactness holds under any flush pattern, and the wire
+    // volume stays below one-row-per-input-row even here
+    val wide = Iterator.tabulate(300)(i => InternalRow((i % 10).toLong, 1L))
+    val capped = run(wide, 2)
+    val uncapped = run(Iterator.tabulate(300)(i => InternalRow((i % 10).toLong, 1L)), Int.MaxValue)
+    assert(merged(capped) === merged(uncapped))
+    assert(capped.size < 300,
+      s"wire rows ${capped.size} must stay below input rows under flushing")
+  }
+
   test("filter + aggregation pushdown compose") {
     val df = arrow("lineitem").filter(col("l_quantity") < 10)
       .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
