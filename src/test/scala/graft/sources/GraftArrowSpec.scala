@@ -15,6 +15,10 @@ class GraftArrowSpec extends SparkSpec {
   private def arrow(table: String) = GraftArrow.read(spark, dir, table)
   private def plain(table: String) = spark.read.parquet(s"$dir/$table.parquet")
 
+  // repo-owned TIMESTAMP(NANOS) table (driver testdata is micros since
+  // r10 — see NanosFixture scaladoc); one write shared across tests
+  private lazy val nanosDir = NanosFixture.write()
+
   test("full scan parity with the native parquet reader (all tables)") {
     Seq("region", "nation", "customer", "orders", "documents", "embeddings")
       .foreach { t =>
@@ -30,13 +34,19 @@ class GraftArrowSpec extends SparkSpec {
   test("reads TIMESTAMP(NANOS) parquet that Spark's native reader rejects") {
     // the reference engine reads nanos timestamps; Spark's parquet
     // reader throws PARQUET_TYPE_ILLEGAL — graft-arrow handles them
-    intercept[Exception] { plain("events").collect() }
-    val ev = arrow("events")
+    intercept[Exception] {
+      spark.read.parquet(s"$nanosDir/events_ns.parquet").collect()
+    }
+    val ev = GraftArrow.read(spark, nanosDir, "events_ns")
     import org.apache.spark.sql.types.TimestampNTZType
     assert(ev.schema("ts").dataType === TimestampNTZType)
-    assert(ev.count() === 1000)
+    assert(ev.count() === NanosFixture.Rows)
     val mx = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
     assert(mx.getYear >= 2020 && mx.getYear <= 2030, s"sane timestamp range, got $mx")
+    // the micros rescale truncates sub-microsecond nanos (ts of row i
+    // carries i % 1000 nanos) — values must land on exact micros
+    assert(ev.select(col("ts")).limit(3).collect()
+      .forall(_.getAs[java.time.LocalDateTime](0).getNano % 1000 === 0))
   }
 
   test("projection pushdown reaches the scan (A2)") {
@@ -74,15 +84,21 @@ class GraftArrowSpec extends SparkSpec {
     assert(ParquetFilters.translatable(
       GreaterThanOrEqual("l_shipdate", java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
       schemaOf("lineitem")), "micros timestamp filter must translate")
+    def nanosSchema = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$nanosDir/events_ns.parquet"), new Configuration()))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
     assert(ParquetFilters.translatable(
       GreaterThanOrEqual("ts", java.time.LocalDateTime.of(2024, 1, 1, 0, 0)),
-      schemaOf("events")), "nanos timestamp filter must translate")
+      nanosSchema), "nanos timestamp filter must translate")
     // correctness through the source, micros column
     val cut = lit("1996-06-01").cast("timestamp")
     assert(arrow("lineitem").filter(col("l_shipdate") >= cut).count() ===
       plain("lineitem").filter(col("l_shipdate") >= cut).count())
-    // nanos column (events is graft-arrow-only): range filter vs manual
-    val ev = arrow("events").select(col("event_id"), col("ts"))
+    // nanos column (fixture is graft-arrow-only): range filter vs manual
+    val ev = GraftArrow.read(spark, nanosDir, "events_ns")
+      .select(col("event_id"), col("ts"))
     val evCut = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0).minusDays(1)
     val filtered = ev.filter(col("ts") > lit(evCut)).count()
     val expected = ev.collect()
@@ -123,7 +139,7 @@ class GraftArrowSpec extends SparkSpec {
       "whole-ms bound on MILLIS column is lossless and must translate")
     // NANOS column: us*1000 overflows Long past ~2262 — the negative
     // bound would silently exclude every row
-    val eventsSchema = schemaOf(s"$dir/events.parquet")
+    val eventsSchema = schemaOf(s"$nanosDir/events_ns.parquet")
     assert(!ParquetFilters.translatable(
       GreaterThanOrEqual("ts", java.time.LocalDateTime.of(2300, 1, 1, 0, 0)),
       eventsSchema), "overflowing nanos bound must decline")
