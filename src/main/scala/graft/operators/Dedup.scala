@@ -373,58 +373,157 @@ object Dedup {
     ngramJaccardPrefix(docs(spark, dir))
 
   /** Regime AUTO-dispatcher for exact n-gram Jaccard: probes the gram
-    * document-frequency distribution and picks the plan the corpus
-    * favors — the count-based co-gram join ([[ngramJaccard]]) when
-    * shared grams are rare (near-dup-dense corpora), the
-    * prefix+positional variant ([[ngramJaccardPrefix]]) when hot grams
-    * dominate (boilerplate crawls), where the co-gram join's Σdf²
-    * blow-up is the scale killer. Both plans are exact and
+    * document-frequency distribution, estimates BOTH plans' join-output
+    * volumes, and picks the smaller — the count-based co-gram join
+    * ([[ngramJaccard]]) when shared grams are rare (near-dup-dense
+    * corpora at permissive thresholds), the prefix+positional variant
+    * ([[ngramJaccardPrefix]]) when hot grams dominate (boilerplate
+    * crawls) or the threshold is high (prefixes shrink as (1−t)·n, so
+    * prefix's candidate mass collapses while the co-gram join's Σdf²
+    * output is threshold-blind). Both plans are exact and
     * output-identical, so the choice is pure optimization — the
-    * statistics-then-plan step a SQL optimizer runs, expressed as one
-    * bounded single-row aggregate (join amplification Σdf²/Σdf over
-    * df≥2 grams; the co-gram join emits Σdf(df−1)/2 rows, so
-    * amplification ≈ rows per shared-gram occurrence). The probe scans
-    * the corpus once — at 100 TB that is ANALYZE, paid once and
-    * amortized over the dedup it steers. Threshold ≥ 0.5 (the count
-    * path's published primitive; its ≥0.5 output post-filters
+    * statistics-then-plan step a SQL optimizer runs. The probe scans
+    * the corpus twice (one narrow no-shuffle mass aggregate, one
+    * full-gram-mass groupBy) — at 100 TB that is ANALYZE, paid once
+    * and amortized over the dedup it steers. Threshold ≥ 0.5 (the
+    * count path's published primitive; its ≥0.5 output post-filters
     * losslessly to any higher t).
+    *
+    * Cost model (r11 — replaces a fixed Σdf²/Σdf amplification cutoff
+    * that ignored `threshold` and, at t=0.8, dispatched the measured-2×
+    * -slower count plan on the bench corpus):
+    *  - count plan's co-gram join emits EXACTLY
+    *    V_count = Σ_{df≥2} df(df−1)/2 = (Σdf² − Σdf)/2 rows;
+    *  - prefix plan's candidate join input is, per doc,
+    *    max(0, p − u) hot grams (p = n − ⌈t·n⌉ + 1 prefix slots, u
+    *    unique grams, which sort first and never join). Globally that
+    *    is ≈ H = max(0, Σp − Σu) occurrences — Σu = mass − Σdf from
+    *    the same two probe aggregates (a Jensen-style underestimate
+    *    when corpora mix all-unique docs with near-dup docs; measured
+    *    within 4% of exact on the bench corpus, where unique mass is
+    *    tiny);
+    *  - each doc takes its RAREST hot grams, so H is spent over the df
+    *    distribution ascending: V_prefix ≈ Σ C(df,2) over the rarest
+    *    grams whose occurrence mass fits in H (fully-consumed
+    *    power-of-two df buckets contribute their exact pair sums; the
+    *    marginal bucket scales by fraction² — measured 0.74-0.90× of
+    *    the exact prefix-candidate count at sf0.1).
+    * A prefix candidate costs more than a count row (group + two
+    * doc-keyed verify joins + array_intersect vs one counted long), so
+    * prefix wins only when `prefixCostFactor`·V_prefix < V_count. The
+    * factor is measurement-calibrated (see BENCH_r11_scale.json's
+    * ngram probe): at t=0.8 the bench corpus reads V_prefix ≈ 0.1·
+    * V_count and prefix measures ~2× faster; at t=0.5 V_prefix ≈
+    * 0.33·V_count and count measures faster — K = 5 separates the two
+    * regimes with margin on both sides. Forcing values used by specs:
+    * 0.0 dispatches prefix whenever the count plan would emit anything
+    * at all; a huge value always dispatches count.
     *
     * What is (and is NOT) persisted: the probe materializes only the
     * SMALL `(gram, df≥2)` aggregate — two longs per genuinely-shared
     * gram — and hands that same frame to the dispatched plan as its
     * hot-gram input, so the probe's full-gram-mass shuffle is spent
-    * once and reused, never discarded. The per-doc shingle arrays are
-    * deliberately NOT persisted across the probe: r8 cached them
-    * MEMORY_AND_DISK to share one tokenization, and at sf10 the
-    * arrays overflowed local storage memory and the spill thrash cost
-    * 2.4× the dispatched plan itself (207s vs 86s) — tokenization is
-    * a cheap narrow map, re-run by the plan's own scoped persist; the
-    * expensive global aggregate is the thing worth keeping. */
+    * once and reused, never discarded. The driver sees only bounded
+    * data: two single-row aggregates and a ≤64-row bucket histogram.
+    * The per-doc shingle arrays are deliberately NOT persisted across
+    * the probe: r8 cached them MEMORY_AND_DISK to share one
+    * tokenization, and at sf10 the arrays overflowed local storage
+    * memory and the spill thrash cost 2.4× the dispatched plan itself
+    * (207s vs 86s) — tokenization is a cheap narrow map, re-run by the
+    * plan's own scoped persist; the expensive global aggregate is the
+    * thing worth keeping. */
   def ngramJaccardAuto(documents: DataFrame, threshold: Double = 0.5,
-                       amplificationCutoff: Double = 32.0): DataFrame = {
+                       prefixCostFactor: Double = 5.0): DataFrame = {
     require(threshold >= 0.5 && threshold <= 1,
       s"auto dispatch supports thresholds in [0.5, 1]: $threshold")
+    // narrow probe: total gram mass and prefix-slot mass — no shuffle,
+    // one scan, two longs out
+    val massRow = withShingles(documents)
+      .select(size(col("shingles")).cast("long").as("n"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("mass"),
+        coalesce(sum(col("n") - ceil(col("n") * lit(threshold)).cast("long") + 1),
+          lit(0L)).as("slots"))
+      .head()
     val hotDf = withShingles(documents)
       .select(explode(col("shingles")).as("gram"))
       .select(xxhash64(col("gram")).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df")).filter(col("df") >= 2)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dfStats = hotDf.agg(
-          coalesce(sum(col("df") * col("df")), lit(0L)).as("s2"),
-          coalesce(sum(col("df")), lit(0L)).as("s1"))
-        .head() // bounded: exactly one row of two longs
-      val amplification =
-        if (dfStats.getLong(1) == 0L) 0.0
-        else dfStats.getLong(0).toDouble / dfStats.getLong(1)
+      val stats = dispatchStats(hotDf, massRow.getLong(0), massRow.getLong(1))
       // both branches return an EAGERLY checkpoint-materialized frame
       // (the trailing filter reads checkpoint blocks, not hotDf's
       // lineage), so the probe cache is released on every path
-      if (amplification > amplificationCutoff)
+      if (stats.prefixWins(prefixCostFactor))
         ngramJaccardPrefixImpl(documents, threshold, Some(hotDf))
       else
         ngramJaccardImpl(documents, Some(hotDf)).filter(col("jaccard") >= threshold)
     } finally hotDf.unpersist()
+  }
+
+  /** The auto-dispatcher's decision inputs: both plans' estimated join
+    * output volumes. Exposed so specs (and operators debugging a
+    * dispatch choice in production) can interrogate the decision the
+    * probe would make without running either plan. */
+  final case class NgramDispatchStats(vCount: Double, vPrefix: Double) {
+    /** The dispatch rule: prefix iff K·max(V_prefix, 1) < V_count.
+      * max(·,1) keeps the forcing values total (K=1e18 must pick count
+      * even when the estimate rounds to zero candidates) and is noise
+      * against any real volume. */
+    def prefixWins(prefixCostFactor: Double): Boolean =
+      prefixCostFactor * math.max(vPrefix, 1.0) < vCount
+  }
+
+  /** Computes [[NgramDispatchStats]] from the persisted hot-gram frame
+    * plus the two narrow-scan totals. Driver-side data is bounded: one
+    * ≤64-row power-of-two df-bucket histogram (a raw per-df histogram
+    * is O(√Σdf) rows — collectable at test SFs, not at 100 TB). */
+  private def dispatchStats(hotDf: DataFrame, mass: Long, slots: Long): NgramDispatchStats = {
+    val buckets = hotDf
+      .groupBy(floor(log(2.0, col("df"))).as("b"))
+      .agg(sum(col("df")).as("m"), sum(col("df") * col("df")).as("m2"))
+      .orderBy(col("b"))
+      .collect()
+    val s1 = buckets.map(_.getLong(1)).sum
+    val s2 = buckets.map(_.getLong(2)).sum
+    // the count plan's co-gram join output, EXACT: Σ df(df−1)/2
+    val vCount = (s2 - s1) / 2.0
+    // prefix-candidate estimate: hot occurrence mass that fits in the
+    // prefix slots after unique grams (mass − s1 of them) fill first,
+    // spent over the df buckets rarest-first; fully-consumed buckets
+    // contribute their exact pair sums, the marginal one scales by
+    // fraction²
+    var rem = math.max(0L, slots - (mass - s1)).toDouble
+    var vPrefix = 0.0
+    buckets.foreach { r =>
+      val m = r.getLong(1).toDouble
+      val pairs = (r.getLong(2) - r.getLong(1)) / 2.0
+      if (rem >= m) { vPrefix += pairs; rem -= m }
+      else if (rem > 0) { vPrefix += pairs * (rem / m) * (rem / m); rem = 0 }
+    }
+    NgramDispatchStats(vCount, vPrefix)
+  }
+
+  /** Standalone probe: the decision [[ngramJaccardAuto]] would make for
+    * `documents` at `threshold`, without dispatching either plan. Runs
+    * the same two probe scans (narrow mass aggregate + hot-gram
+    * groupBy). */
+  def ngramDispatchStats(documents: DataFrame, threshold: Double): NgramDispatchStats = {
+    require(threshold >= 0.5 && threshold <= 1,
+      s"auto dispatch supports thresholds in [0.5, 1]: $threshold")
+    val massRow = withShingles(documents)
+      .select(size(col("shingles")).cast("long").as("n"))
+      .agg(
+        coalesce(sum(col("n")), lit(0L)).as("mass"),
+        coalesce(sum(col("n") - ceil(col("n") * lit(threshold)).cast("long") + 1),
+          lit(0L)).as("slots"))
+      .head()
+    val hotDf = withShingles(documents)
+      .select(explode(col("shingles")).as("gram"))
+      .select(xxhash64(col("gram")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    dispatchStats(hotDf, massRow.getLong(0), massRow.getLong(1))
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =

@@ -359,10 +359,12 @@ class DedupSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
-  test("auto dispatcher: both regimes exact, cutoff steers, boilerplate corpus trips the prefix path") {
+  test("auto dispatcher: both regimes exact, cost factor steers, boilerplate corpus trips the prefix path") {
     import spark.implicits._
     // boilerplate-heavy corpus: one 40-token block shared by 30 docs →
-    // df=30 grams dominate, amplification ≈ 30 ≫ near-dup corpora (~2)
+    // df=30 grams dominate; the count path's co-gram join would emit
+    // ~df²/2 rows per boilerplate gram while the prefix-candidate
+    // estimate stays an order of magnitude smaller
     def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i")
     val boiler = toks("bp", 40)
     val near = toks("nd", 40)
@@ -372,16 +374,53 @@ class DedupSpec extends SparkSpec {
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // forced through each regime: identical output
-    val viaPrefix = pairs(Dedup.ngramJaccardAuto(corpus, 0.5, amplificationCutoff = 0.0))
-    val viaCount = pairs(Dedup.ngramJaccardAuto(corpus, 0.5, amplificationCutoff = 1e18))
+    val viaPrefix = pairs(Dedup.ngramJaccardAuto(corpus, 0.5, prefixCostFactor = 0.0))
+    val viaCount = pairs(Dedup.ngramJaccardAuto(corpus, 0.5, prefixCostFactor = 1e18))
     assert(viaPrefix === viaCount)
     assert(viaPrefix.nonEmpty)
-    // the default cutoff must route this corpus to the prefix plan and
-    // still produce the same exact result
+    // the default cost factor must route this corpus to the prefix
+    // plan and still produce the same exact result
     assert(pairs(Dedup.ngramJaccardAuto(corpus)) === viaCount)
     // higher threshold post-filters losslessly on the count path too
-    val high = pairs(Dedup.ngramJaccardAuto(corpus, 0.8, amplificationCutoff = 1e18))
+    val high = pairs(Dedup.ngramJaccardAuto(corpus, 0.8, prefixCostFactor = 1e18))
     assert(high === viaCount.filter(_._3 >= 0.8))
+  }
+
+  test("auto dispatcher threshold-awareness: t=0.8 picks prefix, t=0.5 picks count on the bench corpus") {
+    // the r10 defect: a fixed amplification cutoff ignored `threshold`
+    // and dispatched the measured-2×-slower count plan at the entry's
+    // registered t=0.8. The volume estimator must be threshold-aware:
+    // prefixes shrink as (1−t)·n, so V_prefix collapses at high t
+    // while V_count is threshold-blind.
+    val docs = Tables(spark, sf("sf0.01"), "documents")
+    val at08 = Dedup.ngramDispatchStats(docs, 0.8)
+    val at05 = Dedup.ngramDispatchStats(docs, 0.5)
+    // V_count is a pure df-distribution statistic — identical across
+    // thresholds; V_prefix must shrink strictly as t rises
+    assert(at08.vCount === at05.vCount)
+    assert(at08.vPrefix <= at05.vPrefix)
+    // the registered entry's regime: at t=0.8 on the bench corpus the
+    // candidate estimate collapses far below the co-gram volume, so
+    // the default factor dispatches PREFIX — the r10 warm artifacts
+    // measured that plan ~2× faster than the count plan it used to pick
+    assert(at08.prefixWins(5.0),
+      s"t=0.8 must dispatch prefix: $at08")
+    // at sf0.1 the decision genuinely FLIPS with the threshold: the
+    // larger corpus's shared-gram mass makes t=0.5 prefixes half of
+    // every doc (V_prefix ≈ V_count/3, inside the 5× verify-cost
+    // factor) while t=0.8 prefixes hold a tenth of the volume
+    val big = Tables(spark, sf("sf0.1"), "documents")
+    val big08 = Dedup.ngramDispatchStats(big, 0.8)
+    val big05 = Dedup.ngramDispatchStats(big, 0.5)
+    assert(big08.prefixWins(5.0), s"sf0.1 t=0.8 must dispatch prefix: $big08")
+    assert(!big05.prefixWins(5.0), s"sf0.1 t=0.5 must dispatch count: $big05")
+    // both dispatches stay exact against the forced variants
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val auto08 = pairs(Dedup.ngramJaccardAuto(docs, 0.8))
+    assert(auto08 === pairs(Dedup.ngramJaccardAuto(docs, 0.8, prefixCostFactor = 0.0)))
+    assert(auto08 === pairs(Dedup.ngramJaccardAuto(docs, 0.8, prefixCostFactor = 1e18)))
+    assert(auto08.nonEmpty)
   }
 
   test("prefix variant at 0.8 equals the exact-verified LSH pair set (the registered entry's contract)") {
