@@ -280,13 +280,117 @@ object Text {
       |  CAST(sum(c*c) AS BIGINT) / (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS simpson
       |FROM c GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C21
+  /** Corpus-relative rarity scoring: each document scored against the
+    * GLOBAL unigram frequency table — the quality signal TTR/repetition
+    * cannot give (a doc can be locally diverse yet made of tokens the
+    * corpus has never seen: OCR noise, gibberish, wrong-language
+    * residue all spike rarity; boilerplate craters it). Per doc:
+    * occurrence-weighted corpus-frequency sum, its mean, the minimum
+    * (the rarest token present), and the hapax count (corpus-frequency
+    * exactly 1 — zero on the synthetic corpus, whose ~40-token
+    * vocabulary saturates; asserted non-vacuously on literal data in
+    * TextSpec).
+    *
+    * Plan (two-pass, the canonical corpus-statistic shape): pass 1
+    * aggregates (token, count) — output is VOCABULARY-sized, which is
+    * bounded (≈ millions of rows at 100 TB, megabytes after the
+    * count), so AQE turns the pass-2 join on `tok` into a broadcast
+    * join at scale; the doc-token explode streams map-side. Emitted
+    * ratios are raw IEEE quotients of exact integer operands —
+    * bit-stable cross-engine. Library form: any frame with `doc_id`,
+    * `text`. */
+  def rarity(documents: DataFrame): DataFrame = {
+    val tokens = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("ctok"))
+    tokens.join(freq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("ctok") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("ctok")).as("sum_tf"),
+        min(col("ctok")).as("min_tf"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_hapax"), col("sum_tf"),
+        col("min_tf"),
+        (col("n_hapax") / col("n_tokens")).as("hapax_ratio"),
+        (col("sum_tf") / col("n_tokens")).as("mean_tf"))
+  }
+
+  def rarity(spark: SparkSession, dir: String): DataFrame =
+    rarity(docs(spark, dir))
+
+  val raritySql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |f AS (SELECT tok, count(*) AS ctok FROM t GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN ctok = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(sum(ctok) AS BIGINT) AS sum_tf,
+      |  min(ctok) AS min_tf,
+      |  CAST(sum(CASE WHEN ctok = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS hapax_ratio,
+      |  CAST(sum(ctok) AS BIGINT) / count(*) AS mean_tf
+      |FROM t JOIN f USING (tok) GROUP BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- C22
+  /** PII scan + redaction over a string column: per-pattern match
+    * counts plus the text with every match masked — the pre-training
+    * compliance pass (emails, phone numbers, numeric IDs) run before a
+    * corpus ships. Pure per-row regex projection: no shuffle, no UDF,
+    * codegen'd `RLike`-family expressions, embarrassingly parallel at
+    * 100 TB.
+    *
+    * Patterns are kept to the syntax subset where Java regex (Spark)
+    * and RE2 (DuckDB) agree — character classes, bounded repetition,
+    * alternation; no backrefs/lookarounds (RE2 has neither). The
+    * registered entry scans `events.props` (the corpus's only
+    * digit-bearing free-text column — a JSON-ish log payload, exactly
+    * where stray PII lands in practice) for multi-digit runs; the
+    * email/phone patterns are asserted on literal PII in TextSpec
+    * because the synthetic corpus contains none (a match count that is
+    * provably 0 on the test tables would be a vacuous oracle). */
+  def piiScan(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame = {
+    // masking is sequential (most-specific pattern first) and each
+    // pattern is COUNTED on the text after its predecessors masked —
+    // an email's digits must not double-count as a numeric ID
+    val stages = patterns.scanLeft(col(textCol)) { case (c, (name, re)) =>
+      regexp_replace(c, re, s"<${name.toUpperCase}>")
+    }
+    val counts = patterns.zip(stages.init).map { case ((name, re), prev) =>
+      size(regexp_extract_all(prev, lit(re), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    df.select(col(idCol) +: counts :+ stages.last.as("redacted"): _*)
+  }
+
+  /** Patterns for the library form: email, phone-shaped digit groups,
+    * bare multi-digit runs (applied in that order — masking is
+    * sequential, so the most specific pattern must run first). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "[0-9]{2,3}-[0-9]{3}-[0-9]{3,4}(-[0-9]{3,4})?",
+    "num" -> "[0-9]{2,}")
+
+  def pii(spark: SparkSession, dir: String): DataFrame =
+    piiScan(Tables(spark, dir, "events"), "event_id", "props",
+      Seq("num" -> "[0-9]{2,}"))
+
+  val piiSql: String =
+    """SELECT event_id,
+      |  CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT) AS n_num,
+      |  regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS redacted
+      |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId _,
     "text_quality" -> quality _,
     "text_tokens" -> tokens _,
     "text_fingerprint" -> fingerprint _,
     "text_repetition" -> (repetition(_, _)),
-    "text_diversity" -> (diversity(_, _)))
+    "text_diversity" -> (diversity(_, _)),
+    "text_rarity" -> (rarity(_, _)),
+    "text_pii" -> (pii(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
@@ -294,5 +398,7 @@ object Text {
     "text_tokens" -> tokensSql,
     "text_fingerprint" -> fingerprintSql,
     "text_repetition" -> repetitionSql,
-    "text_diversity" -> diversitySql)
+    "text_diversity" -> diversitySql,
+    "text_rarity" -> raritySql,
+    "text_pii" -> piiSql)
 }
