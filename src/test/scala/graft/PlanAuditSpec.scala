@@ -44,6 +44,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_pii plans zero exchanges (pure per-row projection)") {
+    // the PII scan is a map-only compliance pass — a single Exchange
+    // anywhere means something (a repartition, an accidental
+    // aggregate) broke the embarrassingly-parallel contract that
+    // makes it free at 100 TB
+    val p = SparkEntry.queries("text_pii")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"text_pii shuffles:\n$p")
+  }
+
+  test("text_rarity's token-frequency join keeps the doc side un-sorted") {
+    // pass-1 (tok, count) is vocabulary-bounded; at sf0.001 the stats
+    // make it broadcast directly, and at any scale AQE does the same
+    // conversion post-aggregate — the doc-token explode must never be
+    // the sorted side of a merge join (a corpus-scale sort)
+    val p = SparkEntry.queries("text_rarity")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"text_rarity merge-joins:\n$p")
+  }
+
   test("q7's rank filter plans a partial top-k below the shuffle (WindowGroupLimit)") {
     // the rn<=3 predicate must sit directly above the rank Window so
     // InferWindowGroupLimit fires — measured 3.7x at sf1; at cluster
