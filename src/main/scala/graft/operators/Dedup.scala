@@ -1055,7 +1055,80 @@ object Dedup {
        |       a = min(b) AS is_canonical
        |FROM reach GROUP BY a""".stripMargin
 
+  // --------------------------------------------------------------- C23
+  /** Span-level duplication coverage — the substring-dedup signal (cf.
+    * the suffix-array substring dedup of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022): for each doc,
+    * the fraction of token POSITIONS covered by at least one
+    * `SpanTokens`-gram that also occurs in another document. Distinct
+    * from pairwise Jaccard (which scores doc PAIRS): this localizes
+    * duplication inside each doc, the number a filtering policy
+    * thresholds ("drop docs >50% duplicated span mass") and the exact
+    * declarative equivalent of the paper's suffix-array pass at span
+    * granularity k.
+    *
+    * Plan, stage by stage (100 TB shape): positional k-gram explode
+    * (corpus-token-sized map-side stream, the same mass any tokenizer
+    * pass moves); per-gram distinct-doc count (two-phase aggregate on
+    * gram — partial distinct map-side; per-gram key space, no hot
+    * keys beyond genuinely viral spans); equi-join of doc-grams to the
+    * df>1 gram set on gram (hash join — the duplicated-gram set is
+    * near-dup-mass-sized, NOT assumed broadcastable); coverage union
+    * via explode(pos..pos+k−1) + distinct — bounded by k × duplicated
+    * positions, skew-bounded per doc by doc length. No driver
+    * collection, no cartesian anywhere. Outputs are exact integers
+    * plus one raw IEEE quotient. */
+  private val SpanTokens = 8
+
+  def spanCoverage(documents: DataFrame): DataFrame = {
+    val n = SpanTokens
+    val tk = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = tk
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("toks"), i, lit(n)), " ").as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") > 1)
+      .select(col("gram"))
+    val covered = grams.join(dup, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup"))
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_dup").as("n_dup_positions"),
+        (col("n_dup") / col("n_tokens")).as("dup_coverage"))
+  }
+
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverage(docs(spark, dir))
+
+  val spanCoverageSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+${SpanTokens - 1}], ' ') AS gram
+       |      FROM tk, unnest(generate_series(1, len(toks) - ${SpanTokens - 1})) AS u(i)
+       |      WHERE len(toks) >= $SpanTokens),
+       |df AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+       |cov AS (SELECT DISTINCT g.doc_id, p.p
+       |        FROM g JOIN df USING (gram), unnest(generate_series(g.pos, g.pos + ${SpanTokens - 1})) AS p(p)),
+       |n AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+       |SELECT n.doc_id AS doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       |  COALESCE(c.n_dup, 0) AS n_dup_positions,
+       |  COALESCE(c.n_dup, 0) / CAST(n.n_tokens AS BIGINT) AS dup_coverage
+       |FROM n LEFT JOIN (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1) c
+       |  ON n.doc_id = c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_span_coverage" -> (spanCoverage(_, _)),
     "dedup_clusters" -> clusters _,
     // same data, same oracle, but forced through the distributed
     // min-label-propagation path — the 100 TB path gets its own
@@ -1093,6 +1166,7 @@ object Dedup {
         embeddingDedup(plantTwins(Tables(s, d, "embeddings")))))
 
   val oracles: Map[String, String] = Map(
+    "dedup_span_coverage" -> spanCoverageSql,
     "dedup_clusters" -> clustersSql,
     "dedup_clusters_dist" -> clustersSql,
     "dedup_exact" -> exactSql,

@@ -432,6 +432,31 @@ class DedupSpec extends SparkSpec {
     assert(prefix.nonEmpty)
   }
 
+  test("spanCoverage: overlapping duplicated spans union, short docs score zero") {
+    import spark.implicits._
+    // docs 1 and 2 share the 8-grams at positions 1 and 2 → covered
+    // positions 1..9 of 10 (the two spans MERGE, not double-count);
+    // doc 3 is under the span length and must still emit a zero row
+    val docs = Seq(
+      (1L, "a b c d e f g h x y"),
+      (2L, "a b c d e f g h x w"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanCoverage(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(1L) === ((10L, 9L, 0.9)))
+    assert(r(2L) === ((10L, 9L, 0.9)))
+    assert(r(3L) === ((3L, 0L, 0.0)))
+  }
+
+  test("spanCoverage: non-vacuous on testdata, coverage bounded by 1") {
+    val r = Dedup.spanCoverage(spark, sf("sf0.01"))
+    assert(r.filter(col("n_dup_positions") > 0).count() > 0)
+    assert(r.filter(col("dup_coverage") > 1.0).count() === 0)
+    assert(r.count() === 500) // every doc present, including zero rows
+  }
+
   test("operators release every cache they take (no persist leaks in a long-lived session)") {
     val dir = sf("sf0.001")
     Dedup.ngramJaccard(spark, dir).count()
