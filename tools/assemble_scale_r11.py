@@ -116,6 +116,24 @@ out = {
     },
 }
 
+# Optional r11 supplement blocks (written by the post-chain run):
+# the three r11-new entries (text_rarity/text_pii/dedup_span_coverage)
+# warm-benched at sf1/sf3/sf10 on the 67-entry build, plus the solo
+# A-vs-B windows for the sf3 watch-list entries the r10 verdict asked
+# to measure-not-chase (dedup_simhash, dedup_minhash_lsh).
+import os
+SUPPLEMENT = {
+    "new_entries_sf1": "/tmp/bench_r11_new_sf1.json",
+    "new_entries_sf3": "/tmp/bench_r11_new_sf3.json",
+    "new_entries_sf10": "/tmp/bench_r11_new_sf10.json",
+    "watch_solo_sf3": "/tmp/bench_r11_watch_sf3.json",
+}
+supplement = {}
+for key, path in SUPPLEMENT.items():
+    if os.path.exists(path):
+        with open(path) as f:
+            supplement[key] = json.load(f)
+
 total100x = blocks["sf10"]["value"] / blocks["sf0_1"]["value"]
 out["summary"] = (
     f"100x data in {total100x:.2f}x time, failed=0 at all four points; "
@@ -127,6 +145,18 @@ out["summary"] = (
     f"+ probe {probe_summary['sf10']['probe_only_median_sec']}s "
     f"(dispatch={probe_summary['sf10']['dispatch']})."
 )
+
+if supplement:
+    out["r11_supplement"] = {
+        "note": (
+            "Post-chain solo runs on the 67-entry build: "
+            "new_entries_* = the three r11 additions warm-benched at "
+            "each scale point (SPARK_GRAFT_ONLY, so absolutes are "
+            "solo-window, not suite-pressure); watch_solo_sf3 = the "
+            "r10 verdict's watch-list pair in a solo A-vs-B window."
+        ),
+        **supplement,
+    }
 
 with open("/root/repo/BENCH_r11_scale.json", "w") as f:
     json.dump(out, f, indent=1)
