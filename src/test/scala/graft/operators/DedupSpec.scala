@@ -457,6 +457,39 @@ class DedupSpec extends SparkSpec {
     assert(r.count() === 500) // every doc present, including zero rows
   }
 
+  test("spanCoverage: differential vs a plain-Scala reference on a seeded corpus") {
+    import spark.implicits._
+    // small vocabulary forces genuine cross-doc 8-gram collisions;
+    // lengths 1..24 cover short-doc, exact-8 and multi-span cases;
+    // two planted exact copies guarantee full-coverage rows
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d")
+    val base = (0 until 80).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(24))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = base ++ Seq((80L, base(3)._2), (81L, base(7)._2))
+    val n = 8
+    val gramDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    for ((id, text) <- docs) {
+      val t = text.split(" ", -1)
+      for (i <- 0 to t.length - n)
+        gramDocs.updateWith(t.slice(i, i + n).mkString(" "))(s => Some(s.getOrElse(Set.empty) + id))
+    }
+    val expected = docs.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val covered = (0 to t.length - n)
+        .filter(i => gramDocs(t.slice(i, i + n).mkString(" ")).size > 1)
+        .flatMap(i => i until i + n).toSet
+      id -> ((t.length.toLong, covered.size.toLong,
+        covered.size.toDouble / t.length))
+    }.toMap
+    val got = Dedup.spanCoverage(docs.toDF("doc_id", "text")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(got === expected)
+    assert(expected.values.count(_._2 > 0) >= 2) // differential is non-vacuous
+  }
+
   test("operators release every cache they take (no persist leaks in a long-lived session)") {
     val dir = sf("sf0.001")
     Dedup.ngramJaccard(spark, dir).count()

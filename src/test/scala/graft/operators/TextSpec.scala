@@ -152,6 +152,53 @@ class TextSpec extends SparkSpec {
     assert(r(3L) === ((0L, 0L, 0L, "no pii here")))
   }
 
+  test("rarity: differential vs a plain-Scala reference on a seeded corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("x", "y", "z", "w", "q", "rare1", "rare2")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val freq = docs.flatMap(_._2.split(" ", -1)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = docs.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val tf = t.map(freq)
+      id -> ((t.length.toLong, tf.count(_ == 1L).toLong, tf.sum, tf.min,
+        tf.count(_ == 1L).toDouble / t.length, tf.sum.toDouble / t.length))
+    }.toMap
+    val got = Text.rarity(docs.toDF("doc_id", "text")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5), x.getDouble(6)))).toMap
+    assert(got === expected)
+  }
+
+  test("piiScan: differential vs java.util.regex sequential masking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val frags = Vector("text", "a@b.co", "12-345-678", "9081726354",
+      "x1", "no.reply+tag@mail.example.org", "42", "-", "@", "7")
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(6))(frags(rnd.nextInt(frags.size))).mkString(" "))
+    }
+    val expected = rows.map { case (id, line) =>
+      var cur = line
+      val counts = Text.piiPatterns.map { case (name, re) =>
+        val m = java.util.regex.Pattern.compile(re).matcher(cur)
+        var c = 0L
+        while (m.find()) c += 1
+        cur = cur.replaceAll(re, s"<${name.toUpperCase}>")
+        c
+      }
+      id -> ((counts(0), counts(1), counts(2), cur))
+    }.toMap
+    val got = Text.piiScan(rows.toDF("id", "line"), "id", "line", Text.piiPatterns)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4)))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._1 > 0) && expected.values.exists(_._3 > 0))
+  }
+
   test("text_pii entry: non-vacuous on events (counts vary, digits gone)") {
     val r = Text.pii(spark, dir)
     assert(r.select(col("n_num")).distinct().count() > 1)
