@@ -183,6 +183,47 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint — the
+    * image-near-dup primitive: nearest-neighbor 8×8 downsample of the
+    * decoded raster, one bit per cell set iff the cell exceeds the
+    * 64-cell mean, emitted as two BIGINT halves (`ahash_hi` bits
+    * 32–63, `ahash_lo` bits 0–31 — a single BIGINT would need the
+    * sign bit, which DuckDB's checked BIGINT `<<` cannot carry).
+    * Near-dup images then reduce to a Hamming-distance ≤ t self-join
+    * on the hash — the C5/C2 banded-join machinery applied to media,
+    * with the hash computed in the SAME one-decode fused pass as any
+    * other feature. The mean compare stays integer-exact
+    * (`sample·64 > sum`, no division) so the oracle is bit-identical
+    * by construction. */
+  object PerceptualHash extends ImageFeature {
+    val fields = Seq(
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false))
+    def compute(img: BufferedImage): Seq[Any] = {
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      val s = new Array[Long](64)
+      var k = 0
+      while (k < 64) {
+        // nearest-neighbor: cell (k%8, k/8) samples the top-left-rule
+        // source pixel (floor(cx·w/8), floor(cy·h/8))
+        s(k) = raster.getSample(((k % 8) * w) / 8, ((k / 8) * h) / 8, 0)
+        k += 1
+      }
+      val sum = s.sum
+      var hi = 0L
+      var lo = 0L
+      k = 0
+      while (k < 64) {
+        if (s(k) * 64L > sum) {
+          if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      Seq[Any](hi, lo)
+    }
+  }
+
   /** The fusion API: one batched per-partition pass that decodes each
     * payload ONCE and runs every extractor over the shared raster.
     * Input: any frame with `doc_id`, `content` (the opaque binary
@@ -325,11 +366,53 @@ object Multimodal {
        |FROM px""".stripMargin
   }
 
+  /** C8c: the perceptual-hash pass — aHash per media row from one
+    * decode. */
+  def phash(documents: DataFrame): DataFrame =
+    decodeFeatures(
+      mediaFrame(documents)
+        .select(col("doc_id"), col("content"), col("meta.format").as("format")),
+      Seq(PerceptualHash))
+
+  def phash(spark: SparkSession, dir: String): DataFrame =
+    phash(Tables(spark, dir, "documents"))
+
+  /** Oracle: the generative pixel rule sampled at the 64 aHash cells,
+    * bits via the integer-exact `sample·64 > sum` compare, halves
+    * assembled with checked BIGINT shifts (max 1<<31 — in range). */
+  val phashSql: String = {
+    val h = ImageCodec.Height
+    val mw = ImageCodec.MaxWidth
+    def half(lo: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}),
+         |      k -> CASE WHEN samp[k + 1] * 64 > total
+         |                THEN (CAST(1 AS BIGINT) << (k - $lo)) ELSE 0 END)) AS BIGINT)"""
+        .stripMargin
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       |    GREATEST(LEAST(length(text), $mw), 1) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (SELECT doc_id, format,
+       |    list_transform(generate_series(0, 63),
+       |      k -> ((CASE WHEN (((k % 8) * w) // 8) < length(text)
+       |              THEN ascii(substr(text, (((k % 8) * w) // 8) + 1, 1)) ELSE 0 END)
+       |            + (((k // 8) * $h) // 8)) % 256) AS samp
+       |  FROM d),
+       |t AS (SELECT doc_id, format, samp,
+       |    CAST(list_sum(samp) AS BIGINT) AS total FROM s)
+       |SELECT doc_id, format,
+       |  ${half(32)} AS ahash_hi,
+       |  ${half(0)} AS ahash_lo
+       |FROM t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pipeline" -> pipeline _,
-    "multimodal_features" -> features _)
+    "multimodal_features" -> features _,
+    "multimodal_phash" -> phash _)
 
   val oracles: Map[String, String] = Map(
     "multimodal_pipeline" -> pipelineSql,
-    "multimodal_features" -> featuresSql)
+    "multimodal_features" -> featuresSql,
+    "multimodal_phash" -> phashSql)
 }

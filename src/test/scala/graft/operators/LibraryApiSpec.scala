@@ -295,4 +295,21 @@ class LibraryApiSpec extends SparkSpec {
     assert((9 to 12).map(fused(1L).getLong) === Seq(0L, 16L, 0L, 0L))
     assert((9 to 12).map(fused(2L).getLong) === Seq(4L, 0L, 0L, 0L))
   }
+
+  test("PerceptualHash: known aHash values; same content hashes equal across containers") {
+    import spark.implicits._
+    // docs 1 (bmp) and 2 (png) carry IDENTICAL content in different
+    // containers — a perceptual hash must see through the container
+    val df = Seq((1L, "abcd"), (2L, "abcd"), (3L, "")).toDF("doc_id", "text")
+    val r = Multimodal.phash(df).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === r(2L))
+    // "abcd": sample(cx,cy) = 97 + cx/2 + cy/2, mean 100 → bit set iff
+    // cx/2 + cy/2 >= 4, which is 6 of 16 (x,y) pairs × 4 cells = 24
+    assert(java.lang.Long.bitCount(r(1L)._1) +
+      java.lang.Long.bitCount(r(1L)._2) === 24)
+    // empty text: w=1, samples are the row index cy/2 (mean 1.5) → the
+    // top four rows exactly = bits 32..63 → hi all-ones, lo zero
+    assert(r(3L) === ((0xFFFFFFFFL, 0L)))
+  }
 }
