@@ -118,7 +118,7 @@ out = {
 
 # Optional r11 supplement blocks (written by the post-chain run):
 # the r11-new entries (text_rarity/text_pii/dedup_span_coverage/multimodal_phash)
-# warm-benched at sf1/sf3/sf10 on the 67-entry build, plus the solo
+# warm-benched at sf1/sf3/sf10 on the 68-entry build, plus the solo
 # A-vs-B windows for the sf3 watch-list entries the r10 verdict asked
 # to measure-not-chase (dedup_simhash, dedup_minhash_lsh).
 import os
@@ -149,7 +149,7 @@ out["summary"] = (
 if supplement:
     out["r11_supplement"] = {
         "note": (
-            "Post-chain solo runs on the 67-entry build: "
+            "Post-chain solo runs on the 68-entry build: "
             "new_entries_* = the r11 additions warm-benched at "
             "each scale point (SPARK_GRAFT_ONLY, so absolutes are "
             "solo-window, not suite-pressure); watch_solo_sf3 = the "
