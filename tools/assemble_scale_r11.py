@@ -80,7 +80,7 @@ for key, p in probes.items():
 out = {
     "metric": "scale_curve_r11",
     "description": (
-        "Full 64-entry suite (r11 build: threshold-aware ngram "
+        "Full 68-entry suite (final r11 build: threshold-aware ngram "
         "dispatch via plan-volume estimates, one-Lloyd-round per-list "
         "PQ codebooks, exchange-reuse-shared recall curve, repo-owned "
         "NANOS fixture) at sf0.1 and 10x/30x/100x scaled copies "
@@ -116,11 +116,12 @@ out = {
     },
 }
 
-# Optional r11 supplement blocks (written by the post-chain run):
-# the r11-new entries (text_rarity/text_pii/dedup_span_coverage/multimodal_phash)
-# warm-benched at sf1/sf3/sf10 on the 68-entry build, plus the solo
-# A-vs-B windows for the sf3 watch-list entries the r10 verdict asked
-# to measure-not-chase (dedup_simhash, dedup_minhash_lsh).
+# Optional r11 supplement blocks (written by post-chain solo runs).
+# With the chain re-run on the final 68-entry build the new entries
+# are already in every scale point, so new_entries_* blocks are only
+# present if a pre-rerun artifact produced them; watch_solo_sf3 is
+# the solo A-vs-B window for the sf3 watch-list entries the r10
+# verdict asked to measure-not-chase (dedup_simhash, dedup_minhash_lsh).
 import os
 SUPPLEMENT = {
     "new_entries_sf1": "/tmp/bench_r11_new_sf1.json",
