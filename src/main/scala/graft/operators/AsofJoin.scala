@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** C24: as-of join — for each left row, the single most recent right row
+  * with `right.ts <= left.ts` on the same key (pandas `merge_asof`
+  * backward / DuckDB `ASOF JOIN` / kdb `aj`). The canonical event-time
+  * enrichment operator Spark's join zoo lacks: the naive encoding
+  * (range-join `l.ts >= r.ts` + argmax) plans a per-key cross product —
+  * O(|L|·|R|) per key — and the correlated-subquery form plans one probe
+  * per row. Neither survives 100 TB.
+  *
+  * Plan here is the scale-correct union-and-carry formulation: tag both
+  * sides, union, ONE shuffle by key into a per-key `(ts, tag)`-ordered
+  * window, carry the latest right payload forward with
+  * `last(_, ignoreNulls)`, keep left rows. Cost is a single exchange of
+  * |L|+|R| rows plus a linear per-key scan — the same shape as a sort
+  * -merge join, with no candidate amplification. At equal timestamps the
+  * right row sorts BEFORE the left row (tag 0 < 1), so `ts_r == ts_l`
+  * matches — DuckDB ASOF `>=` semantics. Rows-between framing keeps the
+  * window in the streaming (non-buffering) window-exec path.
+  *
+  * An optional `tolerance` bounds the match age (merge_asof's
+  * `tolerance`): the carry still happens, but a match older than the
+  * bound is nulled out per row — no second pass, no extra shuffle.
+  *
+  * The right side must be unique per (key, ts) for the operator to be
+  * deterministic (and for ASOF oracles to be well-defined among equal
+  * timestamps); callers pre-aggregate — the entry arg-maxes `event_id`.
+  */
+object AsofJoin {
+
+  /** Backward as-of join. `left` keeps all its columns; every non-key,
+    * non-ts column of `right` is appended (null where no right row is at
+    * or before the left row's `ts`), plus the matched right timestamp as
+    * `<tsCol>_matched`. `right` must be unique per (key, ts). */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tolerance: Option[Column] = None): DataFrame = {
+    val rightPayload = right.columns.filterNot(c => c == keyCol || c == tsCol)
+    // one struct carry instead of one last() per payload column: a
+    // single ignoreNulls-last scans the frame once however wide the
+    // right side is (the matched ts rides inside the struct too);
+    // unionByName(allowMissingColumns) null-fills `__r` on the left
+    // side and the left payload on the right side
+    val rStruct = struct(
+      (col(tsCol).as("__ts") +: rightPayload.map(col)): _*)
+    val l = left.withColumn("__tag", lit(1))
+    val r = right.select(
+      col(keyCol), col(tsCol), lit(0).as("__tag"), rStruct.as("__r"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried0 = last(col("__r"), ignoreNulls = true).over(w)
+    val carried = tolerance match {
+      case Some(tol) =>
+        when(col(tsCol) - carried0.getField("__ts") <= tol, carried0)
+      case None => carried0
+    }
+    unioned
+      .withColumn("__m", carried)
+      .filter(col("__tag") === 1)
+      .select(
+        (left.columns.map(col) :+
+          col("__m.__ts").as(s"${tsCol}_matched")) ++
+          rightPayload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Entry: purchase attribution over `events` — for each click, the
+    * user's most recent purchase at or before the click, with the gap in
+    * microseconds (exact integers end-to-end; NULL columns where the
+    * user has not purchased yet). Right side is arg-maxed to one row per
+    * (user, ts) so ties cannot make the as-of choice ambiguous. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    // parquet ts is NTZ; unix_micros needs LTZ — session tz is UTC, so
+    // the cast is deterministic (the D4 stream_join precedent). Raw
+    // timestamps never ship in an entry output (the §5 rule): epoch
+    // micros as exact BIGINTs instead.
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    asofBackward(clicks, purchases, "user_id", "ts")
+      .select(
+        col("user_id"), col("click_id"), us(col("ts")).as("click_us"),
+        col("purchase_id"), us(col("ts_matched")).as("purchase_us"),
+        (us(col("ts")) - us(col("ts_matched"))).as("gap_us"))
+  }
+
+  val joinAsofSql: String =
+    """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT user_id, ts, event_id AS click_id
+      |      FROM events WHERE event_type = 'click')
+      |SELECT c.user_id, c.click_id,
+      |  CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+      |  p.purchase_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+      |  CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> (joinAsof(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "join_asof" -> joinAsofSql)
+}

@@ -382,6 +382,83 @@ object Text {
       |  regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS redacted
       |FROM events""".stripMargin
 
+  // --------------------------------------------------------------- C25
+  /** Bigram language-model predictability — the CCNet-style LM quality
+    * signal (Wenzek et al. 2020 score filtered-web text with an LM;
+    * here the LM is the corpus's own bigram model, so the pass needs no
+    * external artifact): per document, the conditional bigram
+    * probabilities p(w2|w1) = c(w1,w2)/c(w1·) under the GLOBAL bigram
+    * table, summed per doc. Predictable/templated text scores high,
+    * incoherent or wrong-corpus text scores low — the sequential
+    * complement to [[rarity]]'s order-blind token frequencies (a doc of
+    * common tokens in impossible order fools rarity, not this).
+    *
+    * Cross-engine parity: a true perplexity needs ln (last-ulp unstable
+    * across engines — the C19 lesson), so the score stays in
+    * probability space: each p is a raw IEEE quotient of exact longs,
+    * and the per-doc sum is an ORDERED fold over bigram position
+    * (`aggregate(sort_array(...), 0.0, _+_)` ≡ DuckDB
+    * `list_reduce(list(p ORDER BY pos), _+_)`; 0.0-seed ≡ first-element
+    * seed because 0.0 + x = x) — a plain sum() would be
+    * partial-aggregation-order nondeterministic (§8). `novel_bigrams`
+    * counts corpus-hapax bigrams (this doc's unique phrasing mass).
+    *
+    * Plan (two-pass corpus statistic, the C21 shape): positional bigram
+    * explode → two VOCABULARY-bounded aggregates (bigram counts, prefix
+    * counts) → joined back on bigram/prefix keys (AQE broadcasts both
+    * at scale — aggregate outputs are corpus-sublinear) → per-doc fold.
+    * Docs under 2 tokens have no bigram and are dropped (the C4/C16
+    * convention). Library form: any frame with `doc_id`, `text`. */
+  def bigramLm(documents: DataFrame): DataFrame = {
+    val bigrams = documents
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(i AS pos, element_at(toks, i) AS w1,
+          |              element_at(toks, i + 1) AS w2))""".stripMargin))
+        .as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cbig = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cbig"))
+    val cpre = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("cpre"))
+    bigrams.join(cbig, Seq("w1", "w2")).join(cpre, Seq("w1"))
+      .withColumn("p", col("cbig") / col("cpre"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cbig") === 1, 1L).otherwise(0L)).as("novel_bigrams"),
+        min(col("cbig")).as("min_cbig"),
+        expr("""aggregate(sort_array(collect_list(struct(pos, p))),
+               |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)""".stripMargin)
+          .as("sum_p"))
+      .select(
+        col("doc_id"), col("n_bigrams"), col("novel_bigrams"),
+        col("min_cbig"), col("sum_p"),
+        (col("sum_p") / col("n_bigrams")).as("mean_p"))
+  }
+
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLm(docs(spark, dir))
+
+  val bigramLmSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |e AS (SELECT doc_id, i AS pos, toks[i] AS w1, toks[i+1] AS w2
+      |      FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+      |      WHERE len(toks) >= 2),
+      |cb AS (SELECT w1, w2, count(*) AS cbig FROM e GROUP BY 1, 2),
+      |cp AS (SELECT w1, count(*) AS cpre FROM e GROUP BY 1),
+      |j AS (SELECT e.doc_id, e.pos, cb.cbig,
+      |        CAST(cb.cbig AS BIGINT) / CAST(cp.cpre AS BIGINT) AS p
+      |      FROM e JOIN cb USING (w1, w2) JOIN cp USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CASE WHEN cbig = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel_bigrams,
+      |  CAST(min(cbig) AS BIGINT) AS min_cbig,
+      |  list_reduce(list(p ORDER BY pos), (acc, x) -> acc + x) AS sum_p,
+      |  list_reduce(list(p ORDER BY pos), (acc, x) -> acc + x) / count(*) AS mean_p
+      |FROM j GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId _,
     "text_quality" -> quality _,
@@ -390,7 +467,8 @@ object Text {
     "text_repetition" -> (repetition(_, _)),
     "text_diversity" -> (diversity(_, _)),
     "text_rarity" -> (rarity(_, _)),
-    "text_pii" -> (pii(_, _)))
+    "text_pii" -> (pii(_, _)),
+    "text_bigram_lm" -> (bigramLm(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
@@ -400,5 +478,6 @@ object Text {
     "text_repetition" -> repetitionSql,
     "text_diversity" -> diversitySql,
     "text_rarity" -> raritySql,
-    "text_pii" -> piiSql)
+    "text_pii" -> piiSql,
+    "text_bigram_lm" -> bigramLmSql)
 }

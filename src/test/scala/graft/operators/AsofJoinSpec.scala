@@ -1,0 +1,92 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** C24 as-of join: known-value semantics (backward match, equal-ts
+  * inclusion, null on no-match, tolerance), a differential check against
+  * an independent naive formulation on real data, and the plan-shape
+  * guarantee that motivates the operator (no nested-loop/cartesian
+  * amplification). */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100L),
+    (1L, ts("2024-01-01 12:00:00"), 101L),
+    (2L, ts("2024-01-01 09:00:00"), 102L),
+    (3L, ts("2024-01-01 11:00:00"), 103L)
+  ).toDF("k", "ts", "lid")
+
+  private lazy val right = Seq(
+    (1L, ts("2024-01-01 09:30:00"), 200L),
+    (1L, ts("2024-01-01 12:00:00"), 201L), // equal-ts with left 101
+    (2L, ts("2024-01-01 09:30:00"), 202L)  // after left 102 — no match
+  ).toDF("k", "ts", "rid")
+
+  test("backward match, equal-ts inclusion, null on no-match") {
+    val out = AsofJoin.asofBackward(left, right, "k", "ts")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === Some(200L)) // latest at-or-before 10:00 is 09:30
+    assert(out(101L) === Some(201L)) // equal ts matches (>= semantics)
+    assert(out(102L) === None)       // only right row is AFTER the left ts
+    assert(out(103L) === None)       // key 3 has no right rows at all
+  }
+
+  test("matched ts column rides along") {
+    val out = AsofJoin.asofBackward(left, right, "k", "ts")
+      .filter($"lid" === 100L).select("ts_matched")
+      .as[Timestamp].head()
+    assert(out === ts("2024-01-01 09:30:00"))
+  }
+
+  test("tolerance nulls matches older than the bound") {
+    val out = AsofJoin.asofBackward(left, right, "k", "ts",
+        tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === None)       // 09:30 is 30min old — outside bound
+    assert(out(101L) === Some(201L)) // equal ts: zero age stays inside
+  }
+
+  test("differential vs naive range-join argmax at sf0.001") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+
+    val fast = AsofJoin.asofBackward(clicks, purchases, "user_id", "ts")
+      .select($"click_id", $"purchase_id")
+
+    // independent formulation: range join + row_number argmax — the
+    // O(|L|·|R|)-per-key plan the operator exists to avoid
+    val j = clicks.join(purchases.withColumnRenamed("ts", "pts")
+        .withColumnRenamed("user_id", "puid"),
+      $"user_id" === $"puid" && $"ts" >= $"pts", "left")
+    val w = Window.partitionBy($"click_id")
+      .orderBy($"pts".desc_nulls_last, $"purchase_id".desc_nulls_last)
+    val naive = j.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"click_id", $"purchase_id")
+
+    assert(fast.count() === clicks.count())
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+    // non-vacuous: both matched and unmatched rows exist
+    assert(fast.filter($"purchase_id".isNotNull).count() > 0)
+    assert(fast.filter($"purchase_id".isNull).count() > 0)
+  }
+
+  test("plan has no nested-loop or cartesian amplification") {
+    val plan = AsofJoin.joinAsof(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("Window"))
+  }
+}

@@ -205,4 +205,60 @@ class TextSpec extends SparkSpec {
     assert(r.filter(col("redacted").rlike("[0-9]{2,}")).count() === 0)
     assert(r.filter(col("n_num") > 0).count() > 0)
   }
+
+  test("bigramLm: known values on a hand-computed corpus") {
+    import spark.implicits._
+    // doc 1 "a b a b": bigrams (a,b)(b,a)(a,b); doc 2 "a c": (a,c);
+    // doc 3 "x": no bigram → dropped.
+    // cbig: (a,b)=2 (b,a)=1 (a,c)=1; cpre: a=3, b=1.
+    // doc 1: p = 2/3, 1/1, 2/3 → sum ((0+2/3)+1)+2/3, novel=1 ((b,a)),
+    // min_cbig=1. doc 2: p = 1/3, novel=1, min_cbig=1.
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x"))
+    val got = Text.bigramLm(docs.toDF("doc_id", "text")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5)))).toMap
+    val sum1 = ((0.0 + 2.0 / 3.0) + 1.0) + 2.0 / 3.0
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((3L, 1L, 1L, sum1, sum1 / 3L)))
+    assert(got(2L) === ((1L, 1L, 1L, 1.0 / 3.0, 1.0 / 3.0)))
+  }
+
+  test("bigramLm: fold order is positional, not collection order") {
+    import spark.implicits._
+    // many-partition frame so collect_list order is adversarial; the
+    // sort_array(struct(pos, p)) fold must still equal the sequential
+    // left-to-right sum computed on the driver
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val rows = (0L until 40L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text").repartition(13)
+    val out = Text.bigramLm(df).collect()
+      .map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    // independent reference: count maps on the driver
+    val bigrams = rows.map { case (id, t) =>
+      id -> t.split(" ").toSeq.sliding(2).map(p => (p(0), p(1))).toVector
+    }
+    val cbig = bigrams.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    val cpre = bigrams.flatMap(_._2).groupBy(_._1).map { case (k, v) => k -> v.size }
+    bigrams.foreach { case (id, bs) =>
+      val expected = bs.foldLeft(0.0) { case (acc, b) =>
+        acc + cbig(b).toDouble / cpre(b._1).toDouble
+      }
+      assert(out(id) === expected, s"doc $id")
+    }
+  }
+
+  test("bigramLm: predictable text outscores shuffled text") {
+    import spark.implicits._
+    // 30 copies of one sentence + 1 doc with the same tokens in a rare
+    // order: the repeated phrasing must carry higher mean_p
+    val sent = "the cat sat on the mat"
+    val docs = (0L until 30L).map(i => (i, sent)) :+
+      (99L, "mat the on sat cat the")
+    val out = Text.bigramLm(docs.toDF("doc_id", "text")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(5)).toMap
+    assert(out(0L) > out(99L))
+  }
 }
