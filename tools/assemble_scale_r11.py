@@ -117,11 +117,12 @@ out = {
 }
 
 # Optional r11 supplement blocks (written by post-chain solo runs).
-# With the chain re-run on the final 68-entry build the new entries
-# are already in every scale point, so new_entries_* blocks are only
-# present if a pre-rerun artifact produced them; watch_solo_sf3 is
-# the solo A-vs-B window for the sf3 watch-list entries the r10
-# verdict asked to measure-not-chase (dedup_simhash, dedup_minhash_lsh).
+# The chain ran on the 68-entry build (C21/C22/C23/C8c included);
+# new_entries_* carries the two post-chain additions (join_asof,
+# text_bigram_lm) solo-warm-benched at each scale point, and
+# watch_solo_sf3 is the solo A-vs-B window for the sf3 watch-list
+# entries the r10 verdict asked to measure-not-chase (dedup_simhash,
+# dedup_minhash_lsh).
 import os
 SUPPLEMENT = {
     "new_entries_sf1": "/tmp/bench_r11_new_sf1.json",
