@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, ArrowOps, AsofJoin, Dedup, Functions, Multimodal, Olap, Pipeline, Text}
+import graft.operators.{Ann, ArrowOps, AsofJoin, Dedup, Functions, Multimodal, Olap, Pipeline, Sketch, Text}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Olap.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
       Functions.queries ++ ArrowOps.queries ++ Streams.queries ++
-      Multimodal.queries ++ Pipeline.queries ++ AsofJoin.queries
+      Multimodal.queries ++ Pipeline.queries ++ AsofJoin.queries ++
+      Sketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Olap.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Functions.oracles ++ ArrowOps.oracles ++ Streams.oracles ++
-      Multimodal.oracles ++ Pipeline.oracles ++ AsofJoin.oracles
+      Multimodal.oracles ++ Pipeline.oracles ++ AsofJoin.oracles ++
+      Sketch.oracles
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** C26: HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+  * canonical "novel sketch" operator: COUNT(DISTINCT) at 100 TB
+  * shuffles every distinct value; the HLL register table shuffles at
+  * most m rows per partition per group however large the input, and
+  * registers merge by elementwise max (the sketch is a semilattice, so
+  * map-side combine does most of the work).
+  *
+  * Everything up to the final estimate is INTEGER-exact, which is what
+  * makes the sketch cross-engine oracle-able (no library HLL is):
+  *  - 60-bit hash = first 15 hex chars of md5(value-as-string)
+  *    (Spark `conv(_, 16, 10)` ≡ DuckDB `CAST('0x' || _ AS BIGINT)`);
+  *  - bucket = hash % m, rest = hash >> log2m;
+  *  - rho = leading-zeros-in-(60−log2m)-bits + 1, computed via the
+  *    BINARY-STRING length (`bin()` exists in both engines and drops
+  *    leading zeros) — integer-exact, never a float log (§8: float-
+  *    derived bucket keys are a correctness bug for exact keying);
+  *  - register[b] = max(rho) — the groupBy(group, bucket) aggregate.
+  * The only floats are the final harmonic sum Σ 2^-r — dyadic rationals
+  * summed in REGISTER ORDER on both engines (`aggregate(sort_array(…))`
+  * ≡ `list_reduce(list(… ORDER BY bucket))`, the §8 ordered-fold
+  * idiom), with the (m − n_present) empty-register mass (each 2^0 = 1)
+  * added as one exact term — and the constant α·m², folded identically
+  * from the same literal tree by both engines. `v_zero` (empty
+  * registers) ships so a consumer can apply the small-range linear-
+  * counting correction, which needs ln and therefore stays OUT of the
+  * oracle-gated output (ln is last-ulp unstable cross-engine — the C19
+  * lesson). `n_exact` rides along as the demo baseline: it IS the
+  * full-shuffle plan the sketch replaces.
+  */
+object Sketch {
+
+  /** HLL registers + raw estimate per group. `log2m` in [4, 16];
+    * m = 2^log2m registers. Library form: any frame, any group
+    * columns, any value column with a stable string form. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      log2m: Int = 10): DataFrame = {
+    require(log2m >= 4 && log2m <= 16, s"log2m out of range: $log2m")
+    val m = 1 << log2m
+    val restBits = 60 - log2m
+    val gcols = groupCols.map(col)
+    val hash = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val regs = df
+      .select((gcols :+ hash.as("h")): _*)
+      .withColumn("bucket", col("h") % m)
+      .withColumn("rest", shiftright(col("h"), log2m))
+      .withColumn("rho",
+        when(col("rest") === 0, lit(restBits + 1))
+          .otherwise(lit(restBits + 1) - length(bin(col("rest")))))
+      .groupBy((gcols :+ col("bucket")): _*)
+      .agg(max(col("rho")).as("r"))
+    val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+      lit(m.toDouble) * lit(m.toDouble)
+    regs
+      .groupBy(gcols: _*)
+      .agg(
+        count(lit(1)).as("n_present"),
+        expr("""aggregate(
+               |  sort_array(collect_list(named_struct(
+               |    'bucket', bucket, 'w', pow(2.0, -r)))),
+               |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)""".stripMargin)
+          .as("s_present"))
+      .select(
+        (gcols :+
+          (lit(m) - col("n_present")).cast("long").as("v_zero") :+
+          (alphaM2 / (col("s_present") +
+            (lit(m) - col("n_present")).cast("double"))).as("hll_estimate")): _*)
+  }
+
+  /** Entry: distinct users per event type, sketched (m = 1024) next to
+    * the exact count the sketch replaces. */
+  def hllUsers(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val sketch = hllDistinct(events, Seq("event_type"), "user_id", log2m = 10)
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    sketch.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("v_zero"),
+        col("hll_estimate"))
+  }
+
+  val hllUsersSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |b AS (SELECT event_type, h % 1024 AS bucket, h >> 10 AS rest FROM h),
+      |r AS (SELECT event_type, bucket,
+      |        max(CASE WHEN rest = 0 THEN 51
+      |                 ELSE 51 - length(bin(rest)) END) AS r
+      |      FROM b GROUP BY 1, 2),
+      |g AS (SELECT event_type, count(*) AS n_present,
+      |        list_reduce(list(pow(2.0, -r) ORDER BY bucket),
+      |                    (acc, x) -> acc + x) AS s_present
+      |      FROM r GROUP BY 1),
+      |e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |      FROM events GROUP BY 1)
+      |SELECT g.event_type, e.n_exact,
+      |  CAST(1024 - n_present AS BIGINT) AS v_zero,
+      |  (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 /
+      |    (s_present + CAST(1024 - n_present AS DOUBLE)) AS hll_estimate
+      |FROM g JOIN e ON g.event_type = e.event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_distinct" -> (hllUsers(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "agg_hll_distinct" -> hllUsersSql)
+}

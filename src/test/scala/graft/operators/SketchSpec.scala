@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** C26 HLL sketch: register math vs an independent driver-side HLL,
+  * accuracy in the sketch's operating range, merge/semilattice behavior
+  * via partition-count invariance, and the plan-shape claim (register
+  * rows, not distinct values, cross the exchange). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference HLL over the same md5-derived 60-bit hash. */
+  private def referenceHll(values: Seq[String], log2m: Int): (Long, Double) = {
+    val m = 1 << log2m
+    val restBits = 60 - log2m
+    val regs = new Array[Int](m)
+    values.foreach { v =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(md.take(15), 16)
+      val b = (h % m).toInt
+      val rest = h >> log2m
+      val rho =
+        if (rest == 0) restBits + 1
+        else restBits + 1 - java.lang.Long.toBinaryString(rest).length
+      if (rho > regs(b)) regs(b) = rho
+    }
+    val alphaM2 = (0.7213 / (1.0 + 1.079 / m.toDouble)) * m.toDouble * m.toDouble
+    // same fold shape as the operator: present registers in bucket
+    // order, then the empty-register mass as one term
+    val present = regs.zipWithIndex.filter(_._1 > 0)
+    val s = present.foldLeft(0.0) { case (acc, (r, _)) => acc + math.pow(2.0, -r) }
+    val vZero = m - present.length
+    (vZero.toLong, alphaM2 / (s + vZero.toDouble))
+  }
+
+  test("registers and estimate equal an independent driver-side HLL") {
+    val values = (0 until 3000).map(i => s"user-$i")
+    val df = values.map(v => ("g", v)).toDF("g", "v").repartition(7)
+    val got = Sketch.hllDistinct(df, Seq("g"), "v", log2m = 10)
+      .select($"v_zero", $"hll_estimate").as[(Long, Double)].head()
+    assert(got === referenceHll(values, 10))
+  }
+
+  test("estimate lands within 3 standard errors in the operating range") {
+    // n ≈ 5m — comfortably past the linear-counting zone for m=1024,
+    // where the raw estimator's relative error is ~1.04/sqrt(m) = 3.25%
+    val n = 5000
+    val df = (0 until n).map(i => ("g", s"id-$i")).toDF("g", "v")
+    val est = Sketch.hllDistinct(df, Seq("g"), "v", log2m = 10)
+      .select($"hll_estimate").as[Double].head()
+    assert(math.abs(est - n) / n < 3 * 1.04 / math.sqrt(1024.0),
+      s"estimate $est for n=$n")
+  }
+
+  test("partition-count invariance (register merge is a semilattice)") {
+    val rows = (0 until 2000).map(i => (s"t${i % 3}", s"u${i % 700}"))
+    def run(parts: Int) =
+      Sketch.hllDistinct(rows.toDF("t", "v").repartition(parts), Seq("t"), "v")
+        .select($"t", $"v_zero", $"hll_estimate").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(run(1) === run(17))
+  }
+
+  test("duplicates do not move the sketch") {
+    val once = (0 until 500).map(i => ("g", s"u$i"))
+    val dup = once ++ once ++ once
+    def est(rows: Seq[(String, String)]) =
+      Sketch.hllDistinct(rows.toDF("g", "v"), Seq("g"), "v")
+        .select($"hll_estimate").as[Double].head()
+    assert(est(once) === est(dup))
+  }
+
+  test("entry: plan aggregates registers, not distinct values") {
+    val df = Sketch.hllDistinct(
+      graft.Tables(spark, sf("sf0.001"), "events"), Seq("event_type"), "user_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("CartesianProduct"))
+    // the register table is bounded: ≤ groups × m rows reach the final agg
+    assert(df.count() === 5)
+  }
+}
