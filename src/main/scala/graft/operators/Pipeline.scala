@@ -533,7 +533,59 @@ object Pipeline {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------- P8
+  /** Leakage-safe split: P7 hashes the DOC id, so two near-duplicate
+    * documents can land on opposite sides of the train/val boundary —
+    * the classic eval-contamination leak (the validation doc's
+    * near-twin was trained on). Here the split key is the near-dup
+    * CLUSTER id (C13's connected components over the verified
+    * pair graph): every member of a cluster carries the same
+    * assignment, so no near-dup pair ever straddles. Singleton docs
+    * have cluster_id = doc_id, which makes their assignment IDENTICAL
+    * to P7's — the leakage-safe split only moves docs that have a
+    * near-twin, exactly the ones P7 gets wrong.
+    *
+    * Scale shape: C13's clustering (banded candidates, size-gated
+    * label map) + one join of the label frame back to the corpus +
+    * the same per-row hash-mod as P7 — the split itself adds no
+    * shuffle beyond the label join. */
+  def splitLeakageSafe(documents: DataFrame): DataFrame =
+    documents
+      .join(Dedup.clusters(documents).select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"))
+      .withColumn("split",
+        when(
+          conv(substring(md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % SplitScale < ValPermille, "val")
+          .otherwise("train"))
+
+  /** P8 entry: per-(source, split) doc and cluster counts. */
+  def splitLeakageSafeStats(documents: DataFrame): DataFrame =
+    splitLeakageSafe(documents)
+      .groupBy(col("source"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("source"), col("split"))
+
+  def splitLeakageSafeStats(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageSafeStats(Tables(spark, dir, "documents"))
+
+  val splitLeakageSafeSql: String =
+    s"""WITH RECURSIVE ${Dedup.clustersCtes},
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+       |SELECT d.source,
+       |  CASE WHEN ('0x' || substr(md5('split:' || CAST(cl.cluster_id AS VARCHAR)), 1, 15))::BIGINT
+       |            % $SplitScale < $ValPermille
+       |       THEN 'val' ELSE 'train' END AS split,
+       |  count(*) AS n_docs,
+       |  count(DISTINCT cl.cluster_id) AS n_clusters
+       |FROM documents d JOIN cl USING (doc_id)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split_leakage_safe" -> (splitLeakageSafeStats(_, _)),
     "pipeline_split_train_val" -> (splitTrainValStats(_, _)),
     "pipeline_curate" -> curate _,
     "pipeline_curate_neardup" -> curateNearDup _,
@@ -545,6 +597,7 @@ object Pipeline {
     "pipeline_mix_sources" -> mixSources _)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_split_leakage_safe" -> splitLeakageSafeSql,
     "pipeline_split_train_val" -> splitTrainValSql,
     "pipeline_curate" -> curateSql,
     "pipeline_curate_neardup" -> curateNearDupSql,

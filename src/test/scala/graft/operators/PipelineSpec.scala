@@ -135,6 +135,29 @@ class PipelineSpec extends SparkSpec {
     assert(lib.columns.toSeq === Seq("doc_id", "source", "text", "extra", "split"))
   }
 
+  test("leakage-safe split: no near-dup cluster straddles the boundary") {
+    import spark.implicits._
+    val docs = graft.Tables(spark, dir, "documents")
+    val assigned = Pipeline.splitLeakageSafe(docs)
+    // the defining property: every cluster is entirely train or val
+    val straddling = assigned.groupBy($"cluster_id")
+      .agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1)
+    assert(straddling.count() === 0)
+    // non-vacuous: the corpus has real multi-doc clusters, and both
+    // splits are populated
+    val multi = assigned.groupBy($"cluster_id").count().filter($"count" > 1)
+    assert(multi.count() > 0)
+    assert(assigned.select($"split").distinct().count() === 2)
+    // singleton docs keep exactly the P7 assignment (cluster_id = doc_id)
+    val singletonIds = assigned.groupBy($"cluster_id").count()
+      .filter($"count" === 1).select($"cluster_id".as("doc_id"))
+    val p7 = Pipeline.splitTrainVal(docs).select($"doc_id", $"split".as("p7"))
+    val mismatched = assigned.join(singletonIds, "doc_id")
+      .join(p7, "doc_id").filter($"split" =!= $"p7")
+    assert(mismatched.count() === 0)
+  }
+
   test("materialize writes a source-partitioned parquet corpus with text") {
     val out = java.nio.file.Files.createTempDirectory("graft-curated").toString + "/corpus"
     Pipeline.materialize(spark, dir, out)
