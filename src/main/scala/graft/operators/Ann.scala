@@ -57,14 +57,14 @@ object Ann {
     * round(double, 6) is cross-engine unstable (the r2 avg_quality
     * lesson — Spark rounds the exact binary expansion, DuckDB scaled
     * float math). */
-  private def rankRows(grouped: DataFrame): DataFrame =
+  private def rankRows(grouped: DataFrame, scoreName: String = "cosine"): DataFrame =
     grouped
       .select(col("q_id"), posexplode(col("topk")))
       .select(
         col("q_id"),
         (col("pos") + 1).cast("long").as("nn_rank"),
         col("col.id").as("vec_id"),
-        col("col.score").as("cosine"))
+        col("col.score").as(scoreName))
       .orderBy(col("q_id"), col("nn_rank"))
 
   // ---------------------------------------------------------------- C6
@@ -952,7 +952,97 @@ object Ann {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY method, q_id")
   }
 
+  // --------------------------------------------------------------- C28
+  /** Maximum-inner-product search via the norm-augmentation reduction
+    * (Bachrach et al. 2014 / Neyshabur & Srebro 2015): MIPS is the
+    * retrieval metric recommender and reward models actually use, and
+    * no metric-space index serves it directly (inner product violates
+    * the triangle inequality — a vector can be its own worst match).
+    * The reduction appends one coordinate: corpus x' = [x; √(M²−|x|²)]
+    * (all corpus norms become exactly M in augmented space), query
+    * q' = [q; 0] — then L2-nearest in augmented space ≡ max inner
+    * product, so the C15 IVF machinery indexes MIPS unchanged.
+    *
+    * Parity notes: √ is IEEE-correctly-rounded (the ONE transcendental
+    * that IS cross-engine exact, unlike ln — C19); the final score is
+    * the raw [[dot]] fold of q' against x', whose last term is
+    * 0·√(…) = 0.0, and s + 0.0 ≡ s in IEEE — so the emitted score is
+    * bit-exactly the TRUE dot(q, x) with no augmentation residue.
+    * Assignment, probing, and rerank reuse the C15 shapes (broadcast
+    * centroids, min-struct argmin, broadcast probes); the augmented
+    * corpus never shuffles except on its list id. Honest caveat: the
+    * synthetic test embeddings are unit-norm, where MIPS coincides
+    * with cosine — the entry gates the ALGORITHM (augmentation + IVF +
+    * raw-dot rerank, hash-exact); the metric distinction is proven in
+    * AnnMipsSpec on varied-norm data (big-norm decoy outranks the
+    * better-aligned vector under MIPS, not under cosine). Library
+    * form: any `(vec_id, embedding)` frame. */
+  def mipsIvf(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val n = c.withColumn("n2", dot(col("e"), col("e")))
+    val m2 = n.agg(max(col("n2")).as("m2"))
+    val aug = n.crossJoin(broadcast(m2))
+      .select(col("vec_id"),
+        concat(col("e"), array(sqrt(col("m2") - col("n2")))).as("e"))
+    val cents = ivfCents(aug)
+    val assigned = ivfAssign(aug, cents)
+    val qaug = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        concat(col("e"), array(lit(0.0))).as("qe"))
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
+    val probes = qaug.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cid"), l2(col("qe"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(qw)).filter(col("rn") <= IvfProbe)
+      .select(col("q_id"), col("qe"), col("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), dot(col("qe"), col("e")).as("ip"))
+    rankRows(
+      scored.groupBy(col("q_id"))
+        .agg(topK(col("ip"), col("vec_id"), K).as("topk")),
+      scoreName = "dot")
+  }
+
+  def mipsIvf(spark: SparkSession, dir: String): DataFrame =
+    mipsIvf(Tables(spark, dir, "embeddings"))
+
+  /** Algorithm-parity oracle for C28: the augmentation, L2 assignment
+    * in Dim+1 space, probing, and raw-dot rerank reproduced with
+    * identical fold order. */
+  val mipsIvfSql: String = {
+    val l2Sql = (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, ${Dim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |n AS (SELECT vec_id, e, list_inner_product(e, e) AS n2 FROM v),
+       |m AS (SELECT max(n2) AS m2 FROM n),
+       |aug AS (SELECT vec_id, list_append(e, sqrt(m.m2 - n.n2)) AS e FROM n, m),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM aug
+       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
+       |ad AS (SELECT a.vec_id, a.e, c.cid, ${l2Sql("a.e", "c.ce")} AS d
+       |       FROM aug a CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, e, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, list_append(e, 0.0) AS qe FROM v
+       |      WHERE vec_id < $NumQueries),
+       |qd AS (SELECT q.q_id, q.qe, c.cid, ${l2Sql("q.qe", "c.ce")} AS d
+       |       FROM q CROSS JOIN cents c),
+       |probes AS (SELECT q_id, qe, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn FROM qd)
+       |  WHERE rn <= $IvfProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id, list_inner_product(p.qe, a.e) AS ip
+       |  FROM assigned a JOIN probes p USING (cid) WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, nn_rank, vec_id, ip AS dot FROM (
+       |  SELECT q_id, vec_id, ip,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_mips_ivf" -> (mipsIvf(_, _)),
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
     "ann_ivf" -> ivf _,
@@ -963,6 +1053,7 @@ object Ann {
     "ann_recall_curve" -> recallCurve _)
 
   val oracles: Map[String, String] = Map(
+    "ann_mips_ivf" -> mipsIvfSql,
     "ann_bruteforce" -> bruteforceSql,
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
