@@ -118,9 +118,9 @@ out = {
 
 # Optional r11 supplement blocks (written by post-chain solo runs).
 # The chain ran on the 68-entry build (C21/C22/C23/C8c included);
-# new_entries_* carries the four post-chain additions (join_asof,
-# text_bigram_lm, agg_hll_distinct, pipeline_split_leakage_safe)
-# solo-warm-benched at each scale point, and
+# new_entries_* carries the five post-chain additions (join_asof,
+# text_bigram_lm, agg_hll_distinct, pipeline_split_leakage_safe,
+# ann_mips_ivf) solo-warm-benched at each scale point, and
 # watch_solo_sf3 is the solo A-vs-B window for the sf3 watch-list
 # entries the r10 verdict asked to measure-not-chase (dedup_simhash,
 # dedup_minhash_lsh).

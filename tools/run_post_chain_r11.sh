@@ -15,7 +15,7 @@ cd "$(dirname "$0")/.."
 CLS=${CLS:-target/scala-2.13/classes}
 JO="--add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED"
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
-NEW=join_asof,text_bigram_lm,agg_hll_distinct,pipeline_split_leakage_safe
+NEW=join_asof,text_bigram_lm,agg_hll_distinct,pipeline_split_leakage_safe,ann_mips_ivf
 
 bench() { # sf_dir out warm only ("" = full suite; env must stay UNSET
           # then — an empty SPARK_GRAFT_ONLY matches nothing)
