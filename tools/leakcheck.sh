@@ -5,21 +5,23 @@
 # Greps the tracked tree for anything that looks like non-public
 # provenance: internal-looking imports/URLs/buckets/env vars, API keys.
 # Usage: tools/leakcheck.sh [out_json]   (default LEAKCHECK_local.json)
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 OUT=${1:-LEAKCHECK_local.json}
 SHA=$(git rev-parse HEAD)
 NOW=$(date -u +%Y-%m-%dT%H:%M:%SZ)
 
-scan() { # label regex
+scan() { # label regex — hits travel via stdin, never source-code
+         # interpolation (ADVICE r11: a matched line containing \x
+         # escapes or a quote next to the heredoc delimiter was a
+         # silent Python SyntaxError swallowed by the sed pipe)
   local label=$1 re=$2
   local hits
   hits=$(git grep -nIiE "$re" -- ':!*.json' ':!LEAKCHECK*' ':!tools/leakcheck.sh' || true)
-  python3 - "$label" <<PYEOF
+  printf '%s' "$hits" | python3 -c '
 import json, sys
-hits = """$hits""".strip()
-print(json.dumps({sys.argv[1]: hits.splitlines() if hits else []}))
-PYEOF
+hits = sys.stdin.read().strip()
+print(json.dumps({sys.argv[1]: hits.splitlines() if hits else []}))' "$label"
 }
 
 {

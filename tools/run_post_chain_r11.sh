@@ -1,10 +1,10 @@
 #!/bin/bash
 # Post-chain r11 sequence (run ONLY after run_scale_chain_r11.sh prints
 # CHAIN_DONE — every step here needs the machine to itself):
-#   1. supplement benches: the three post-chain entries (join_asof,
-#      text_bigram_lm, agg_hll_distinct) solo-warm at sf1/sf3/sf10,
-#      and the r10 watch-list pair (dedup_simhash, dedup_minhash_lsh)
-#      solo-warm at sf3;
+#   1. supplement benches: the five post-chain entries (join_asof,
+#      text_bigram_lm, agg_hll_distinct, pipeline_split_leakage_safe,
+#      ann_mips_ivf) solo-warm at sf1/sf3/sf10, and the r10 watch-list
+#      pair (dedup_simhash, dedup_minhash_lsh) solo-warm at sf3;
 #   2. final-build full-suite sf0.1 bench -> tracked BENCH_local.json;
 #   3. assemble BENCH_r11_scale.json from the chain points + probes +
 #      supplements.
