@@ -41,6 +41,19 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, tolerance: Option[Column] = None): DataFrame = {
     val rightPayload = right.columns.filterNot(c => c == keyCol || c == tsCol)
+    // library-form contract enforcement (ADVICE r11: a silent payload/
+    // left collision produced duplicate output columns; caller frames
+    // carrying the internal working names corrupted the carry)
+    val collisions = rightPayload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: " +
+        s"${collisions.mkString(", ")} — rename them before joining")
+    val reserved = Set("__tag", "__r", "__m", s"${tsCol}_matched")
+    val reservedHits =
+      (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"column names reserved by asofBackward present in an input: " +
+        s"${reservedHits.mkString(", ")}")
     // one struct carry instead of one last() per payload column: a
     // single ignoreNulls-last scans the frame once however wide the
     // right side is (the matched ts rides inside the struct too);
@@ -94,6 +107,53 @@ object AsofJoin {
         (us(col("ts")) - us(col("ts_matched"))).as("gap_us"))
   }
 
+  /** Entry: the tolerance-bounded variant of [[joinAsof]] — attribution
+    * windows are never unbounded in production (a purchase from last
+    * quarter does not explain today's click). Same carry, same single
+    * exchange; a match older than `AsofToleranceHours` is nulled PER
+    * ROW by the tolerance branch (no second pass), so stale-match rows
+    * keep their left columns with null right payload — exactly the
+    * rows a bounded `ASOF` emits. Non-vacuity (some matches survive,
+    * some are nulled) is asserted in AsofJoinSpec on the driver
+    * fixture. */
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    asofBackward(clicks, purchases, "user_id", "ts",
+        tolerance = Some(expr(s"INTERVAL $AsofToleranceHours HOURS")))
+      .select(
+        col("user_id"), col("click_id"), us(col("ts")).as("click_us"),
+        col("purchase_id"), us(col("ts_matched")).as("purchase_us"),
+        (us(col("ts")) - us(col("ts_matched"))).as("gap_us"))
+  }
+
+  private val AsofToleranceHours = 2
+
+  val joinAsofToleranceSql: String =
+    s"""WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id
+       |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |c AS (SELECT user_id, ts, event_id AS click_id
+       |      FROM events WHERE event_type = 'click'),
+       |a AS (SELECT c.user_id, c.click_id, c.ts AS cts, p.ts AS pts,
+       |             p.purchase_id
+       |      FROM c ASOF LEFT JOIN p
+       |        ON c.user_id = p.user_id AND c.ts >= p.ts)
+       |SELECT user_id, click_id,
+       |  CAST(epoch_us(cts) AS BIGINT) AS click_us,
+       |  CASE WHEN cts - pts <= INTERVAL $AsofToleranceHours HOURS
+       |       THEN purchase_id END AS purchase_id,
+       |  CASE WHEN cts - pts <= INTERVAL $AsofToleranceHours HOURS
+       |       THEN CAST(epoch_us(pts) AS BIGINT) END AS purchase_us,
+       |  CASE WHEN cts - pts <= INTERVAL $AsofToleranceHours HOURS
+       |       THEN CAST(epoch_us(cts) - epoch_us(pts) AS BIGINT)
+       |       END AS gap_us
+       |FROM a""".stripMargin
+
   val joinAsofSql: String =
     """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id
       |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -108,8 +168,10 @@ object AsofJoin {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_asof" -> (joinAsof(_, _)))
+    "join_asof" -> (joinAsof(_, _)),
+    "join_asof_tolerance" -> (joinAsofTolerance(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "join_asof" -> joinAsofSql)
+    "join_asof" -> joinAsofSql,
+    "join_asof_tolerance" -> joinAsofToleranceSql)
 }

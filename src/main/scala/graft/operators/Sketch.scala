@@ -12,6 +12,17 @@ import graft.Tables
   * registers merge by elementwise max (the sketch is a semilattice, so
   * map-side combine does most of the work).
   *
+  * The sketch is exposed in its MERGEABLE form (r12): [[hllSketch]]
+  * emits the register table `(group…, bucket, r)` — a value a pipeline
+  * can persist per partition/day/source — [[hllMerge]] combines
+  * sketches by elementwise max (union + re-max: the semilattice join,
+  * so merged-then-estimated ≡ estimated-over-everything, which the
+  * `agg_hll_merge` entry proves cross-engine), and [[hllEstimate]]
+  * finishes registers into the estimate. [[hllDistinct]] is the fused
+  * one-shot composition. Production shape: sketch each day's data
+  * once, store ≤m rows per (group, day), answer any date-range
+  * distinct query by merging sketches — no rescan.
+  *
   * Everything up to the final estimate is INTEGER-exact, which is what
   * makes the sketch cross-engine oracle-able (no library HLL is):
   *  - 60-bit hash = first 15 hex chars of md5(value-as-string)
@@ -36,10 +47,13 @@ import graft.Tables
   */
 object Sketch {
 
-  /** HLL registers + raw estimate per group. `log2m` in [4, 16];
-    * m = 2^log2m registers. Library form: any frame, any group
-    * columns, any value column with a stable string form. */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+  /** The mergeable sketch: HLL register table `(groupCols…, bucket, r)`
+    * — at most m = 2^log2m rows per group, whatever the input size.
+    * NULL values are ignored, matching COUNT(DISTINCT) semantics
+    * (ADVICE r11: an unfiltered null hashed to a null bucket and
+    * nulled the whole group's estimate). Merge two sketches with
+    * [[hllMerge]]; finish with [[hllEstimate]] at the same log2m. */
+  def hllSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
       log2m: Int = 10): DataFrame = {
     require(log2m >= 4 && log2m <= 16, s"log2m out of range: $log2m")
     val m = 1 << log2m
@@ -47,7 +61,8 @@ object Sketch {
     val gcols = groupCols.map(col)
     val hash = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
       16, 10).cast("long")
-    val regs = df
+    df
+      .filter(col(valueCol).isNotNull)
       .select((gcols :+ hash.as("h")): _*)
       .withColumn("bucket", col("h") % m)
       .withColumn("rest", shiftright(col("h"), log2m))
@@ -56,6 +71,28 @@ object Sketch {
           .otherwise(lit(restBits + 1) - length(bin(col("rest")))))
       .groupBy((gcols :+ col("bucket")): _*)
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** Semilattice merge of register tables produced by [[hllSketch]] at
+    * the SAME log2m over the SAME group schema: union + elementwise
+    * max. Associative, commutative, idempotent — per-day/per-source
+    * sketches compose in any order to exactly the sketch of the
+    * concatenated input (`agg_hll_merge` gates this cross-engine). */
+  def hllMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "hllMerge needs at least one sketch")
+    val gcols = groupCols.map(col)
+    sketches.reduce(_.unionByName(_))
+      .groupBy((gcols :+ col("bucket")): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Finisher: registers → `(groupCols…, v_zero, hll_estimate)`. Must
+    * be called with the log2m the registers were built at. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+      log2m: Int = 10): DataFrame = {
+    require(log2m >= 4 && log2m <= 16, s"log2m out of range: $log2m")
+    val m = 1 << log2m
+    val gcols = groupCols.map(col)
     val alphaM2 = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
       lit(m.toDouble) * lit(m.toDouble)
     regs
@@ -73,6 +110,14 @@ object Sketch {
           (alphaM2 / (col("s_present") +
             (lit(m) - col("n_present")).cast("double"))).as("hll_estimate")): _*)
   }
+
+  /** One-shot composition: HLL registers + raw estimate per group.
+    * `log2m` in [4, 16]; m = 2^log2m registers. Library form: any
+    * frame, any group columns, any value column with a stable string
+    * form. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      log2m: Int = 10): DataFrame =
+    hllEstimate(hllSketch(df, groupCols, valueCol, log2m), groupCols, log2m)
 
   /** Entry: distinct users per event type, sketched (m = 1024) next to
     * the exact count the sketch replaces. */
@@ -108,9 +153,69 @@ object Sketch {
       |    (s_present + CAST(1024 - n_present AS DOUBLE)) AS hll_estimate
       |FROM g JOIN e ON g.event_type = e.event_type""".stripMargin
 
+  /** Entry: the MERGE path proven against the direct path — events are
+    * split into two disjoint shards (event_id parity — the stand-in
+    * for "two days of data sketched independently"), each shard
+    * sketched on its own, the sketches merged, and the merged estimate
+    * emitted NEXT TO the direct single-pass estimate. Because merge is
+    * the semilattice join, the two estimates must be IDENTICAL doubles
+    * — the oracle computes both sides independently, so a hash match
+    * proves the composition law holds in both engines. */
+  def hllUsersMerged(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val shards = Seq(0, 1).map(p =>
+      hllSketch(events.filter(pmod(col("event_id"), lit(2)) === p),
+        Seq("event_type"), "user_id", log2m = 10))
+    val merged = hllEstimate(hllMerge(shards, Seq("event_type")),
+        Seq("event_type"), log2m = 10)
+      .select(col("event_type"), col("hll_estimate").as("est_merged"))
+    val direct = hllDistinct(events, Seq("event_type"), "user_id", log2m = 10)
+      .select(col("event_type"), col("hll_estimate").as("est_direct"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    direct.join(merged, Seq("event_type")).join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"), col("est_direct"),
+        col("est_merged"))
+  }
+
+  val hllUsersMergedSql: String =
+    """WITH h AS (
+      |  SELECT event_type, event_id % 2 AS part,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events),
+      |b AS (SELECT event_type, part, h % 1024 AS bucket, h >> 10 AS rest FROM h),
+      |rp AS (SELECT event_type, part, bucket,
+      |         max(CASE WHEN rest = 0 THEN 51
+      |                  ELSE 51 - length(bin(rest)) END) AS r
+      |       FROM b GROUP BY 1, 2, 3),
+      |rm AS (SELECT event_type, bucket, max(r) AS r FROM rp GROUP BY 1, 2),
+      |rd AS (SELECT event_type, bucket,
+      |         max(CASE WHEN rest = 0 THEN 51
+      |                  ELSE 51 - length(bin(rest)) END) AS r
+      |       FROM b GROUP BY 1, 2),
+      |gm AS (SELECT event_type, count(*) AS n_present,
+      |         list_reduce(list(pow(2.0, -r) ORDER BY bucket),
+      |                     (acc, x) -> acc + x) AS s_present
+      |       FROM rm GROUP BY 1),
+      |gd AS (SELECT event_type, count(*) AS n_present,
+      |         list_reduce(list(pow(2.0, -r) ORDER BY bucket),
+      |                     (acc, x) -> acc + x) AS s_present
+      |       FROM rd GROUP BY 1),
+      |e AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+      |      FROM events GROUP BY 1)
+      |SELECT gd.event_type, e.n_exact,
+      |  (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 /
+      |    (gd.s_present + CAST(1024 - gd.n_present AS DOUBLE)) AS est_direct,
+      |  (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 /
+      |    (gm.s_present + CAST(1024 - gm.n_present AS DOUBLE)) AS est_merged
+      |FROM gd JOIN gm ON gd.event_type = gm.event_type
+      |JOIN e ON gd.event_type = e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_hll_distinct" -> (hllUsers(_, _)))
+    "agg_hll_distinct" -> (hllUsers(_, _)),
+    "agg_hll_merge" -> (hllUsersMerged(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "agg_hll_distinct" -> hllUsersSql)
+    "agg_hll_distinct" -> hllUsersSql,
+    "agg_hll_merge" -> hllUsersMergedSql)
 }

@@ -82,6 +82,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast.filter($"purchase_id".isNull).count() > 0)
   }
 
+  test("payload/left name collisions and reserved names are rejected") {
+    val badRight = Seq((1L, ts("2024-01-01 09:30:00"), 7L))
+      .toDF("k", "ts", "lid") // lid collides with a left column
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(left, badRight, "k", "ts")
+    }
+    assert(e1.getMessage.contains("lid"))
+    val reservedLeft = left.withColumn("__tag", lit(9))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(reservedLeft, right, "k", "ts")
+    }
+    assert(e2.getMessage.contains("__tag"))
+    val matchedName = left.withColumn("ts_matched", lit(0L))
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(matchedName, right, "k", "ts")
+    }
+    assert(e3.getMessage.contains("ts_matched"))
+  }
+
+  test("tolerance entry binds non-vacuously at sf0.001") {
+    val out = AsofJoin.joinAsofTolerance(spark, sf("sf0.001"))
+    val unbounded = AsofJoin.joinAsof(spark, sf("sf0.001"))
+    val kept = out.filter($"purchase_id".isNotNull).count()
+    val nulled = out.filter($"purchase_id".isNull).count()
+    assert(kept > 0, "no match survives the tolerance — bound too tight")
+    // the bound must actually null something the unbounded entry matched
+    assert(nulled > unbounded.filter($"purchase_id".isNull).count(),
+      "tolerance nulled nothing — bound too loose to exercise the branch")
+    // every surviving gap respects the bound
+    assert(out.filter($"gap_us" > 2L * 3600L * 1000000L).count() === 0)
+  }
+
   test("plan has no nested-loop or cartesian amplification") {
     val plan = AsofJoin.joinAsof(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString

@@ -73,6 +73,40 @@ class SketchSpec extends SparkSpec {
     assert(est(once) === est(dup))
   }
 
+  test("merged shard sketches equal the direct sketch exactly") {
+    val rows = (0 until 2400).map(i => (s"t${i % 3}", s"u${i % 811}"))
+    val df = rows.toDF("t", "v")
+    val shards = Seq(0, 1, 2).map(p =>
+      Sketch.hllSketch(df.filter(abs(hash($"v")) % 3 === p), Seq("t"), "v"))
+    val merged = Sketch.hllEstimate(Sketch.hllMerge(shards, Seq("t")), Seq("t"))
+    val direct = Sketch.hllDistinct(df, Seq("t"), "v")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.select($"t", $"v_zero", $"hll_estimate").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m(merged) === m(direct))
+  }
+
+  test("merge is idempotent and order-insensitive") {
+    val df = (0 until 900).map(i => ("g", s"u${i % 333}")).toDF("g", "v")
+    val a = Sketch.hllSketch(df.filter(length($"v") <= 3), Seq("g"), "v")
+    val b = Sketch.hllSketch(df.filter(length($"v") > 3), Seq("g"), "v")
+    def est(s: org.apache.spark.sql.DataFrame) =
+      Sketch.hllEstimate(s, Seq("g")).select($"hll_estimate").as[Double].head()
+    assert(est(Sketch.hllMerge(Seq(a, b), Seq("g"))) ===
+      est(Sketch.hllMerge(Seq(b, a, b), Seq("g"))))
+  }
+
+  test("null values are ignored, matching COUNT(DISTINCT)") {
+    val withNulls = (0 until 400).map(i => ("g", s"u$i")) :+ (("g", null: String))
+    val clean = (0 until 400).map(i => ("g", s"u$i"))
+    def run(rows: Seq[(String, String)]) =
+      Sketch.hllDistinct(rows.toDF("g", "v"), Seq("g"), "v")
+        .select($"v_zero", $"hll_estimate").as[(Long, Double)].head()
+    val got = run(withNulls)
+    assert(got === run(clean))
+    assert(!got._2.isNaN)
+  }
+
   test("entry: plan aggregates registers, not distinct values") {
     val df = Sketch.hllDistinct(
       graft.Tables(spark, sf("sf0.001"), "events"), Seq("event_type"), "user_id")
