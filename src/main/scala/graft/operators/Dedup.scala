@@ -411,13 +411,27 @@ object Dedup {
     * A prefix candidate costs more than a count row (group + two
     * doc-keyed verify joins + array_intersect vs one counted long), so
     * prefix wins only when `prefixCostFactor`·V_prefix < V_count. The
-    * factor is measurement-calibrated (see BENCH_r11_scale.json's
-    * ngram probe): at t=0.8 the bench corpus reads V_prefix ≈ 0.1·
-    * V_count and prefix measures ~2× faster; at t=0.5 V_prefix ≈
-    * 0.33·V_count and count measures faster — K = 5 separates the two
-    * regimes with margin on both sides. Forcing values used by specs:
-    * 0.0 dispatches prefix whenever the count plan would emit anything
-    * at all; a huge value always dispatches count.
+    * factor is calibrated against clean-machine A-vs-B phase timings
+    * at THREE scale points (r12, `bench_points_r12/ngram_ab_sf{1,3}
+    * .json` + the r11 sf10 probe; t=0.8, V_prefix ≈ 0.087·V_count at
+    * all three): prefix measures 2.2-2.4× faster at sf1/sf3 and
+    * statistically TIES count at sf10 — so the prefix pick's regret
+    * is 0 / 0 / ~0.7s, while a count pick would have cost +8.5s /
+    * +19.8s / −0.7s. The t=0.5 sf0.1 flip (count wins at V_prefix ≈
+    * 0.33·V_count) bounds K from below at ~3; the t=0.8 data bounds
+    * it above at ~11.5 — K = 5 sits inside with margin both sides.
+    * Known model limit, measured not guessed: the count plan's
+    * per-row cost FALLS with scale (a codegen'd grouped count
+    * amortizes its fixed overheads: 1.1 µs/row at sf1 → 0.25 µs/row
+    * at sf10) while prefix's per-candidate verify cost stays ~3-5 µs,
+    * so the linear rule overestimates count's cost at 100× and the
+    * predicted 11× prefix advantage at sf10 is really a tie — an
+    * error in the cheap direction (the tie makes either pick
+    * harmless), but on a corpus far past the tie point count can win
+    * outright; re-probe rather than extrapolate there. Forcing
+    * values used by specs: 0.0 dispatches prefix whenever the count
+    * plan would emit anything at all; a huge value always dispatches
+    * count.
     *
     * What is (and is NOT) persisted: the probe materializes only the
     * SMALL `(gram, df≥2)` aggregate — two longs per genuinely-shared
