@@ -408,8 +408,18 @@ object Text {
     * counts) → joined back on bigram/prefix keys (AQE broadcasts both
     * at scale — aggregate outputs are corpus-sublinear) → per-doc fold.
     * Docs under 2 tokens have no bigram and are dropped (the C4/C16
-    * convention). Library form: any frame with `doc_id`, `text`. */
-  def bigramLm(documents: DataFrame): DataFrame = {
+    * convention). Library form: any frame with `doc_id`, `text`.
+    *
+    * `orderedFold` (r12): the position-ordered fold exists ONLY for
+    * cross-engine hash parity — it materializes a per-doc
+    * `collect_list(struct(pos, p))` (bounded by doc length, but real
+    * memory at 100 TB). Production consumers that don't need
+    * bit-reproducible doubles pass `orderedFold = false` and get a
+    * plain partial-aggregated `sum(p)` — same numbers up to
+    * double-addition reorder (TextSpec pins agreement to 1e-9
+    * relative), no per-doc list, fully map-side-combinable. The entry
+    * keeps the ordered fold because the driver gate hashes doubles. */
+  def bigramLm(documents: DataFrame, orderedFold: Boolean = true): DataFrame = {
     val bigrams = documents
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -423,6 +433,11 @@ object Text {
     val cbig = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cbig"))
     val cpre = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("cpre"))
+    val sumP =
+      if (orderedFold)
+        expr("""aggregate(sort_array(collect_list(struct(pos, p))),
+               |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)""".stripMargin)
+      else sum(col("p"))
     bigrams.join(cbig, Seq("w1", "w2")).join(cpre, Seq("w1"))
       .withColumn("p", col("cbig") / col("cpre"))
       .groupBy(col("doc_id"))
@@ -430,9 +445,7 @@ object Text {
         count(lit(1)).as("n_bigrams"),
         sum(when(col("cbig") === 1, 1L).otherwise(0L)).as("novel_bigrams"),
         min(col("cbig")).as("min_cbig"),
-        expr("""aggregate(sort_array(collect_list(struct(pos, p))),
-               |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.p)""".stripMargin)
-          .as("sum_p"))
+        sumP.as("sum_p"))
       .select(
         col("doc_id"), col("n_bigrams"), col("novel_bigrams"),
         col("min_cbig"), col("sum_p"),

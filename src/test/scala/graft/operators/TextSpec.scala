@@ -250,6 +250,30 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("bigramLm: plain-sum production path agrees with the ordered fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rows = (0L until 60L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text").repartition(13)
+    def m(ordered: Boolean) = Text.bigramLm(df, orderedFold = ordered)
+      .select($"doc_id", $"sum_p", $"n_bigrams", $"novel_bigrams").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val o = m(true); val p = m(false)
+    assert(o.keySet === p.keySet)
+    o.foreach { case (id, (sp, nb, nv)) =>
+      assert(p(id)._2 === nb); assert(p(id)._3 === nv)
+      assert(math.abs(p(id)._1 - sp) <= 1e-9 * math.max(1.0, math.abs(sp)),
+        s"doc $id: ordered $sp vs plain ${p(id)._1}")
+    }
+    // and the production path plans no per-doc list materialization
+    val plan = Text.bigramLm(df, orderedFold = false)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list"))
+  }
+
   test("bigramLm: predictable text outscores shuffled text") {
     import spark.implicits._
     // 30 copies of one sentence + 1 doc with the same tokens in a rare
