@@ -39,7 +39,24 @@ object AsofJoin {
     * or before the left row's `ts`), plus the matched right timestamp as
     * `<tsCol>_matched`. `right` must be unique per (key, ts). */
   def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, tolerance: Option[Column] = None): DataFrame = {
+      tsCol: String, tolerance: Option[Column] = None): DataFrame =
+    asofDirected(left, right, keyCol, tsCol, tolerance, forward = false)
+
+  /** Forward as-of join (pandas merge_asof `direction='forward'` /
+    * DuckDB `ASOF ... ON l.ts <= r.ts`): for each left row, the single
+    * EARLIEST right row with `right.ts >= left.ts` on the same key —
+    * the "next event after" enrichment (click → next purchase, alert →
+    * next deploy). Identical cost shape to backward: the same single
+    * |L|+|R| exchange, the window merely orders descending so the
+    * ignoreNulls-last carry holds the nearest LATER right row (right
+    * still sorts before left at equal ts, so `ts_r == ts_l` matches —
+    * `<=` semantics). `tolerance` bounds the match's futurity. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tolerance: Option[Column] = None): DataFrame =
+    asofDirected(left, right, keyCol, tsCol, tolerance, forward = true)
+
+  private def asofDirected(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tolerance: Option[Column], forward: Boolean): DataFrame = {
     val rightPayload = right.columns.filterNot(c => c == keyCol || c == tsCol)
     // library-form contract enforcement (ADVICE r11: a silent payload/
     // left collision produced duplicate output columns; caller frames
@@ -52,7 +69,7 @@ object AsofJoin {
     val reservedHits =
       (left.columns ++ right.columns).toSet.intersect(reserved)
     require(reservedHits.isEmpty,
-      s"column names reserved by asofBackward present in an input: " +
+      s"column names reserved by the as-of join present in an input: " +
         s"${reservedHits.mkString(", ")}")
     // one struct carry instead of one last() per payload column: a
     // single ignoreNulls-last scans the frame once however wide the
@@ -65,13 +82,20 @@ object AsofJoin {
     val r = right.select(
       col(keyCol), col(tsCol), lit(0).as("__tag"), rStruct.as("__r"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // forward = the same linear carry over a DESCENDING ts order: the
+    // window's preceding rows are the later timestamps, so the last
+    // non-null right struct is the nearest row with ts >= current (the
+    // ascending tag keeps right before left at equal ts in both
+    // directions)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__tag"))
+      .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc, col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried0 = last(col("__r"), ignoreNulls = true).over(w)
+    val age =
+      if (forward) carried0.getField("__ts") - col(tsCol)
+      else col(tsCol) - carried0.getField("__ts")
     val carried = tolerance match {
-      case Some(tol) =>
-        when(col(tsCol) - carried0.getField("__ts") <= tol, carried0)
+      case Some(tol) => when(age <= tol, carried0)
       case None => carried0
     }
     unioned
@@ -134,6 +158,38 @@ object AsofJoin {
 
   private val AsofToleranceHours = 2
 
+  /** Entry: the FORWARD direction — for each click, the user's next
+    * purchase at or after the click (did the click convert, and how
+    * long did conversion take). `gap_us` is purchase − click ≥ 0.
+    * Oracle = DuckDB native ASOF with the inequality flipped. */
+  def joinAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    asofForward(clicks, purchases, "user_id", "ts")
+      .select(
+        col("user_id"), col("click_id"), us(col("ts")).as("click_us"),
+        col("purchase_id"), us(col("ts_matched")).as("purchase_us"),
+        (us(col("ts_matched")) - us(col("ts"))).as("gap_us"))
+  }
+
+  val joinAsofForwardSql: String =
+    """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT user_id, ts, event_id AS click_id
+      |      FROM events WHERE event_type = 'click')
+      |SELECT c.user_id, c.click_id,
+      |  CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+      |  p.purchase_id,
+      |  CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+      |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts <= p.ts""".stripMargin
+
   val joinAsofToleranceSql: String =
     s"""WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id
        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -169,9 +225,11 @@ object AsofJoin {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> (joinAsof(_, _)),
-    "join_asof_tolerance" -> (joinAsofTolerance(_, _)))
+    "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
+    "join_asof_forward" -> (joinAsofForward(_, _)))
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
-    "join_asof_tolerance" -> joinAsofToleranceSql)
+    "join_asof_tolerance" -> joinAsofToleranceSql,
+    "join_asof_forward" -> joinAsofForwardSql)
 }

@@ -82,6 +82,45 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast.filter($"purchase_id".isNull).count() > 0)
   }
 
+  test("forward: earliest at-or-after match, equal-ts inclusion, null past end") {
+    val out = AsofJoin.asofForward(left, right, "k", "ts")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === Some(201L)) // next at-or-after 10:00 is 12:00
+    assert(out(101L) === Some(201L)) // equal ts matches (<= semantics)
+    assert(out(102L) === Some(202L)) // 09:30 is after 09:00 — forward matches
+    assert(out(103L) === None)       // key 3 has no right rows at all
+  }
+
+  test("forward tolerance nulls matches farther than the bound") {
+    val out = AsofJoin.asofForward(left, right, "k", "ts",
+        tolerance = Some(expr("INTERVAL 40 MINUTES")))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === None)       // 12:00 is 2h ahead — outside bound
+    assert(out(102L) === Some(202L)) // 09:30 is 30min ahead — inside
+  }
+
+  test("forward differential vs naive range-join argmin at sf0.001") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+    val fast = AsofJoin.asofForward(clicks, purchases, "user_id", "ts")
+      .select($"click_id", $"purchase_id")
+    val j = clicks.join(purchases.withColumnRenamed("ts", "pts")
+        .withColumnRenamed("user_id", "puid"),
+      $"user_id" === $"puid" && $"ts" <= $"pts", "left")
+    val w = Window.partitionBy($"click_id")
+      .orderBy($"pts".asc_nulls_last, $"purchase_id".desc_nulls_last)
+    val naive = j.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).select($"click_id", $"purchase_id")
+    assert(fast.count() === clicks.count())
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+    assert(fast.filter($"purchase_id".isNotNull).count() > 0)
+    assert(fast.filter($"purchase_id".isNull).count() > 0)
+  }
+
   test("payload/left name collisions and reserved names are rejected") {
     val badRight = Seq((1L, ts("2024-01-01 09:30:00"), 7L))
       .toDF("k", "ts", "lid") // lid collides with a left column
