@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -211,11 +212,129 @@ object Sketch {
       |FROM gd JOIN gm ON gd.event_type = gm.event_type
       |JOIN e ON gd.event_type = e.event_type""".stripMargin
 
+  // --------------------------------------------------------------- C29
+  /** Mergeable log2-histogram quantile sketch — the quantile twin of
+    * the C26 register table: an exact quantile at 100 TB is a full
+    * sort (or a corpus-wide percentile shuffle); this sketch shuffles
+    * at most ~64 `(group, bucket, cnt)` rows per partition per group
+    * and answers any quantile with a factor-of-two value bound —
+    * the right first-pass shape for "what's the p99 doc length per
+    * source" over a corpus (follow up exactly on the one bucket if
+    * tighter bounds are needed).
+    *
+    * Everything is INTEGER-exact, so the sketch is cross-engine
+    * oracle-able end-to-end (q-digest/KLL are not):
+    *  - bucket = bit length of the non-negative long value, via the
+    *    same `length(bin(v))` idiom as C26's rho (0 for v = 0) — an
+    *    integer log2, never a float one (§8);
+    *  - sketch = groupBy(group, bucket) count — map-side combined;
+    *  - merge = union + SUM (counts are a commutative monoid — the
+    *    spec proves shard-merge ≡ direct);
+    *  - rank_p = ceil(n·p/100) computed as (n·p + 99) div 100 in
+    *    integer arithmetic (no float multiply);
+    *  - quantile bucket = min bucket with cumulative count ≥ rank_p
+    *    (bucket-ordered window cumsum — identical in both engines);
+    *    the answer ships as the exact integer bounds [2^(b-1), 2^b)
+    *    of that bucket, which CONTAIN the exact p-quantile by
+    *    construction (spec-checked against a driver-side sort).
+    * Values must be non-negative longs (cents, token counts, bytes —
+    * scale decimals exactly first; a negative value would land in the
+    * two's-complement top bucket and poison the max bound). */
+  def logHistSketch(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    df.filter(col(valueCol).isNotNull)
+      .select((gcols :+ col(valueCol).cast("long").as("v")): _*)
+      .withColumn("bucket",
+        when(col("v") === 0, lit(0)).otherwise(length(bin(col("v")))))
+      .groupBy((gcols :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Monoid merge of [[logHistSketch]] tables over the same group
+    * schema: union + per-bucket count sum. */
+  def logHistMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "logHistMerge needs at least one sketch")
+    val gcols = groupCols.map(col)
+    sketches.reduce(_.unionByName(_))
+      .groupBy((gcols :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Finisher: per group, for each requested integer percentile p,
+    * the factor-of-two bounds `p<p>_lo`/`p<p>_hi` of the bucket the
+    * exact p-quantile falls in, plus the group count `n`. */
+  def logHistQuantile(sketch: DataFrame, groupCols: Seq[String],
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100]: $percentiles")
+    val gcols = groupCols.map(col)
+    val wCum = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val c = sketch
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // the quantile bucket as a SQL fragment so lo/hi stay textually
+    // symmetric with the oracle's CASE tree
+    def bq(p: Int) =
+      s"min(CASE WHEN cum >= (n * $p + 99) div 100 THEN bucket END)"
+    val qCols = percentiles.flatMap { p => Seq(
+      expr(s"CAST(CASE WHEN ${bq(p)} = 0 THEN 0 ELSE " +
+          s"shiftleft(CAST(1 AS BIGINT), ${bq(p)} - 1) END AS BIGINT)")
+        .as(s"p${p}_lo"),
+      expr(s"CAST(CASE WHEN ${bq(p)} = 0 THEN 0 ELSE " +
+          s"shiftleft(CAST(1 AS BIGINT), ${bq(p)}) - 1 END AS BIGINT)")
+        .as(s"p${p}_hi"))
+    }
+    c.groupBy(gcols: _*)
+      .agg(max(col("n")).cast("long").as("n"), qCols: _*)
+  }
+
+  /** Entry: order-value quantile bounds per order priority — exact
+    * decimal cents (the Olap money discipline: DECIMAL(18,2)·100,
+    * never a double cast), p50/p90/p99 bounds from the sketch next to
+    * the exact count. */
+  def quantileOrderValues(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val sk = logHistSketch(orders, Seq("o_orderpriority"), "cents")
+    logHistQuantile(sk, Seq("o_orderpriority"), Seq(50, 90, 99))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_distinct" -> (hllUsers(_, _)),
-    "agg_hll_merge" -> (hllUsersMerged(_, _)))
+    "agg_hll_merge" -> (hllUsersMerged(_, _)),
+    "agg_quantile_sketch" -> (quantileOrderValues(_, _)))
+
+  val quantileOrderValuesSql: String =
+    """WITH v AS (SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |s AS (SELECT g, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bucket,
+      |        count(*) AS cnt FROM v GROUP BY 1, 2),
+      |c AS (SELECT g, bucket, cnt,
+      |        sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+      |        sum(cnt) OVER (PARTITION BY g) AS n
+      |      FROM s),
+      |e AS (SELECT g, max(n) AS n,
+      |        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END) AS b50,
+      |        min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bucket END) AS b90,
+      |        min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) AS b99
+      |      FROM c GROUP BY g)
+      |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN b50 = 0 THEN 0 ELSE 1::BIGINT << (b50 - 1) END AS BIGINT) AS p50_lo,
+      |  CAST(CASE WHEN b50 = 0 THEN 0 ELSE (1::BIGINT << b50) - 1 END AS BIGINT) AS p50_hi,
+      |  CAST(CASE WHEN b90 = 0 THEN 0 ELSE 1::BIGINT << (b90 - 1) END AS BIGINT) AS p90_lo,
+      |  CAST(CASE WHEN b90 = 0 THEN 0 ELSE (1::BIGINT << b90) - 1 END AS BIGINT) AS p90_hi,
+      |  CAST(CASE WHEN b99 = 0 THEN 0 ELSE 1::BIGINT << (b99 - 1) END AS BIGINT) AS p99_lo,
+      |  CAST(CASE WHEN b99 = 0 THEN 0 ELSE (1::BIGINT << b99) - 1 END AS BIGINT) AS p99_hi
+      |FROM e""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "agg_hll_distinct" -> hllUsersSql,
-    "agg_hll_merge" -> hllUsersMergedSql)
+    "agg_hll_merge" -> hllUsersMergedSql,
+    "agg_quantile_sketch" -> quantileOrderValuesSql)
 }

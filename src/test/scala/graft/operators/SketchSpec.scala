@@ -107,6 +107,49 @@ class SketchSpec extends SparkSpec {
     assert(!got._2.isNaN)
   }
 
+  test("logHist: bucket = integer bit length (known values)") {
+    val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
+      .map(("g", _)).toDF("g", "v")
+    val got = Sketch.logHistSketch(df, Seq("g"), "v")
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // 0→bucket 0; 1→1; 2,3→2; 4..7→3; 8→4; 1023→10; 1024→11
+    assert(got === Map(0 -> 1L, 1 -> 1L, 2 -> 2L, 3 -> 2L, 4 -> 1L,
+      10 -> 1L, 11 -> 1L))
+  }
+
+  test("logHist: quantile bounds contain the exact quantile") {
+    val rnd = new scala.util.Random(13)
+    val values = Seq.fill(5000)(math.abs(rnd.nextLong()) % 1000000L)
+    val df = values.map(("g", _)).toDF("g", "v").repartition(11)
+    val sk = Sketch.logHistSketch(df, Seq("g"), "v")
+    val row = Sketch.logHistQuantile(sk, Seq("g"), Seq(50, 90, 99)).head()
+    val sorted = values.sorted
+    def exact(p: Int) = sorted((values.size * p + 99) / 100 - 1)
+    for ((p, i) <- Seq(50 -> 2, 90 -> 4, 99 -> 6)) {
+      val (lo, hi) = (row.getLong(i), row.getLong(i + 1))
+      assert(lo <= exact(p) && exact(p) <= hi,
+        s"p$p: exact ${exact(p)} outside [$lo, $hi]")
+      assert(hi < 2 * math.max(lo, 1), s"p$p bounds wider than a factor of 2")
+    }
+  }
+
+  test("logHist: shard-merge equals the direct sketch (count monoid)") {
+    val rows = (0 until 3000).map(i => (s"t${i % 2}", (i * 37L) % 4096L))
+    val df = rows.toDF("t", "v")
+    val shards = Seq(0, 1, 2).map(p =>
+      Sketch.logHistSketch(df.filter(abs(hash($"v")) % 3 === p), Seq("t"), "v"))
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m(Sketch.logHistMerge(shards, Seq("t"))) ===
+      m(Sketch.logHistSketch(df, Seq("t"), "v")))
+    // and the merged quantiles equal the direct quantiles exactly
+    def q(sk: org.apache.spark.sql.DataFrame) =
+      Sketch.logHistQuantile(sk, Seq("t"), Seq(50, 99)).collect()
+        .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(q(Sketch.logHistMerge(shards, Seq("t"))) ===
+      q(Sketch.logHistSketch(df, Seq("t"), "v")))
+  }
+
   test("entry: plan aggregates registers, not distinct values") {
     val df = Sketch.hllDistinct(
       graft.Tables(spark, sf("sf0.001"), "events"), Seq("event_type"), "user_id")
