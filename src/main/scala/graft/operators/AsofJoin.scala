@@ -55,12 +55,51 @@ object AsofJoin {
       tsCol: String, tolerance: Option[Column] = None): DataFrame =
     asofDirected(left, right, keyCol, tsCol, tolerance, forward = true)
 
-  private def asofDirected(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, tolerance: Option[Column], forward: Boolean): DataFrame = {
+  /** Nearest as-of join (pandas merge_asof `direction='nearest'`):
+    * for each left row, whichever of the backward and forward matches
+    * is closer in time (tie → the backward one, matching pandas).
+    * STILL one |L|+|R| exchange: both carries run over the SAME
+    * key-partitioned union — two within-partition sorts (asc + desc
+    * window), zero extra shuffles. `tolerance` bounds both directions
+    * symmetrically. */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tolerance: Option[Column] = None): DataFrame = {
+    val rightPayload = validate(left, right, keyCol, tsCol)
+    val rStruct = struct(
+      (col(tsCol).as("__ts") +: rightPayload.map(col)): _*)
+    val l = left.withColumn("__tag", lit(1))
+    val r = right.select(
+      col(keyCol), col(tsCol), lit(0).as("__tag"), rStruct.as("__r"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    def w(desc: Boolean) = Window.partitionBy(col(keyCol))
+      .orderBy(if (desc) col(tsCol).desc else col(tsCol).asc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val back0 = last(col("__r"), ignoreNulls = true).over(w(desc = false))
+    val fwd0 = last(col("__r"), ignoreNulls = true).over(w(desc = true))
+    val ageB = col(tsCol) - back0.getField("__ts")
+    val ageF = fwd0.getField("__ts") - col(tsCol)
+    val (back, fwd) = tolerance match {
+      case Some(tol) => (when(ageB <= tol, back0), when(ageF <= tol, fwd0))
+      case None => (back0, fwd0)
+    }
+    val picked = when(back.isNotNull && (fwd.isNull || ageB <= ageF), back)
+      .otherwise(fwd)
+    unioned
+      .withColumn("__m", picked)
+      .filter(col("__tag") === 1)
+      .select(
+        (left.columns.map(col) :+
+          col("__m.__ts").as(s"${tsCol}_matched")) ++
+          rightPayload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Library-form contract enforcement (ADVICE r11: a silent payload/
+    * left collision produced duplicate output columns; caller frames
+    * carrying the internal working names corrupted the carry).
+    * Returns the right payload columns. */
+  private def validate(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String): Array[String] = {
     val rightPayload = right.columns.filterNot(c => c == keyCol || c == tsCol)
-    // library-form contract enforcement (ADVICE r11: a silent payload/
-    // left collision produced duplicate output columns; caller frames
-    // carrying the internal working names corrupted the carry)
     val collisions = rightPayload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right payload columns collide with left columns: " +
@@ -71,6 +110,12 @@ object AsofJoin {
     require(reservedHits.isEmpty,
       s"column names reserved by the as-of join present in an input: " +
         s"${reservedHits.mkString(", ")}")
+    rightPayload
+  }
+
+  private def asofDirected(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tolerance: Option[Column], forward: Boolean): DataFrame = {
+    val rightPayload = validate(left, right, keyCol, tsCol)
     // one struct carry instead of one last() per payload column: a
     // single ignoreNulls-last scans the frame once however wide the
     // right side is (the matched ts rides inside the struct too);
@@ -223,13 +268,61 @@ object AsofJoin {
       |FROM c ASOF LEFT JOIN p
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
+  /** Entry: the NEAREST direction — each click matched to the closest
+    * purchase in either direction (tie → backward, the pandas
+    * convention). `gap_us` is SIGNED: negative when the nearest
+    * purchase preceded the click. Oracle composes DuckDB's two native
+    * ASOF joins (one per inequality) and picks per row with the same
+    * tie rule — the nearest semantics is exactly that composition. */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    asofNearest(clicks, purchases, "user_id", "ts")
+      .select(
+        col("user_id"), col("click_id"), us(col("ts")).as("click_us"),
+        col("purchase_id"), us(col("ts_matched")).as("purchase_us"),
+        (us(col("ts_matched")) - us(col("ts"))).as("gap_us"))
+  }
+
+  val joinAsofNearestSql: String =
+    """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id
+      |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |c AS (SELECT user_id, ts, event_id AS click_id
+      |      FROM events WHERE event_type = 'click'),
+      |b AS (SELECT c.user_id, c.click_id, c.ts AS cts,
+      |             p.ts AS bts, p.purchase_id AS bid
+      |      FROM c ASOF LEFT JOIN p
+      |        ON c.user_id = p.user_id AND c.ts >= p.ts),
+      |f AS (SELECT c.click_id, p.ts AS fts, p.purchase_id AS fid
+      |      FROM c ASOF LEFT JOIN p
+      |        ON c.user_id = p.user_id AND c.ts <= p.ts),
+      |n AS (SELECT b.user_id, b.click_id, b.cts,
+      |        CASE WHEN bts IS NOT NULL AND (fts IS NULL OR cts - bts <= fts - cts)
+      |             THEN bts ELSE fts END AS mts,
+      |        CASE WHEN bts IS NOT NULL AND (fts IS NULL OR cts - bts <= fts - cts)
+      |             THEN bid ELSE fid END AS purchase_id
+      |      FROM b JOIN f ON b.click_id = f.click_id)
+      |SELECT user_id, click_id,
+      |  CAST(epoch_us(cts) AS BIGINT) AS click_us,
+      |  purchase_id,
+      |  CAST(epoch_us(mts) AS BIGINT) AS purchase_us,
+      |  CAST(epoch_us(mts) - epoch_us(cts) AS BIGINT) AS gap_us
+      |FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> (joinAsof(_, _)),
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
-    "join_asof_forward" -> (joinAsofForward(_, _)))
+    "join_asof_forward" -> (joinAsofForward(_, _)),
+    "join_asof_nearest" -> (joinAsofNearest(_, _)))
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,
-    "join_asof_forward" -> joinAsofForwardSql)
+    "join_asof_forward" -> joinAsofForwardSql,
+    "join_asof_nearest" -> joinAsofNearestSql)
 }

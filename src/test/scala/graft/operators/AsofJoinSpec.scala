@@ -121,6 +121,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast.filter($"purchase_id".isNull).count() > 0)
   }
 
+  test("nearest: closer side wins, tie goes backward, single side matches") {
+    // key 1 left 10:00: back 09:30 (30m) vs fwd 12:00 (2h) → back 200
+    // key 1 left 12:00: back/fwd both 12:00 (tie at 0) → 201 either way
+    // key 2 left 09:00: no back, fwd 09:30 → forward 202
+    // key 3: no right rows → null
+    val out = AsofJoin.asofNearest(left, right, "k", "ts")
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(100L -> Some(200L), 101L -> Some(201L),
+      102L -> Some(202L), 103L -> None))
+    // an explicit tie: equidistant matches pick the BACKWARD one
+    val l2 = Seq((9L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
+    val r2 = Seq(
+      (9L, ts("2024-01-01 09:00:00"), 88L),
+      (9L, ts("2024-01-01 11:00:00"), 99L)).toDF("k", "ts", "rid")
+    val tie = AsofJoin.asofNearest(l2, r2, "k", "ts")
+      .select("rid").as[Long].head()
+    assert(tie === 88L)
+  }
+
+  test("nearest plans exactly one exchange over the union") {
+    val plan = AsofJoin.asofNearest(left, right, "k", "ts")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("payload/left name collisions and reserved names are rejected") {
     val badRight = Seq((1L, ts("2024-01-01 09:30:00"), 7L))
       .toDF("k", "ts", "lid") // lid collides with a left column
