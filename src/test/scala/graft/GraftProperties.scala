@@ -211,4 +211,38 @@ object GraftProperties extends Properties("graft") {
       org.apache.spark.sql.graft.SimhashSignature.signature(utf8Array(tokens)) ==
         naiveSimhash(tokens)
     }
+
+  // ------------------------------------------- sketch integer idioms
+  // The C26/C29 cross-engine trick is `length(bin(x))` as an integer
+  // log2; these pin the string idiom to the canonical bit operations
+  // and the bucket/rank algebra the oracles re-derive.
+
+  property("loghist: bin-length bucket == 64 − nlz, bounds contain v") =
+    forAll(Gen.choose(0L, Long.MaxValue)) { v =>
+      val bBin = if (v == 0) 0 else java.lang.Long.toBinaryString(v).length
+      val bNlz = if (v == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val inBounds = v == 0 ||
+        (BigInt(2).pow(bBin - 1) <= BigInt(v) && BigInt(v) < BigInt(2).pow(bBin))
+      bBin == bNlz && inBounds
+    }
+
+  property("loghist: (n·p + 99) div 100 == ceil(n·p/100), in [1, n]") =
+    forAll(Gen.choose(1L, 1000000000L), Gen.choose(1, 100)) { (n, p) =>
+      val r = (n * p + 99) / 100
+      val q = BigInt(n) * p
+      val ceilRef = (if (q % 100 == 0) q / 100 else q / 100 + 1).toLong
+      r == ceilRef && r >= 1 && r <= n
+    }
+
+  property("hll: rho via bin-length equals rho via leading zeros") =
+    forAll(Gen.choose(0L, (1L << 50) - 1)) { rest =>
+      val restBits = 50 // the log2m=10 case: 60 − 10 payload bits
+      val viaBin =
+        if (rest == 0) restBits + 1
+        else restBits + 1 - java.lang.Long.toBinaryString(rest).length
+      val viaNlz =
+        if (rest == 0) restBits + 1
+        else java.lang.Long.numberOfLeadingZeros(rest) - (64 - restBits) + 1
+      viaBin == viaNlz && viaBin >= 1 && viaBin <= restBits + 1
+    }
 }
