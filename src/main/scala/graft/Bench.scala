@@ -143,6 +143,9 @@ object Bench {
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
-    if (failed > 0) sys.exit(1)
+    // explicit exit either way (not just on failure): entries may have
+    // started shared loopback HTTP servers; never leave JVM exit to
+    // thread accounting
+    sys.exit(if (failed > 0) 1 else 0)
   }
 }

@@ -54,5 +54,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // explicit exit: entries may have started shared loopback HTTP
+    // servers (daemon threads by construction, but belt-and-braces —
+    // a hung gate JVM silently zeroes the round's correctness)
+    sys.exit(0)
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.GraftArrow
+import graft.sources.{GraftArrow, GraftHttpServers, HttpEndpoint}
 
 /** Oracle-checked entries for the graft-arrow DSv2 source (SURVEY.md §2
   * A1–A6): the same rows must come back through endpoint → Arrow IPC →
@@ -101,13 +101,63 @@ object ArrowOps {
   def sqlQuery(spark: SparkSession, dir: String): DataFrame =
     GraftArrow.readSql(spark, dir, sqlQueryText)
 
+  /** A1 over REAL HTTP (r13): the full reference transport in one
+    * gated entry — POST /v1/login mints the JWT (dd_login.cpp), every
+    * subsequent request carries `Authorization: Bearer` past the
+    * server's auth check, /v1/plan hands back the JSON split plan, and
+    * each split streams back as a genuine
+    * application/vnd.apache.arrow.stream over a loopback socket
+    * (arrow_http_client.cpp). Oracle = the plain query: the transport
+    * must be semantically invisible, exactly like pushdown. */
+  def httpScan(spark: SparkSession, dir: String): DataFrame = {
+    val url = GraftHttpServers.shared(dir)
+    val token = HttpEndpoint.login(url, "admin", "admin",
+      claims = Seq("database" -> "graft"))
+    GraftArrow.readHttp(spark, url, "lineitem", Some(token))
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+  }
+
+  val httpScanSql: String =
+    """SELECT l_orderkey, l_partkey, l_quantity
+      |FROM lineitem WHERE l_quantity >= 45""".stripMargin
+
+  /** A4 over REAL HTTP: grouped aggregation pushdown where the
+    * per-(split, group) PARTIAL rows cross the socket as Arrow batches
+    * and Spark's final aggregation merges them — the
+    * data-never-moves shape at its most valuable (a 100 TB remote
+    * table answers a GROUP BY with kilobytes on the wire).
+    * sum(l_quantity) is exact (integer-valued doubles < 2⁵³), so
+    * partial merge order cannot perturb the hash. */
+  def httpAgg(spark: SparkSession, dir: String): DataFrame = {
+    val url = GraftHttpServers.shared(dir)
+    val token = HttpEndpoint.login(url, "admin", "admin")
+    GraftArrow.readHttp(spark, url, "lineitem", Some(token))
+      .filter(col("l_quantity") > 25)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val httpAggSql: String =
+    """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+      |FROM lineitem WHERE l_quantity > 25
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arrow_scan" -> scan _,
     "arrow_agg_pushdown" -> aggPushdown _,
     "arrow_agg_groupby" -> aggGroupBy _,
     "arrow_splits" -> splits _,
     "arrow_sql_catalog" -> sqlCatalog _,
-    "arrow_sql_query" -> sqlQuery _)
+    "arrow_sql_query" -> sqlQuery _,
+    "arrow_http_scan" -> httpScan _,
+    "arrow_http_agg" -> httpAgg _)
 
   val oracles: Map[String, String] = Map(
     "arrow_scan" -> scanSql,
@@ -115,5 +165,7 @@ object ArrowOps {
     "arrow_agg_groupby" -> aggGroupBySql,
     "arrow_splits" -> splitsSql,
     "arrow_sql_catalog" -> sqlCatalogSql,
-    "arrow_sql_query" -> sqlQueryText)
+    "arrow_sql_query" -> sqlQueryText,
+    "arrow_http_scan" -> httpScanSql,
+    "arrow_http_agg" -> httpAggSql)
 }

@@ -136,7 +136,7 @@ object Sketch {
     """WITH h AS (
       |  SELECT event_type,
       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |b AS (SELECT event_type, h % 1024 AS bucket, h >> 10 AS rest FROM h),
       |r AS (SELECT event_type, bucket,
       |        max(CASE WHEN rest = 0 THEN 51
@@ -183,7 +183,7 @@ object Sketch {
     """WITH h AS (
       |  SELECT event_type, event_id % 2 AS part,
       |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-      |  FROM events),
+      |  FROM events WHERE user_id IS NOT NULL),
       |b AS (SELECT event_type, part, h % 1024 AS bucket, h >> 10 AS rest FROM h),
       |rp AS (SELECT event_type, part, bucket,
       |         max(CASE WHEN rest = 0 THEN 51
@@ -238,15 +238,22 @@ object Sketch {
     *    of that bucket, which CONTAIN the exact p-quantile by
     *    construction (spec-checked against a driver-side sort).
     * Values must be non-negative longs (cents, token counts, bytes —
-    * scale decimals exactly first; a negative value would land in the
-    * two's-complement top bucket and poison the max bound). */
+    * scale decimals exactly first). A negative value FAILS FAST
+    * (raise_error in the bucket branch — ADVICE r12: it would land in
+    * the two's-complement top bucket with nonsense bounds, and a
+    * silently dropped or mis-bucketed value is a wrong quantile). */
   def logHistSketch(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     val gcols = groupCols.map(col)
     df.filter(col(valueCol).isNotNull)
       .select((gcols :+ col(valueCol).cast("long").as("v")): _*)
       .withColumn("bucket",
-        when(col("v") === 0, lit(0)).otherwise(length(bin(col("v")))))
+        when(col("v") < 0, raise_error(concat(
+          lit("graft logHistSketch: negative value "),
+          col("v").cast("string"),
+          lit(s" in column $valueCol — scale to non-negative integers first"))))
+          .when(col("v") === 0, lit(0))
+          .otherwise(length(bin(col("v")))))
       .groupBy((gcols :+ col("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
@@ -276,14 +283,19 @@ object Sketch {
       .withColumn("cum", sum(col("cnt")).over(wCum))
       .withColumn("n", sum(col("cnt")).over(wAll))
     // the quantile bucket as a SQL fragment so lo/hi stay textually
-    // symmetric with the oracle's CASE tree
+    // symmetric with the oracle's CASE tree. Bucket 63's hi bound is
+    // clamped to Long.MaxValue EXPLICITLY (ADVICE r12: Spark's
+    // shiftleft(1,63)-1 only lands there by wraparound; DuckDB's
+    // checked 1::BIGINT << 63 raises — the clamp makes both engines
+    // compute the same value by the same arithmetic).
     def bq(p: Int) =
       s"min(CASE WHEN cum >= (n * $p + 99) div 100 THEN bucket END)"
     val qCols = percentiles.flatMap { p => Seq(
       expr(s"CAST(CASE WHEN ${bq(p)} = 0 THEN 0 ELSE " +
           s"shiftleft(CAST(1 AS BIGINT), ${bq(p)} - 1) END AS BIGINT)")
         .as(s"p${p}_lo"),
-      expr(s"CAST(CASE WHEN ${bq(p)} = 0 THEN 0 ELSE " +
+      expr(s"CAST(CASE WHEN ${bq(p)} = 0 THEN 0 " +
+          s"WHEN ${bq(p)} >= 63 THEN 9223372036854775807 ELSE " +
           s"shiftleft(CAST(1 AS BIGINT), ${bq(p)}) - 1 END AS BIGINT)")
         .as(s"p${p}_hi"))
     }
@@ -304,10 +316,173 @@ object Sketch {
     logHistQuantile(sk, Seq("o_orderpriority"), Seq(50, 90, 99))
   }
 
+  /** Entry (C29b, r13 — the C26b treatment for the quantile sketch):
+    * the MERGE path proven against the direct path cross-engine.
+    * Orders are sharded by o_orderkey parity (the stand-in for two
+    * days sketched independently), each shard sketched on its own,
+    * the sketches merged with [[logHistMerge]] (union + count sum —
+    * the commutative-monoid law), and the merged quantile bounds
+    * emitted NEXT TO the direct single-pass bounds. Counts are exact
+    * integers, so merged ≡ direct must hash-match exactly — the
+    * oracle computes both paths independently. */
+  def quantileOrderValuesMerged(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    val shards = Seq(0, 1).map(p =>
+      logHistSketch(orders.filter(pmod(col("o_orderkey"), lit(2)) === p),
+        Seq("o_orderpriority"), "cents"))
+    val merged = logHistQuantile(logHistMerge(shards, Seq("o_orderpriority")),
+        Seq("o_orderpriority"), Seq(50, 99))
+      .select(col("o_orderpriority"), col("n"),
+        col("p50_lo").as("p50_lo_m"), col("p50_hi").as("p50_hi_m"),
+        col("p99_lo").as("p99_lo_m"), col("p99_hi").as("p99_hi_m"))
+    val direct = logHistQuantile(
+        logHistSketch(orders, Seq("o_orderpriority"), "cents"),
+        Seq("o_orderpriority"), Seq(50, 99))
+      .select(col("o_orderpriority"),
+        col("p50_lo").as("p50_lo_d"), col("p50_hi").as("p50_hi_d"),
+        col("p99_lo").as("p99_lo_d"), col("p99_hi").as("p99_hi_d"))
+    merged.join(direct, Seq("o_orderpriority"))
+  }
+
+  val quantileOrderValuesMergedSql: String =
+    """WITH v AS (SELECT o_orderpriority AS g, o_orderkey % 2 AS part,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |sp AS (SELECT g, part, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bucket,
+      |         count(*) AS cnt FROM v GROUP BY 1, 2, 3),
+      |sm AS (SELECT g, bucket, sum(cnt) AS cnt FROM sp GROUP BY 1, 2),
+      |sd AS (SELECT g, CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS bucket,
+      |         count(*) AS cnt FROM v GROUP BY 1, 2),
+      |cm AS (SELECT g, bucket, cnt,
+      |         sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+      |         sum(cnt) OVER (PARTITION BY g) AS n FROM sm),
+      |cd AS (SELECT g, bucket, cnt,
+      |         sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+      |         sum(cnt) OVER (PARTITION BY g) AS n FROM sd),
+      |em AS (SELECT g, max(n) AS n,
+      |         min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END) AS b50,
+      |         min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) AS b99
+      |       FROM cm GROUP BY g),
+      |ed AS (SELECT g,
+      |         min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bucket END) AS b50,
+      |         min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) AS b99
+      |       FROM cd GROUP BY g)
+      |SELECT em.g AS o_orderpriority, CAST(em.n AS BIGINT) AS n,
+      |  CAST(CASE WHEN em.b50 = 0 THEN 0 ELSE 1::BIGINT << (em.b50 - 1) END AS BIGINT) AS p50_lo_m,
+      |  CAST(CASE WHEN em.b50 = 0 THEN 0 WHEN em.b50 >= 63 THEN 9223372036854775807 ELSE (1::BIGINT << em.b50) - 1 END AS BIGINT) AS p50_hi_m,
+      |  CAST(CASE WHEN em.b99 = 0 THEN 0 ELSE 1::BIGINT << (em.b99 - 1) END AS BIGINT) AS p99_lo_m,
+      |  CAST(CASE WHEN em.b99 = 0 THEN 0 WHEN em.b99 >= 63 THEN 9223372036854775807 ELSE (1::BIGINT << em.b99) - 1 END AS BIGINT) AS p99_hi_m,
+      |  CAST(CASE WHEN ed.b50 = 0 THEN 0 ELSE 1::BIGINT << (ed.b50 - 1) END AS BIGINT) AS p50_lo_d,
+      |  CAST(CASE WHEN ed.b50 = 0 THEN 0 WHEN ed.b50 >= 63 THEN 9223372036854775807 ELSE (1::BIGINT << ed.b50) - 1 END AS BIGINT) AS p50_hi_d,
+      |  CAST(CASE WHEN ed.b99 = 0 THEN 0 ELSE 1::BIGINT << (ed.b99 - 1) END AS BIGINT) AS p99_lo_d,
+      |  CAST(CASE WHEN ed.b99 = 0 THEN 0 WHEN ed.b99 >= 63 THEN 9223372036854775807 ELSE (1::BIGINT << ed.b99) - 1 END AS BIGINT) AS p99_hi_d
+      |FROM em JOIN ed ON em.g = ed.g""".stripMargin
+
+  // -------------------------------------------------------------- C29c
+  /** Exact discrete quantiles via the sketch + ONE bounded refinement
+    * pass (the follow-up the C29 scaladoc promised): pass 1 builds the
+    * log2-histogram (≤64 partial rows per group per partition); pass 2
+    * rescans ONLY the rows of each percentile's target bucket (the
+    * broadcast semi-join below) and rank-selects within it. The exact
+    * quantile is the rank_p-th smallest value (rank_p = ceil(n·p/100),
+    * integer arithmetic — DuckDB quantile_disc semantics made
+    * explicit), found at rank (rank_p − cum_before_bucket) within the
+    * target bucket.
+    *
+    * Scale: the refinement sorts per (group, percentile) ONLY the
+    * target bucket's rows — for value distributions spread across
+    * buckets that's a small fraction of the group (factor-of-two
+    * bucketing ⇒ roughly the mass within 2× of the quantile); the
+    * degenerate worst case (all values in one bucket) is an honest
+    * full-group sort, which is what an exact quantile costs anyway —
+    * the sketch never makes pass 2 MORE expensive than the naive
+    * percentile shuffle it replaces. */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      percentiles: Seq[Int]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 1 && p <= 100),
+      s"percentiles must be in [1, 100]: $percentiles")
+    val gcols = groupCols.map(col)
+    val sk = logHistSketch(df, groupCols, valueCol)
+    val wCum = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val c = sk
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // per (group, percentile): target bucket qb, global rank rank_p,
+    // rank within the bucket k = rank_p − (cum(qb) − cnt(qb)).
+    // Percentiles fan out by exploding a LITERAL array — map-side only,
+    // no join of any kind (a crossJoin(broadcast(...)) here compiles to
+    // a BroadcastNestedLoopJoin, which the plan audit rightly forbids)
+    val targets = c
+      .withColumn("p", explode(array(percentiles.map(lit(_)): _*)))
+      .withColumn("rank_p", expr("(n * p + 99) div 100"))
+      .filter(col("cum") >= col("rank_p"))
+      .groupBy((gcols :+ col("p") :+ col("rank_p") :+ col("n")): _*)
+      .agg(min(col("bucket")).as("qb"))
+    val kFrame = targets.as("t")
+      .join(c.as("s"),
+        groupCols.map(g => col(s"t.$g") === col(s"s.$g"))
+          .reduce(_ && _) && col("s.bucket") === col("t.qb"))
+      .select((groupCols.map(g => col(s"t.$g")) :+ col("t.p") :+ col("t.n") :+
+        col("t.qb") :+
+        (col("t.rank_p") - (col("s.cum") - col("s.cnt"))).as("k")): _*)
+    // pass 2: only the target buckets' rows survive the broadcast join
+    val bucketed = df
+      .filter(col(valueCol).isNotNull)
+      .select((gcols :+ col(valueCol).cast("long").as("v")): _*)
+      .withColumn("bucket",
+        when(col("v") === 0, lit(0)).otherwise(length(bin(col("v")))))
+    val candidates = bucketed.as("d")
+      .join(broadcast(kFrame.as("q")),
+        groupCols.map(g => col(s"d.$g") === col(s"q.$g"))
+          .reduce(_ && _) && col("d.bucket") === col("q.qb"))
+      .select((groupCols.map(g => col(s"d.$g")) :+ col("d.v") :+
+        col("q.p") :+ col("q.n") :+ col("q.k")): _*)
+    val wRank = Window.partitionBy((gcols :+ col("p")): _*).orderBy(col("v"))
+    val picked = candidates
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === col("k"))
+    picked.groupBy(gcols: _*)
+      .agg(max(col("n")).cast("long").as("n"),
+        percentiles.map(p =>
+          max(when(col("p") === p, col("v"))).cast("long").as(s"p$p")): _*)
+  }
+
+  /** Entry: EXACT p50/p90/p99 order-value cents per priority — the
+    * refinement pass next to the C29 bounds; oracle is an explicit
+    * rank selection (row_number = ceil(n·p/100)), integer-exact. */
+  def exactOrderValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+    exactQuantiles(orders, Seq("o_orderpriority"), "cents", Seq(50, 90, 99))
+  }
+
+  val exactOrderValueQuantilesSql: String =
+    """WITH v AS (SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |r AS (SELECT g, v,
+      |        row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+      |        count(*) OVER (PARTITION BY g) AS n
+      |      FROM v)
+      |SELECT g AS o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50,
+      |  CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS BIGINT) AS p90,
+      |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99
+      |FROM r GROUP BY g""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_distinct" -> (hllUsers(_, _)),
     "agg_hll_merge" -> (hllUsersMerged(_, _)),
-    "agg_quantile_sketch" -> (quantileOrderValues(_, _)))
+    "agg_quantile_sketch" -> (quantileOrderValues(_, _)),
+    "agg_quantile_sketch_merge" -> (quantileOrderValuesMerged(_, _)),
+    "agg_quantile_exact" -> (exactOrderValueQuantiles(_, _)))
 
   val quantileOrderValuesSql: String =
     """WITH v AS (SELECT o_orderpriority AS g,
@@ -326,15 +501,17 @@ object Sketch {
       |      FROM c GROUP BY g)
       |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
       |  CAST(CASE WHEN b50 = 0 THEN 0 ELSE 1::BIGINT << (b50 - 1) END AS BIGINT) AS p50_lo,
-      |  CAST(CASE WHEN b50 = 0 THEN 0 ELSE (1::BIGINT << b50) - 1 END AS BIGINT) AS p50_hi,
+      |  CAST(CASE WHEN b50 = 0 THEN 0 WHEN b50 >= 63 THEN 9223372036854775807 ELSE (1::BIGINT << b50) - 1 END AS BIGINT) AS p50_hi,
       |  CAST(CASE WHEN b90 = 0 THEN 0 ELSE 1::BIGINT << (b90 - 1) END AS BIGINT) AS p90_lo,
-      |  CAST(CASE WHEN b90 = 0 THEN 0 ELSE (1::BIGINT << b90) - 1 END AS BIGINT) AS p90_hi,
+      |  CAST(CASE WHEN b90 = 0 THEN 0 WHEN b90 >= 63 THEN 9223372036854775807 ELSE (1::BIGINT << b90) - 1 END AS BIGINT) AS p90_hi,
       |  CAST(CASE WHEN b99 = 0 THEN 0 ELSE 1::BIGINT << (b99 - 1) END AS BIGINT) AS p99_lo,
-      |  CAST(CASE WHEN b99 = 0 THEN 0 ELSE (1::BIGINT << b99) - 1 END AS BIGINT) AS p99_hi
+      |  CAST(CASE WHEN b99 = 0 THEN 0 WHEN b99 >= 63 THEN 9223372036854775807 ELSE (1::BIGINT << b99) - 1 END AS BIGINT) AS p99_hi
       |FROM e""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "agg_hll_distinct" -> hllUsersSql,
     "agg_hll_merge" -> hllUsersMergedSql,
-    "agg_quantile_sketch" -> quantileOrderValuesSql)
+    "agg_quantile_sketch" -> quantileOrderValuesSql,
+    "agg_quantile_sketch_merge" -> quantileOrderValuesMergedSql,
+    "agg_quantile_exact" -> exactOrderValueQuantilesSql)
 }

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** The arrow-endpoint contract (SURVEY.md §2 A1): the Spark-first
   * re-expression of the reference's remote Arrow-IPC server surface
@@ -122,6 +122,22 @@ case class AggSpec(calls: Seq[AggCall], groupBy: Seq[String] = Nil,
     val group = if (groupBy.isEmpty) "" else s" GROUP BY ${groupBy.mkString(", ")}"
     s"SELECT $select FROM $table${FilterSql.toWhere(filters)}$group"
   }
+
+  /** The partial-row schema this spec's scanAgg streams: group-by
+    * columns first (original names/types), then one partial per
+    * aggregate call — the contract Spark's final aggregation merges.
+    * Shared by the scan builder and the HTTP server so the wire schema
+    * can never drift from the plan's. */
+  def outputSchema(fullSchema: StructType): StructType = {
+    val byName = fullSchema.fields.map(f => f.name -> f).toMap
+    val groupFields = groupBy.map(g =>
+      StructField(g, byName(g).dataType, nullable = true))
+    val outFields = calls.zipWithIndex.map { case (c, i) =>
+      val colType = if (c.op == "count_star") LongType else byName(c.column).dataType
+      StructField(s"${c.op}_$i", PartialAgg.outputType(c.op, colType), nullable = true)
+    }
+    StructType(groupFields ++ outFields)
+  }
 }
 
 object AggSpec {
@@ -132,7 +148,13 @@ object AggSpec {
 }
 
 /** A planned split (reference split_info.cpp / dd_splits.cpp): an
-  * endpoint locator plus the row-group range it covers. */
+  * endpoint locator plus the row-group range it covers.
+  *
+  * `file` (r13): when `endpoint` is a remote URL (the HTTP transport),
+  * the server-side locator of the part file this split covers — an
+  * OPAQUE token the client hands back verbatim with each split fetch,
+  * like the reference's descriptor handle. Empty for local endpoints,
+  * where `endpoint` itself is the file locator. */
 case class SplitInfo(
     endpoint: String,       // locator ("local://<path>" here; URL remotely)
     queryId: Long,
@@ -143,7 +165,8 @@ case class SplitInfo(
     rowGroups: Seq[Int],    // row-group ordinals this split covers
     startByte: Long,        // file range [startByte, endByte) — row-group aligned
     endByte: Long,
-    rowCount: Long)
+    rowCount: Long,
+    file: String = "")
 
 /** Spark DSv2 [[Filter]] → ANSI SQL serializer (SURVEY.md §2 A3): the
   * reference serializes pushed filters back to SQL and sends them to the

@@ -36,6 +36,39 @@ object GraftArrow {
       .option("split", split)
       .load()
 
+  /** `dd_read_arrow(url, table, auth_token := …)` over real HTTP (r13):
+    * scan `table` through a [[GraftHttpServer]]-protocol endpoint at
+    * `url` — plan fetch, per-split Arrow-IPC streams, Bearer auth, the
+    * reference transport end-to-end (arrow_http_client.cpp). */
+  def readHttp(spark: SparkSession, url: String, table: String,
+               token: Option[String] = None,
+               splitSize: Long = 128L * 1024 * 1024,
+               split: Boolean = true): DataFrame = {
+    val r = spark.read.format(Format)
+      .option("url", url)
+      .option("table", table)
+      .option("split_size", splitSize)
+      .option("split", split)
+    token.foreach(t => r.option("token", t))
+    r.load()
+  }
+
+  /** `dd_read_arrow(url, sql := '…', auth_token := …)` over real HTTP:
+    * the server executes the query in ITS engine and serves the
+    * result's splits. */
+  def readHttpSql(spark: SparkSession, url: String, sql: String,
+                  token: Option[String] = None,
+                  splitSize: Long = 128L * 1024 * 1024,
+                  split: Boolean = true): DataFrame = {
+    val r = spark.read.format(Format)
+      .option("url", url)
+      .option("sql", sql)
+      .option("split_size", splitSize)
+      .option("split", split)
+    token.foreach(t => r.option("token", t))
+    r.load()
+  }
+
   /** `dd_splits` equivalent (SURVEY.md §2 A6; reference
     * /root/reference/src/table_function/dd_splits.cpp:1-170): expose the
     * split plan the endpoint would hand to a scan — endpoints, query id,

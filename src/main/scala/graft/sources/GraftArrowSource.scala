@@ -89,16 +89,25 @@ object GraftArrowTableProvider {
     * query names it as a derived table. */
   private def endpoint(options: CaseInsensitiveStringMap): (Endpoint, String) = {
     val dir = options.get("dir")
-    require(dir != null, "graft-arrow requires a 'dir' option")
+    val url = options.get("url")
+    require(dir != null || url != null,
+      "graft-arrow requires a 'dir' (in-process) or 'url' (HTTP) option")
     val table = options.get("table")
     val sql = options.get("sql")
     if (table == null && sql == null) throw new IllegalArgumentException(
       "graft-arrow requires either 'table' or 'sql' option")
     if (table != null && sql != null) throw new IllegalArgumentException(
       "graft-arrow accepts either 'table' or 'sql' option, not both")
+    val name = if (sql != null) s"($sql)" else table
+    // HTTP mode (r13): the reference's native deployment —
+    // dd_read_arrow(url, …) with the auth token attached to every
+    // request. The server enforces auth; the client just carries the
+    // Bearer token, so no AuthEndpoint wrapper here.
+    if (url != null)
+      return (new HttpEndpoint(url, Option(options.get("token")),
+        Option(sql)), name)
     val base = if (sql != null) new SqlEndpoint(dir, sql)
       else new LocalParquetEndpoint(dir)
-    val name = if (sql != null) s"($sql)" else table
     val wrapped = if (options.getBoolean("auth", false)) {
       val secret = Option(options.get("secret"))
         .orElse(org.apache.spark.sql.SparkSession.active.conf
@@ -218,17 +227,8 @@ class GraftArrowScanBuilder(endpoint: Endpoint, table: String,
           PartialAgg.supports(c.op, fieldsByName(c.column).dataType)))) return false
     if (!spec.groupBy.forall(g => fieldsByName.contains(g) &&
         PartialAgg.groupable(fieldsByName(g).dataType))) return false
-    // contract with Spark's final aggregation: group-by columns first
-    // (original names/types), then one partial per aggregate call
-    val groupFields = spec.groupBy.map(g =>
-      StructField(g, fieldsByName(g).dataType, nullable = true))
-    val outFields = spec.calls.zipWithIndex.map { case (c, i) =>
-      val colType = if (c.op == "count_star") org.apache.spark.sql.types.LongType
-        else fieldsByName(c.column).dataType
-      StructField(s"${c.op}_$i", PartialAgg.outputType(c.op, colType), nullable = true)
-    }
     aggSpec = Some(spec)
-    aggSchema = Some(StructType(groupFields ++ outFields))
+    aggSchema = Some(spec.outputSchema(fullSchema))
     true
   }
 

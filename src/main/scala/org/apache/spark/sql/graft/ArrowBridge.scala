@@ -28,6 +28,50 @@ object ArrowBridge {
     ArrowConverters.fromBatchIterator(
       batches, schema, timeZoneId, true, false, TaskContext.get())
 
+  // ------------------------------------------------ IPC STREAM framing
+  // The reference's wire format is the standard Arrow IPC *stream*
+  // (schema message, record-batch messages, end-of-stream marker) with
+  // Content-Type application/vnd.apache.arrow.stream
+  // (/root/reference/src/http/arrow_http_client.cpp:95-100,
+  // src/ipc/http_stream_factory.cpp). These helpers frame/unframe that
+  // exact format so the loopback HTTP endpoint's body is readable by
+  // ANY arrow client, not just this library.
+
+  /** Write a complete Arrow IPC stream: schema message, then each
+    * record-batch message (already encapsulated — what [[toIpc]]
+    * yields), then the 8-byte end-of-stream marker. */
+  def writeIpcStream(schema: StructType, batches: Iterator[Array[Byte]],
+                     out: java.io.OutputStream,
+                     timeZoneId: String = "UTC"): Unit = {
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    val ch = new WriteChannel(java.nio.channels.Channels.newChannel(out))
+    val arrowSchema = org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
+      schema, timeZoneId, errorOnDuplicatedFieldNames = true,
+      largeVarTypes = false)
+    MessageSerializer.serialize(ch, arrowSchema)
+    batches.foreach { b => ch.write(b); out.flush() }
+    // end-of-stream: continuation token + zero metadata length
+    ch.writeIntLittleEndian(MessageSerializer.IPC_CONTINUATION_TOKEN)
+    ch.writeIntLittleEndian(0)
+    out.flush()
+  }
+
+  /** Read the leading schema message of an Arrow IPC stream, leaving the
+    * channel positioned at the first record-batch message. */
+  def readStreamSchema(in: java.nio.channels.ReadableByteChannel): StructType = {
+    import org.apache.arrow.vector.ipc.ReadChannel
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(
+      MessageSerializer.deserializeSchema(new ReadChannel(in)))
+  }
+
+  /** Split an Arrow IPC stream into the per-record-batch encapsulated
+    * message byte arrays [[fromIpc]] consumes (schema and dictionary
+    * messages are skipped by Spark's reader; EOS terminates). */
+  def batchesFromStream(in: java.nio.channels.ReadableByteChannel): Iterator[Array[Byte]] =
+    ArrowConverters.getBatchesFromStream(in)
+
   /** Parquet MessageType → Spark schema, matching spark.read.parquet —
     * except that TIMESTAMP(NANOS) columns (which Spark's native reader
     * rejects outright with PARQUET_TYPE_ILLEGAL, while the reference
