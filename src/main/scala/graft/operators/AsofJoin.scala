@@ -152,6 +152,120 @@ object AsofJoin {
           rightPayload.map(c => col(s"__m.$c").as(c)): _*)
   }
 
+  // ------------------------------------------------- skew hardening
+  /** Backward as-of join, SKEW-HARDENED (r12 verdict #3): the plain
+    * carry puts each key's entire |L|+|R| row set into ONE task's sort
+    * — correct, but at 100 TB a single hot key (one user with 10⁹
+    * events, one device gone haywire) becomes one straggler task, the
+    * same failure class as any skewed sort-merge join. This variant
+    * bounds every task by CHUNKING TIME instead of salting randomly
+    * (random salt would separate a left row from the earlier right row
+    * it must match; time-chunking keeps order semantics exact):
+    *
+    *  1. bucket both sides by `(key, chunk)` where
+    *     `chunk = floor(epoch_us(ts) / chunkMicros)` and run the SAME
+    *     within-partition carry — one |L|+|R| exchange, but a hot
+    *     key's timeline now splits across `span/chunkWidth` parallel
+    *     tasks, each sorting only its chunk;
+    *  2. a boundary pass over the per-`(key, chunk)` summaries (ONE
+    *     row per non-empty chunk: the chunk's latest right struct,
+    *     `max_by` over right rows only) computes each chunk's
+    *     CARRY-IN — the latest right struct of all strictly earlier
+    *     chunks — via the same ignoreNulls-last window over the tiny
+    *     summary frame;
+    *  3. the carry-in joins back on `(key, chunk)` (partitioning
+    *     already agrees with pass 1's window, and the summary side is
+    *     bounded by #distinct (key, chunk) — broadcast-size in
+    *     practice) and `coalesce(within_chunk, carry_in)` resolves
+    *     each left row.
+    *
+    * Equal timestamps can never straddle a chunk boundary (same ts ⇒
+    * same chunk), so the `>=`-match tag ordering is untouched; a right
+    * row in an earlier chunk is strictly earlier in time, so carry-in
+    * can never beat a within-chunk match (within-chunk, when present,
+    * is always later). AsofJoinSpec asserts row-for-row equality with
+    * [[asofBackward]] on the gate fixture and on an adversarial
+    * single-key (maximally skewed) frame.
+    *
+    * WHEN TO SWITCH (the SURVEY §4 threshold): chunk when the largest
+    * single key's row count exceeds what one task sorts comfortably —
+    * at typical 128 MB/task budgets, ~10⁶–10⁷ rows per key. Pick
+    * `chunkMicros` so a hot key yields 10–1000 chunks over its span;
+    * fewer and the straggler remains, more and the (bounded) summary
+    * pass grows for no win. The plain path stays the default: below
+    * the threshold its single exchange and single sort are strictly
+    * cheaper. */
+  def asofBackwardChunked(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, chunkMicros: Long,
+      tolerance: Option[Column] = None): DataFrame =
+    asofChunked(left, right, keyCol, tsCol, chunkMicros, tolerance,
+      forward = false)
+
+  /** Forward twin of [[asofBackwardChunked]]: carry-in becomes the
+    * EARLIEST right struct of all strictly later chunks (`min_by`
+    * summary, descending boundary window). Same cost shape. */
+  def asofForwardChunked(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, chunkMicros: Long,
+      tolerance: Option[Column] = None): DataFrame =
+    asofChunked(left, right, keyCol, tsCol, chunkMicros, tolerance,
+      forward = true)
+
+  private def asofChunked(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, chunkMicros: Long, tolerance: Option[Column],
+      forward: Boolean): DataFrame = {
+    require(chunkMicros > 0, s"chunkMicros must be positive: $chunkMicros")
+    val rightPayload = validate(left, right, keyCol, tsCol)
+    require(!(left.columns ++ right.columns).exists(Set("__chunk", "__cin")),
+      "column names __chunk/__cin reserved by the chunked as-of join")
+    def chunkOf(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / chunkMicros)
+    val rStruct = struct(
+      (col(tsCol).as("__ts") +: rightPayload.map(col)): _*)
+    val l = left.withColumn("__tag", lit(1))
+    val r = right.select(
+      col(keyCol), col(tsCol), lit(0).as("__tag"), rStruct.as("__r"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__chunk", chunkOf(col(tsCol)))
+    // pass 1: the plain carry, partitioned by (key, chunk)
+    val w = Window.partitionBy(col(keyCol), col("__chunk"))
+      .orderBy(if (forward) col(tsCol).desc else col(tsCol).asc, col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inChunk = last(col("__r"), ignoreNulls = true).over(w)
+    // pass 2: per-(key, chunk) boundary summaries over RIGHT rows only
+    // (bounded: one row per non-empty chunk), left-joined onto every
+    // (key, chunk) the union actually has so chunks with no right rows
+    // still receive a carry-in
+    val edge = r.withColumn("__chunk", chunkOf(col(tsCol)))
+      .groupBy(col(keyCol), col("__chunk"))
+      .agg((if (forward) min_by(col("__r"), col(tsCol))
+            else max_by(col("__r"), col(tsCol))).as("__edge"))
+    val wIn = Window.partitionBy(col(keyCol))
+      .orderBy(if (forward) col("__chunk").desc else col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = unioned.select(col(keyCol), col("__chunk")).distinct()
+      .join(edge, Seq(keyCol, "__chunk"), "left")
+      .withColumn("__cin", last(col("__edge"), ignoreNulls = true).over(wIn))
+      .select(col(keyCol), col("__chunk"), col("__cin"))
+    // pass 3: resolve — a within-chunk match is always nearer than any
+    // other-chunk match, so coalesce picks correctly
+    val carried0 = coalesce(col("__m"), col("__cin"))
+    val age =
+      if (forward) carried0.getField("__ts") - col(tsCol)
+      else col(tsCol) - carried0.getField("__ts")
+    val carried = tolerance match {
+      case Some(tol) => when(age <= tol, carried0)
+      case None => carried0
+    }
+    unioned
+      .withColumn("__m", inChunk)
+      .join(carryIn, Seq(keyCol, "__chunk"), "left")
+      .filter(col("__tag") === 1)
+      .select(
+        (left.columns.map(col) :+
+          carried.getField("__ts").as(s"${tsCol}_matched")) ++
+          rightPayload.map(c => carried.getField(c).as(c)): _*)
+  }
+
   /** Entry: purchase attribution over `events` — for each click, the
     * user's most recent purchase at or before the click, with the gap in
     * microseconds (exact integers end-to-end; NULL columns where the
@@ -314,15 +428,38 @@ object AsofJoin {
       |  CAST(epoch_us(mts) - epoch_us(cts) AS BIGINT) AS gap_us
       |FROM n""".stripMargin
 
+  /** Entry: [[joinAsof]] through the SKEW-HARDENED chunked path —
+    * 30-minute chunks over the events fixture force real cross-chunk
+    * carry-ins (most clicks match a purchase from an earlier chunk).
+    * The oracle is joinAsofSql VERBATIM: chunking must be semantically
+    * invisible, which is the entire point of the gate. */
+  def joinAsofChunked(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    asofBackwardChunked(clicks, purchases, "user_id", "ts",
+        chunkMicros = 30L * 60 * 1000000)
+      .select(
+        col("user_id"), col("click_id"), us(col("ts")).as("click_us"),
+        col("purchase_id"), us(col("ts_matched")).as("purchase_us"),
+        (us(col("ts")) - us(col("ts_matched"))).as("gap_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> (joinAsof(_, _)),
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
     "join_asof_forward" -> (joinAsofForward(_, _)),
-    "join_asof_nearest" -> (joinAsofNearest(_, _)))
+    "join_asof_nearest" -> (joinAsofNearest(_, _)),
+    "join_asof_chunked" -> (joinAsofChunked(_, _)))
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_asof_forward" -> joinAsofForwardSql,
-    "join_asof_nearest" -> joinAsofNearestSql)
+    "join_asof_nearest" -> joinAsofNearestSql,
+    "join_asof_chunked" -> joinAsofSql)
 }

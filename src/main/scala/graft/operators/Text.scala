@@ -472,6 +472,84 @@ object Text {
       |  list_reduce(list(p ORDER BY pos), (acc, x) -> acc + x) / count(*) AS mean_p
       |FROM j GROUP BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- C11b
+  /** Deterministic BPE token counting (r12 verdict #6): per-document
+    * token counts in REAL subword tokens under the fixed public merge
+    * table [[org.apache.spark.sql.graft.BpeLen.Merges]] — the unit a
+    * training-data budget is set in — next to the whitespace word
+    * count. Integer-exact end-to-end.
+    *
+    * Shape: explode to words, pre-aggregate to per-(doc, word) counts
+    * (map-side combinable — the explosion never crosses the wire raw),
+    * evaluate the codegen'd [[org.apache.spark.sql.graft.BpeLen]] once
+    * per DISTINCT (doc, word), weight by count. At 100 TB with a
+    * reuse-heavy corpus the same plan admits a global-dictionary
+    * refinement (distinct words → BpeLen → broadcast join back) — the
+    * per-(doc, word) form is already vocabulary-bounded per document
+    * and one scan, so it is the default.
+    *
+    * The oracle's recursive CTE applies the SAME merge table
+    * sequentially by rank over a chr(31)-separated token string
+    * (replace() merges leftmost-first, exactly the Scala fold's
+    * order — see BpeLen's equivalence note), on the DISTINCT
+    * vocabulary, then joins counts back. */
+  def tokensBpe(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, BpeLen}
+    val words = documents
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[ \t\n\r]+")).as("w"))
+      .filter(col("w") =!= "")
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("toks",
+        Bridge.column(BpeLen(Bridge.expression(col("w")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * col("toks")).cast("long").as("n_bpe"))
+  }
+  def tokensBpe(spark: SparkSession, dir: String): DataFrame =
+    tokensBpe(docs(spark, dir))
+
+  /** The merge table compiled into SQL: one VALUES row per rank, with
+    * pat/rep in the chr(31)-separated encoding. */
+  private def mergesValuesSql: String =
+    org.apache.spark.sql.graft.BpeLen.Merges.zipWithIndex.map {
+      case ((a, b), i) =>
+        def q(s: String) = "'" + s + "'" // merge tokens are [a-z] only
+        s"(${i + 1}, chr(31)||${q(a)}||chr(31)||${q(b)}||chr(31), " +
+          s"chr(31)||${q(a + b)}||chr(31))"
+    }.mkString(", ")
+
+  private val mergeCount = org.apache.spark.sql.graft.BpeLen.Merges.size
+
+  val tokensBpeSql: String =
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT doc_id,
+       |         unnest(string_split_regex(lower(text), '[ \\t\\n\\r]+')) AS w
+       |       FROM documents),
+       |wc AS (SELECT doc_id, w, count(*) AS cnt
+       |       FROM w0 WHERE w <> '' GROUP BY 1, 2),
+       |vocab AS (SELECT DISTINCT w FROM wc),
+       |merges(rank, pat, rep) AS (VALUES $mergesValuesSql),
+       |b(w, s, r) AS (
+       |  SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), 1
+       |  FROM vocab WHERE NOT contains(w, chr(31))
+       |  UNION ALL
+       |  SELECT b.w,
+       |    CASE WHEN contains(b.s, m.pat) THEN replace(b.s, m.pat, m.rep)
+       |         ELSE b.s END,
+       |    CASE WHEN contains(b.s, m.pat) THEN b.r ELSE b.r + 1 END
+       |  FROM b JOIN merges m ON m.rank = b.r),
+       |lenv AS (
+       |  SELECT w, length(s) - length(replace(s, chr(31), '')) - 1 AS toks
+       |  FROM b WHERE r = ${mergeCount + 1}
+       |  UNION ALL
+       |  SELECT w, length(w) AS toks FROM vocab WHERE contains(w, chr(31)))
+       |SELECT wc.doc_id,
+       |  CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(wc.cnt * lenv.toks) AS BIGINT) AS n_bpe
+       |FROM wc JOIN lenv ON wc.w = lenv.w
+       |GROUP BY wc.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId _,
     "text_quality" -> quality _,
@@ -481,7 +559,8 @@ object Text {
     "text_diversity" -> (diversity(_, _)),
     "text_rarity" -> (rarity(_, _)),
     "text_pii" -> (pii(_, _)),
-    "text_bigram_lm" -> (bigramLm(_, _)))
+    "text_bigram_lm" -> (bigramLm(_, _)),
+    "text_tokens_bpe" -> tokensBpe _)
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
@@ -492,5 +571,6 @@ object Text {
     "text_diversity" -> diversitySql,
     "text_rarity" -> raritySql,
     "text_pii" -> piiSql,
-    "text_bigram_lm" -> bigramLmSql)
+    "text_bigram_lm" -> bigramLmSql,
+    "text_tokens_bpe" -> tokensBpeSql)
 }

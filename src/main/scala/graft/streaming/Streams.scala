@@ -489,17 +489,110 @@ object Streams {
       | AND v.event_type = 'view' AND c.event_type = 'click'
       | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR""".stripMargin
 
+  // ---------------------------------------------------------------- D6
+  /** Per-key state for the streaming as-of: the LATEST purchase seen so
+    * far (ts tie → max event_id, mirroring the batch entry's arg-max
+    * pre-aggregation). One fixed-size record per key — the streaming
+    * twin of C24's carry column, with state bounded by key cardinality
+    * instead of stream length. */
+  case class AsofState(ts: Long, rid: Long)
+
+  case class AsofEnriched(user_id: Long, click_id: Long, click_us: Long,
+      purchase_id: Option[Long], purchase_us: Option[Long],
+      gap_us: Option[Long])
+
+  /** Streaming as-of enrichment (r12 verdict stretch #7): the serving-
+    * side twin of [[graft.operators.AsofJoin.asofBackward]]. Purchases
+    * fold into per-user `latest-right` state; each click emits ONCE,
+    * enriched with the latest purchase at-or-before it known AT EMIT
+    * TIME. Within a micro-batch the slice is sorted (ts, purchase
+    * before click at equal ts — `>=` semantics), so in-order replay
+    * reproduces the batch as-of EXACTLY; across batches the carry is
+    * the state, so a purchase from a past batch enriches clicks
+    * forever after at zero per-row cost.
+    *
+    * The deliberate streaming/batch divergence (StreamsSpec pins all
+    * three): a click that arrives BEFORE its matching purchase emits
+    * null and is never retro-updated (Append), and a click older than
+    * the state's purchase emits null rather than matching the future —
+    * the state is monotone, not a history. A production variant
+    * needing bounded-lateness retro-matching is the D5 watermarked
+    * outer join; this operator is the O(1)-state fast path. */
+  def asofEnrichStreaming(ev: Dataset[Event]): Dataset[AsofEnriched] = {
+    import ev.sparkSession.implicits._
+    ev.filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, in: Iterator[Event], state: GroupState[AsofState]) =>
+          // sort ONLY the batch slice, purchases before clicks at
+          // equal ts (heap bounded by batch size, the D2 discipline)
+          val evs = in.toArray.sortBy(e =>
+            (micros(e.ts), if (e.event_type == "purchase") 0 else 1,
+              e.event_id))
+          val out = Vector.newBuilder[AsofEnriched]
+          var st = state.getOption
+          evs.foreach { e =>
+            val us = micros(e.ts)
+            if (e.event_type == "purchase") {
+              if (st.forall(s =>
+                  s.ts < us || (s.ts == us && s.rid < e.event_id)))
+                st = Some(AsofState(us, e.event_id))
+            } else st match {
+              case Some(s) if s.ts <= us =>
+                out += AsofEnriched(uid, e.event_id, us,
+                  Some(s.rid), Some(s.ts), Some(us - s.ts))
+              case _ =>
+                out += AsofEnriched(uid, e.event_id, us, None, None, None)
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** D6 entry: single-batch replay of the events endpoint (split=false
+    * — the reference's non-split scan) through the streaming enricher.
+    * With the whole history in one in-order slice the fold IS the
+    * batch backward as-of, so the oracle is joinAsofSql VERBATIM —
+    * the batch/streaming pair proven equal cross-engine, exactly the
+    * backfill-vs-serving equivalence a production pipeline relies on.
+    * The cross-batch/out-of-order contract is spec-gated on a
+    * MemoryStream (StreamsSpec), the D5 precedent. */
+  def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "events")
+      .option("split", false) // ONE micro-batch: in-order full replay
+      .load()
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Event]
+    val sinkName = s"graft_d6_${System.nanoTime()}"
+    val q = withStatePartitions(spark, 8) {
+      asofEnrichStreaming(stream)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(sinkName)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _,
     "stream_sessionize" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
     "stream_dedup_watermark" -> streamDedupWatermark _,
-    "stream_join" -> streamJoin _)
+    "stream_join" -> streamJoin _,
+    "stream_asof_enrich" -> streamAsofEnrich _)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_dedup" -> streamDedupSql,
     "stream_dedup_watermark" -> streamDedupWatermarkSql,
-    "stream_join" -> streamJoinSql)
+    "stream_join" -> streamJoinSql,
+    "stream_asof_enrich" -> graft.operators.AsofJoin.joinAsofSql)
 }

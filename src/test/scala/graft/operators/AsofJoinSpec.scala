@@ -187,4 +187,99 @@ class AsofJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("Window"))
   }
+
+  // ------------------------------------------------- chunked (skew) path
+  private val QuarterHour = 15L * 60 * 1000000
+
+  test("chunked: cross-chunk carry-in reproduces the plain semantics") {
+    // 15-minute chunks put left 10:00 and its match 09:30 in DIFFERENT
+    // chunks (carry-in path), and the equal-ts 12:00 pair in the SAME
+    // chunk (within-chunk path) — both must behave exactly like plain
+    val out = AsofJoin.asofBackwardChunked(left, right, "k", "ts",
+        chunkMicros = QuarterHour)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out === Map(100L -> Some(200L), 101L -> Some(201L),
+      102L -> None, 103L -> None))
+    val fwd = AsofJoin.asofForwardChunked(left, right, "k", "ts",
+        chunkMicros = QuarterHour)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(fwd === Map(100L -> Some(201L), 101L -> Some(201L),
+      102L -> Some(202L), 103L -> None))
+  }
+
+  test("chunked: tolerance nulls through the carry-in too") {
+    val out = AsofJoin.asofBackwardChunked(left, right, "k", "ts",
+        chunkMicros = QuarterHour,
+        tolerance = Some(expr("INTERVAL 10 MINUTES")))
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(100L) === None)       // carry-in match is 30min old
+    assert(out(101L) === Some(201L)) // within-chunk equal ts survives
+  }
+
+  test("chunked equals plain row-for-row at sf0.001, both directions") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    val purchases = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("purchase_id"))
+    for (forward <- Seq(false, true)) {
+      val plain = if (forward)
+          AsofJoin.asofForward(clicks, purchases, "user_id", "ts")
+        else AsofJoin.asofBackward(clicks, purchases, "user_id", "ts")
+      val chunked = if (forward)
+          AsofJoin.asofForwardChunked(clicks, purchases, "user_id", "ts",
+            chunkMicros = 30L * 60 * 1000000)
+        else AsofJoin.asofBackwardChunked(clicks, purchases, "user_id", "ts",
+            chunkMicros = 30L * 60 * 1000000)
+      assert(chunked.count() === plain.count())
+      assert(chunked.exceptAll(plain).count() === 0,
+        s"forward=$forward: chunked has rows plain lacks")
+      assert(plain.exceptAll(chunked).count() === 0,
+        s"forward=$forward: plain has rows chunked lacks")
+    }
+  }
+
+  test("chunked equals plain on a maximally skewed single-key frame") {
+    // ONE key, rows spread over many chunks — the exact shape the
+    // chunked path exists for: every row lands on the same plain-path
+    // task, but splits across ~240 chunked tasks
+    val n = 2000
+    val l1 = (0 until n).map(i =>
+      (7L, new Timestamp(1700000000000L + i * 37000L), i.toLong))
+      .toDF("k", "ts", "lid")
+    // right rows every ~11 rows, offset so matches cross chunks often
+    val r1 = (0 until n by 11).map(i =>
+      (7L, new Timestamp(1700000000000L + i * 37000L + 500L), 10000L + i))
+      .toDF("k", "ts", "rid")
+    val plain = AsofJoin.asofBackward(l1, r1, "k", "ts")
+      .select("lid", "rid")
+    val chunked = AsofJoin.asofBackwardChunked(l1, r1, "k", "ts",
+        chunkMicros = 5L * 60 * 1000000) // 5-min chunks over a ~20h span
+      .select("lid", "rid")
+    assert(chunked.count() === n.toLong)
+    assert(chunked.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(chunked).count() === 0)
+    // non-vacuous: the skewed frame exercises both match and no-match
+    assert(chunked.filter($"rid".isNotNull).count() > 0)
+    assert(chunked.filter($"rid".isNull).count() > 0)
+  }
+
+  test("chunked: equal timestamps at a chunk boundary still match") {
+    // ts exactly ON the boundary: same ts ⇒ same chunk, so the >=
+    // equal-ts tag ordering must be untouched by chunking
+    val boundary = new Timestamp(1700000000000L) // epoch ms divisible widely
+    val lB = Seq((1L, boundary, 1L)).toDF("k", "ts", "lid")
+    val rB = Seq((1L, boundary, 42L)).toDF("k", "ts", "rid")
+    val out = AsofJoin.asofBackwardChunked(lB, rB, "k", "ts",
+        chunkMicros = 1000000L) // 1-second chunks
+      .select("rid").as[Option[Long]].head()
+    assert(out === Some(42L))
+  }
+
+  test("chunked entry equals the plain entry at sf0.001") {
+    val plain = AsofJoin.joinAsof(spark, sf("sf0.001"))
+    val chunked = AsofJoin.joinAsofChunked(spark, sf("sf0.001"))
+    assert(chunked.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(chunked).count() === 0)
+  }
 }

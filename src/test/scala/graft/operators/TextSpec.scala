@@ -285,4 +285,69 @@ class TextSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getDouble(5)).toMap
     assert(out(0L) > out(99L))
   }
+
+  // ------------------------------------------------------ C11b BPE
+  import org.apache.spark.sql.graft.BpeLen
+
+  test("bpe: hand-checked token lengths") {
+    // "the": t,h,e → th,e (r1) → the (r2)
+    assert(BpeLen.tokenLen("the") === 1)
+    // "and": a,n,d → an,d (r4) → and (r5)
+    assert(BpeLen.tokenLen("and") === 1)
+    // "with": t,h → th (r1); w,i → wi (r38); wi,th → with (r39)
+    assert(BpeLen.tokenLen("with") === 1)
+    // "there": th (r1), the (r2), then r,e → re (r8) → [the, re]
+    assert(BpeLen.tokenLen("there") === 2)
+    // "tion": o,n → on (r7); t,i → ti (r14); ti,on → tion (r15)
+    assert(BpeLen.tokenLen("tion") === 1)
+    // "testing": i,n → in (r3); e,s → es (r12) → [t, es, t, in, g]
+    assert(BpeLen.tokenLen("testing") === 5)
+    assert(BpeLen.tokenLen("a") === 1)
+    assert(BpeLen.tokenLen("") === 0)
+    assert(BpeLen.tokenLen("xyzq") === 4) // no merge fires
+    // U+001F fallback counts code points
+    assert(BpeLen.tokenLen("a" + 31.toChar + "b") === 3)
+  }
+
+  /** Independent BEST-RANK-FIRST reference: repeatedly merge the
+    * leftmost occurrence of the lowest-rank pair present — the classic
+    * BPE loop the sequential-by-rank production code must equal. */
+  private def bestFirstLen(word: String): Int = {
+    if (word.isEmpty) return 0
+    var toks = word.map(_.toString).toVector
+    val rank = BpeLen.Merges.zipWithIndex.toMap
+    var done = false
+    while (!done && toks.size > 1) {
+      val cands = toks.indices.dropRight(1)
+        .flatMap(i => rank.get(toks(i) -> toks(i + 1)).map(r => (r, i)))
+      if (cands.isEmpty) done = true
+      else {
+        val (_, i) = cands.minBy { case (r, i) => (r, i) }
+        toks = (toks.take(i) :+ (toks(i) + toks(i + 1))) ++ toks.drop(i + 2)
+      }
+    }
+    toks.size
+  }
+
+  test("bpe: sequential-by-rank equals best-rank-first on random words") {
+    val rnd = new scala.util.Random(20260814L)
+    val alpha = "aeioutrshdlngcwmfybvpx" // weighted toward merge chars
+    for (_ <- 1 to 3000) {
+      val w = (1 to (1 + rnd.nextInt(14)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(BpeLen.tokenLen(w) === bestFirstLen(w),
+        s"divergence on word '$w'")
+    }
+  }
+
+  test("bpe: entry is integer-exact and bounded by word chars") {
+    val res = Text.tokensBpe(spark, dir)
+    assert(res.count() === 500)
+    // 1 <= n_bpe <= total word chars; merges strictly reduce
+    assert(res.filter(col("n_bpe") < col("n_words")).count() === 0)
+    val joined = res.join(Text.tokens(spark, dir), "doc_id")
+    assert(joined.filter(col("n_bpe") > col("n_chars")).count() === 0)
+    // non-vacuous: merges actually fire (bpe strictly below chars)
+    assert(joined.filter(col("n_bpe") < col("n_chars")).count() > 0)
+  }
 }

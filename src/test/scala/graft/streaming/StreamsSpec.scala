@@ -322,4 +322,99 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaTyped === viaSql)
   }
+
+  // ---------------------------------------------------------------- D6
+  test("D6: streaming as-of carries purchase state ACROSS batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    val input = MemoryStream[Event]
+    val name = s"d6_carry_${System.nanoTime()}"
+    val q = Streams.asofEnrichStreaming(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: a purchase only — no output rows (purchases fold
+      // silently into state)
+      input.addData(Event(100, t0, 7L, "purchase", 5.0))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 0)
+      // batch 2: a click LATER than the batch-1 purchase — the state
+      // carry enriches it (cross-batch, the thing batch SQL on one
+      // micro-batch cannot do)
+      input.addData(Event(101, t0.plusMinutes(20), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val r = spark.table(name).as[Streams.AsofEnriched].collect()
+      assert(r.length === 1)
+      assert(r.head.purchase_id === Some(100L))
+      assert(r.head.gap_us === Some(20L * 60 * 1000000))
+    } finally q.stop()
+  }
+
+  test("D6: a click before any purchase emits null and is NOT retro-matched") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    val input = MemoryStream[Event]
+    val name = s"d6_noretro_${System.nanoTime()}"
+    val q = Streams.asofEnrichStreaming(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Event(1, t0, 7L, "click", 1.0))
+      q.processAllAvailable()
+      // the purchase arrives LATE, in a later batch, with an EARLIER ts
+      input.addData(Event(2, t0.minusMinutes(5), 7L, "purchase", 5.0))
+      q.processAllAvailable()
+      // and a fresh click after it gets enriched
+      input.addData(Event(3, t0.plusMinutes(1), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val r = spark.table(name).as[Streams.AsofEnriched].collect()
+        .map(e => e.click_id -> e.purchase_id).toMap
+      // Append contract: click 1 emitted null ONCE and stays null —
+      // the late purchase cannot retro-update an emitted row
+      assert(r === Map(1L -> None, 3L -> Some(2L)))
+      assert(spark.table(name).count() === 2)
+    } finally q.stop()
+  }
+
+  test("D6: in-batch order — equal-ts purchase matches; state is monotone") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    val input = MemoryStream[Event]
+    val name = s"d6_order_${System.nanoTime()}"
+    val q = Streams.asofEnrichStreaming(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one batch, deliberately added out of order: the slice sort
+      // must put the equal-ts purchase BEFORE the click (>= semantics)
+      // and the click before the later purchase
+      input.addData(
+        Event(11, t0, 7L, "click", 1.0),            // equal-ts click
+        Event(10, t0, 7L, "purchase", 5.0),          // equal-ts purchase
+        Event(12, t0.plusMinutes(30), 7L, "purchase", 5.0))
+      q.processAllAvailable()
+      val r1 = spark.table(name).as[Streams.AsofEnriched].collect()
+      assert(r1.length === 1)
+      assert(r1.head.purchase_id === Some(10L) && r1.head.gap_us === Some(0L))
+      // batch 2: an OLDER purchase cannot regress the monotone state —
+      // the next click matches purchase 12, not 13
+      input.addData(Event(13, t0.plusMinutes(10), 7L, "purchase", 5.0),
+        Event(14, t0.plusMinutes(40), 7L, "click", 1.0))
+      q.processAllAvailable()
+      val r2 = spark.table(name).as[Streams.AsofEnriched].collect()
+        .map(e => e.click_id -> e.purchase_id).toMap
+      assert(r2(14L) === Some(12L))
+    } finally q.stop()
+  }
+
+  test("D6: single-batch replay entry equals the batch as-of join") {
+    val streamed = Streams.streamAsofEnrich(spark, dir)
+    val batch = graft.operators.AsofJoin.joinAsof(spark, dir)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
 }
