@@ -149,6 +149,16 @@ object ArrowOps {
       |FROM lineitem WHERE l_quantity > 25
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** The reference's `sql :=` mode over REAL HTTP: the server's
+    * engine executes the free-form query and the client scans the
+    * RESULT's splits — same oracle as the in-process `arrow_sql_query`
+    * (transport invisible, engine identical). */
+  def httpSqlQuery(spark: SparkSession, dir: String): DataFrame = {
+    val url = GraftHttpServers.shared(dir)
+    val token = HttpEndpoint.login(url, "admin", "admin")
+    GraftArrow.readHttpSql(spark, url, sqlQueryText, Some(token))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "arrow_scan" -> scan _,
     "arrow_agg_pushdown" -> aggPushdown _,
@@ -157,7 +167,8 @@ object ArrowOps {
     "arrow_sql_catalog" -> sqlCatalog _,
     "arrow_sql_query" -> sqlQuery _,
     "arrow_http_scan" -> httpScan _,
-    "arrow_http_agg" -> httpAgg _)
+    "arrow_http_agg" -> httpAgg _,
+    "arrow_http_sql_query" -> httpSqlQuery _)
 
   val oracles: Map[String, String] = Map(
     "arrow_scan" -> scanSql,
@@ -167,5 +178,6 @@ object ArrowOps {
     "arrow_sql_catalog" -> sqlCatalogSql,
     "arrow_sql_query" -> sqlQueryText,
     "arrow_http_scan" -> httpScanSql,
-    "arrow_http_agg" -> httpAggSql)
+    "arrow_http_agg" -> httpAggSql,
+    "arrow_http_sql_query" -> sqlQueryText)
 }

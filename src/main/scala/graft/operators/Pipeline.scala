@@ -438,6 +438,86 @@ object Pipeline {
        |GROUP BY source, shard, seq_id
        |ORDER BY source, shard, seq_id""".stripMargin
 
+  /** Sequence packing with the budget in REAL BPE tokens (r13, the
+    * C11b integration the r12 verdict asked for): identical packing
+    * algebra to [[packSequences]], but `n_tok` is the document's
+    * deterministic BPE token count under
+    * [[org.apache.spark.sql.graft.BpeLen.Merges]] — the unit an
+    * actual context-length budget is set in. Per-doc counts come from
+    * the Text.tokensBpe shape (explode → per-(doc, word)
+    * pre-aggregation → codegen'd BpeLen once per distinct pair →
+    * weighted sum); the oracle reuses the same recursive-CTE merge
+    * replay over the distinct vocabulary, then packs with the same
+    * window cumsum. Documents with no nonempty words drop on both
+    * sides (inner dictionary join). Integer-exact end-to-end. */
+  def packSequencesBpe(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{Bridge, BpeLen}
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("source"),
+        explode(split(lower(col("text")), "[ \t\n\r]+")).as("wd"))
+      .filter(col("wd") =!= "")
+      .groupBy(col("doc_id"), col("source"), col("wd"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("toks",
+        Bridge.column(BpeLen(Bridge.expression(col("wd")))).cast("long"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt") * col("toks")).as("n_tok"))
+      .withColumn("shard", expr(s"doc_id div $PackShard"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $SeqBudget"))
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("seq_tokens"))
+      .orderBy(col("source"), col("shard"), col("seq_id"))
+  }
+
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame =
+    packSequencesBpe(Tables(spark, dir, "documents"))
+
+  val packSequencesBpeSql: String =
+    s"""WITH RECURSIVE
+       |w0 AS (SELECT doc_id, source,
+       |         unnest(string_split_regex(lower(text), '[ \\t\\n\\r]+')) AS w
+       |       FROM documents),
+       |wc AS (SELECT doc_id, source, w, count(*) AS cnt
+       |       FROM w0 WHERE w <> '' GROUP BY 1, 2, 3),
+       |vocab AS (SELECT DISTINCT w FROM wc),
+       |merges(rank, pat, rep) AS (VALUES ${Text.mergesValuesSql}),
+       |b(w, s, r) AS (
+       |  SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), 1
+       |  FROM vocab WHERE NOT contains(w, chr(31))
+       |  UNION ALL
+       |  SELECT b.w,
+       |    CASE WHEN contains(b.s, m.pat) THEN replace(b.s, m.pat, m.rep)
+       |         ELSE b.s END,
+       |    CASE WHEN contains(b.s, m.pat) THEN b.r ELSE b.r + 1 END
+       |  FROM b JOIN merges m ON m.rank = b.r),
+       |lenv AS (
+       |  SELECT w, length(s) - length(replace(s, chr(31), '')) - 1 AS toks
+       |  FROM b WHERE r = ${Text.mergeCount + 1}
+       |  UNION ALL
+       |  SELECT w, length(w) AS toks FROM vocab WHERE contains(w, chr(31))),
+       |nt AS (SELECT wc.doc_id, wc.source,
+       |         CAST(sum(wc.cnt * lenv.toks) AS BIGINT) AS n_tok,
+       |         wc.doc_id // $PackShard AS shard
+       |       FROM wc JOIN lenv ON wc.w = lenv.w GROUP BY 1, 2, 4),
+       |c AS (SELECT source, shard, n_tok,
+       |    sum(n_tok) OVER (PARTITION BY source, shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM nt),
+       |s AS (SELECT source, shard,
+       |    CAST((cum - n_tok) // $SeqBudget AS BIGINT) AS seq_id, n_tok
+       |  FROM c)
+       |SELECT source, shard, seq_id,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens
+       |FROM s
+       |GROUP BY source, shard, seq_id
+       |ORDER BY source, shard, seq_id""".stripMargin
+
   // ------------------------------------------------- source mixing
   /** Expected per-source doc budget after mixing. */
   private val MixBudget = 10L
@@ -594,6 +674,7 @@ object Pipeline {
     "pipeline_decontaminate_bloom" -> decontaminateBloom _,
     "pipeline_sample_cap" -> sampleCap _,
     "pipeline_pack_sequences" -> packSequences _,
+    "pipeline_pack_sequences_bpe" -> packSequencesBpe _,
     "pipeline_mix_sources" -> mixSources _)
 
   val oracles: Map[String, String] = Map(
@@ -606,5 +687,6 @@ object Pipeline {
     "pipeline_decontaminate_bloom" -> decontaminateSql,
     "pipeline_sample_cap" -> sampleCapSql,
     "pipeline_pack_sequences" -> packSequencesSql,
+    "pipeline_pack_sequences_bpe" -> packSequencesBpeSql,
     "pipeline_mix_sources" -> mixSourcesSql)
 }

@@ -510,8 +510,9 @@ object Text {
     tokensBpe(docs(spark, dir))
 
   /** The merge table compiled into SQL: one VALUES row per rank, with
-    * pat/rep in the chr(31)-separated encoding. */
-  private def mergesValuesSql: String =
+    * pat/rep in the chr(31)-separated encoding. Shared with
+    * [[Pipeline.packSequencesBpe]]'s oracle. */
+  private[operators] def mergesValuesSql: String =
     org.apache.spark.sql.graft.BpeLen.Merges.zipWithIndex.map {
       case ((a, b), i) =>
         def q(s: String) = "'" + s + "'" // merge tokens are [a-z] only
@@ -519,7 +520,8 @@ object Text {
           s"chr(31)||${q(a + b)}||chr(31))"
     }.mkString(", ")
 
-  private val mergeCount = org.apache.spark.sql.graft.BpeLen.Merges.size
+  private[operators] val mergeCount =
+    org.apache.spark.sql.graft.BpeLen.Merges.size
 
   val tokensBpeSql: String =
     s"""WITH RECURSIVE

@@ -169,4 +169,19 @@ class PipelineSpec extends SparkSpec {
     assert(back.filter(col("text").isNull).count() === 0)
     assert(back.select("doc_id").exceptAll(kept.select("doc_id")).count() === 0)
   }
+
+  test("bpe packing conserves total BPE tokens and doc count") {
+    val packed = Pipeline.packSequencesBpe(spark, dir)
+    val bpe = Text.tokensBpe(spark, dir)
+    assert(packed.agg(sum(col("seq_tokens"))).head.getLong(0) ===
+      bpe.agg(sum(col("n_bpe"))).head.getLong(0),
+      "packing must neither drop nor double-count tokens")
+    assert(packed.agg(sum(col("n_docs"))).head.getLong(0) === bpe.count())
+    // BPE budgets bind differently than whitespace budgets: the two
+    // packings must agree on the doc universe but generally not on
+    // sequence boundaries (non-vacuity of using the real token unit)
+    val ws = Pipeline.packSequences(spark, dir)
+    assert(ws.agg(sum(col("n_docs"))).head.getLong(0) ===
+      packed.agg(sum(col("n_docs"))).head.getLong(0))
+  }
 }
