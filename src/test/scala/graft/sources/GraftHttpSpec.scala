@@ -202,6 +202,27 @@ class GraftHttpSpec extends SparkSpec {
       s"dispatcher threads must be daemons: ${dispatchers.map(t => s"${t.getName}:${t.isDaemon}").mkString(", ")}")
   }
 
+  test("structured streaming reads over HTTP: one micro-batch per split") {
+    // the micro-batch source shares the endpoint abstraction, so the
+    // HTTP transport composes with readStream for free — assert it:
+    // split-mode streaming over the socket equals the batch read
+    val sinkName = s"http_stream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-arrow")
+      .option("url", url)
+      .option("table", "region")
+      .option("token", token)
+      .option("split", true)
+      .load()
+      .writeStream.format("memory").queryName(sinkName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(sinkName)
+    val p = plain("region")
+    assert(streamed.count() === p.count())
+    assert(streamed.exceptAll(p).count() === 0)
+    assert(p.exceptAll(streamed).count() === 0)
+  }
+
   override def afterAll(): Unit = {
     try { server.stop(); bigServer.stop(); GraftHttpServers.stopAll() }
     finally super.afterAll()
