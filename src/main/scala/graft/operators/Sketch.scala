@@ -154,6 +154,42 @@ object Sketch {
       |    (s_present + CAST(1024 - n_present AS DOUBLE)) AS hll_estimate
       |FROM g JOIN e ON g.event_type = e.event_type""".stripMargin
 
+  /** Entry (r13): the PRODUCTION path — sketch-only, no exact
+    * baseline riding along. `agg_hll_distinct` deliberately computes
+    * `countDistinct` NEXT TO the sketch as the demo of what the
+    * sketch replaces, which makes its bench line the cost of the
+    * full-shuffle baseline, not of the sketch (r12 verdict noted the
+    * bench-readability trap). This entry is what a user actually
+    * runs: registers → estimate, ≤1024 bounded rows per group across
+    * the wire, nothing else — its bench line IS the sketch's cost.
+    * The estimate arithmetic is the proven integer-exact pipeline, so
+    * the oracle gates it exactly, baseline-free. */
+  def hllUsersProduction(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    hllDistinct(events, Seq("event_type"), "user_id", log2m = 10)
+      .select(col("event_type"), col("v_zero"), col("hll_estimate"))
+  }
+
+  val hllUsersProductionSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events WHERE user_id IS NOT NULL),
+      |b AS (SELECT event_type, h % 1024 AS bucket, h >> 10 AS rest FROM h),
+      |r AS (SELECT event_type, bucket,
+      |        max(CASE WHEN rest = 0 THEN 51
+      |                 ELSE 51 - length(bin(rest)) END) AS r
+      |      FROM b GROUP BY 1, 2),
+      |g AS (SELECT event_type, count(*) AS n_present,
+      |        list_reduce(list(pow(2.0, -r) ORDER BY bucket),
+      |                    (acc, x) -> acc + x) AS s_present
+      |      FROM r GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(1024 - n_present AS BIGINT) AS v_zero,
+      |  (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 /
+      |    (s_present + CAST(1024 - n_present AS DOUBLE)) AS hll_estimate
+      |FROM g""".stripMargin
+
   /** Entry: the MERGE path proven against the direct path — events are
     * split into two disjoint shards (event_id parity — the stand-in
     * for "two days of data sketched independently"), each shard
@@ -397,9 +433,18 @@ object Sketch {
     * buckets that's a small fraction of the group (factor-of-two
     * bucketing ⇒ roughly the mass within 2× of the quantile); the
     * degenerate worst case (all values in one bucket) is an honest
-    * full-group sort, which is what an exact quantile costs anyway —
-    * the sketch never makes pass 2 MORE expensive than the naive
-    * percentile shuffle it replaces. */
+    * full-group sort, which is what an exact quantile costs anyway.
+    *
+    * MEASURED at sf10 (bench_points_r13/quantile_ab_sf10.json,
+    * interleaved, equality-guarded): refined 7.5s vs naive full-sort
+    * rank-selection 6.9s — 0.92×. In the IN-MEMORY regime the naive
+    * sort's single scan beats this plan's two scans; the refinement's
+    * win is (a) the SPILL regime — the naive window sorts every row
+    * (working set = the whole group) while pass 2 sorts only the
+    * target-bucket mass — and (b) the PERSISTED-SKETCH regime, where
+    * pass 1 already exists per day/source and an exact quantile costs
+    * only the bounded pass 2. Use naive below those regimes; the
+    * ≤10% in-memory penalty bounds the cost of choosing wrong. */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
       percentiles: Seq[Int]): DataFrame = {
     require(percentiles.nonEmpty &&
@@ -480,6 +525,7 @@ object Sketch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_distinct" -> (hllUsers(_, _)),
     "agg_hll_merge" -> (hllUsersMerged(_, _)),
+    "agg_hll_production" -> (hllUsersProduction(_, _)),
     "agg_quantile_sketch" -> (quantileOrderValues(_, _)),
     "agg_quantile_sketch_merge" -> (quantileOrderValuesMerged(_, _)),
     "agg_quantile_exact" -> (exactOrderValueQuantiles(_, _)))
@@ -511,6 +557,7 @@ object Sketch {
   val oracles: Map[String, String] = Map(
     "agg_hll_distinct" -> hllUsersSql,
     "agg_hll_merge" -> hllUsersMergedSql,
+    "agg_hll_production" -> hllUsersProductionSql,
     "agg_quantile_sketch" -> quantileOrderValuesSql,
     "agg_quantile_sketch_merge" -> quantileOrderValuesMergedSql,
     "agg_quantile_exact" -> exactOrderValueQuantilesSql)
