@@ -278,18 +278,26 @@ object Sketch {
     * (raise_error in the bucket branch — ADVICE r12: it would land in
     * the two's-complement top bucket with nonsense bounds, and a
     * silently dropped or mis-bucketed value is a wrong quantile). */
+  /** THE bucket expression — shared by [[logHistSketch]] (pass 1) and
+    * [[exactQuantiles]]' pass 2 so the two passes can never drift
+    * (ADVICE r13): bit length of the non-negative long `v` (0 for 0),
+    * failing FAST on negatives in BOTH passes — a negative value that
+    * appears only on a re-scan (non-deterministic source) would
+    * otherwise silently mis-bucket pass 2. */
+  private def bucketOf(v: Column, valueCol: String): Column =
+    when(v < 0, raise_error(concat(
+      lit("graft logHistSketch: negative value "),
+      v.cast("string"),
+      lit(s" in column $valueCol — scale to non-negative integers first"))))
+      .when(v === 0, lit(0))
+      .otherwise(length(bin(v)))
+
   def logHistSketch(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     val gcols = groupCols.map(col)
     df.filter(col(valueCol).isNotNull)
       .select((gcols :+ col(valueCol).cast("long").as("v")): _*)
-      .withColumn("bucket",
-        when(col("v") < 0, raise_error(concat(
-          lit("graft logHistSketch: negative value "),
-          col("v").cast("string"),
-          lit(s" in column $valueCol — scale to non-negative integers first"))))
-          .when(col("v") === 0, lit(0))
-          .otherwise(length(bin(col("v")))))
+      .withColumn("bucket", bucketOf(col("v"), valueCol))
       .groupBy((gcols :+ col("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
@@ -475,12 +483,14 @@ object Sketch {
       .select((groupCols.map(g => col(s"t.$g")) :+ col("t.p") :+ col("t.n") :+
         col("t.qb") :+
         (col("t.rank_p") - (col("s.cum") - col("s.cnt"))).as("k")): _*)
-    // pass 2: only the target buckets' rows survive the broadcast join
+    // pass 2: only the target buckets' rows survive the broadcast join;
+    // the bucket expression (incl. the negative-value guard) is THE
+    // shared bucketOf — pass 2 re-derives buckets from df, so on a
+    // source that changed between passes it must fail fast too
     val bucketed = df
       .filter(col(valueCol).isNotNull)
       .select((gcols :+ col(valueCol).cast("long").as("v")): _*)
-      .withColumn("bucket",
-        when(col("v") === 0, lit(0)).otherwise(length(bin(col("v")))))
+      .withColumn("bucket", bucketOf(col("v"), valueCol))
     val candidates = bucketed.as("d")
       .join(broadcast(kFrame.as("q")),
         groupCols.map(g => col(s"d.$g") === col(s"q.$g"))
@@ -522,13 +532,197 @@ object Sketch {
       |  CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99
       |FROM r GROUP BY g""".stripMargin
 
+  // --------------------------------------------------------------- C30
+  /** Count-min heavy-hitters sketch (Cormode & Muthukrishnan 2005) —
+    * the third member of the mergeable-sketch family (HLL = distinct,
+    * log-histogram = quantiles, CMS = frequencies): "what are the hot
+    * items per group" at 100 TB without shuffling one row per item
+    * occurrence. The sketch is a d×w counter table per group —
+    * `counter[r][h_r(x)] += 1` — so at most d·w = 192 rows per group
+    * per partition cross the shuffle (map-side combined) however large
+    * the input, and a point estimate is `min over r of
+    * counter[r][h_r(x)]`, which is ALWAYS ≥ the true count and exceeds
+    * it by more than ε·N (ε = e/w) with probability < e^-d per row.
+    *
+    * Counters are sums — a commutative monoid — so per-day/per-source
+    * sketches merge by per-cell addition into EXACTLY the sketch of
+    * the concatenated input ([[topkMerge]]; the `agg_topk_sketch_merge`
+    * entry proves merged ≡ direct cross-engine, the C26b treatment).
+    *
+    * Everything is INTEGER-exact and the hashes are md5-derived
+    * (`h_r(x)` = first 15 hex chars of md5(r ‖ '|' ‖ x), mod w — the
+    * C26 conv idiom), so DuckDB replays the sketch bit-for-bit: the
+    * driver gate checks the ESTIMATES, not just shapes.
+    *
+    * LLM-pipeline use: hot-gram / boilerplate detection per source —
+    * the df-signal that feeds the C4c dispatcher and C23's span
+    * scoring — without a full (gram → count) aggregation. Candidate
+    * ENUMERATION at scale comes from a bounded per-partition local
+    * top-m pass (classic SpaceSaving-per-partition, union of local
+    * candidates); the gated entries enumerate distinct tokens because
+    * at gate SFs that IS the bounded set and it keeps the oracle a
+    * pure SQL replay. */
+  private val CmsDepth = 3
+  private val CmsWidth = 64
+
+  /** The mergeable sketch: `(groupCols…, r, bucket, cnt)` — at most
+    * d·w rows per group. `itemCol` must have a stable string form. */
+  def topkSketch(df: DataFrame, groupCols: Seq[String],
+      itemCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    df.filter(col(itemCol).isNotNull)
+      .select((gcols :+ col(itemCol).cast("string").as("item")): _*)
+      .withColumn("r", explode(array((0 until CmsDepth).map(lit(_)): _*)))
+      .withColumn("bucket", cmsBucket(col("r"), col("item")))
+      .groupBy((gcols :+ col("r") :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def cmsBucket(r: Column, item: Column): Column =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit("|"), item)),
+      1, 15), 16, 10).cast("long"), lit(CmsWidth.toLong))
+
+  /** Monoid merge of [[topkSketch]] tables over the same group schema:
+    * union + per-cell count sum. */
+  def topkMerge(sketches: Seq[DataFrame], groupCols: Seq[String]): DataFrame = {
+    require(sketches.nonEmpty, "topkMerge needs at least one sketch")
+    val gcols = groupCols.map(col)
+    sketches.reduce(_.unionByName(_))
+      .groupBy((gcols :+ col("r") :+ col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Finisher: estimate each candidate item's count from the sketch
+    * (min over the d rows) and keep the top k per group, ranked
+    * (estimate DESC, item ASC — deterministic). Candidates join the
+    * sketch on (group, r, bucket): 3 rows per candidate, a bounded
+    * shuffle. */
+  def topkEstimate(sketch: DataFrame, candidates: DataFrame,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    val cand = candidates
+      .withColumn("r", explode(array((0 until CmsDepth).map(lit(_)): _*)))
+      .withColumn("bucket", cmsBucket(col("r"), col("item")))
+    val est = cand.join(sketch, groupCols ++ Seq("r", "bucket"))
+      .groupBy((gcols :+ col("item")): _*)
+      .agg(min(col("cnt")).cast("long").as("est"))
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(col("est").desc, col("item").asc)
+    est.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select((gcols :+ col("rank") :+ col("item") :+ col("est")): _*)
+  }
+
+  private def docTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("item"))
+      .filter(length(col("item")) > 0)
+
+  /** Entry: top-10 hottest words per document source, CMS-estimated
+    * (d=3, w=64 — small enough that collisions are REAL at gate SFs,
+    * so the gate exercises the min-over-rows estimate, not a
+    * pass-through). */
+  def topkWords(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(spark, dir)
+    val sketch = topkSketch(toks, Seq("source"), "item")
+    val cand = toks.select(col("source"), col("item")).distinct()
+    topkEstimate(sketch, cand, Seq("source"), 10)
+  }
+
+  private val topkSqlCommon =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, tok AS item
+       |  FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+       |  WHERE len(tok) > 0),
+       |rows3 AS (
+       |  SELECT doc_id, source, item, r,
+       |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 15)
+       |      AS BIGINT) % $CmsWidth AS bucket
+       |  FROM toks, unnest([0, 1, 2]) AS rr(r))""".stripMargin
+
+  val topkWordsSql: String =
+    s"""$topkSqlCommon,
+       |sk AS (SELECT source, r, bucket, count(*) AS cnt
+       |       FROM rows3 GROUP BY 1, 2, 3),
+       |cand AS (SELECT DISTINCT source, item, r, bucket FROM rows3),
+       |est AS (SELECT cand.source, cand.item,
+       |          CAST(min(sk.cnt) AS BIGINT) AS est
+       |        FROM cand JOIN sk ON cand.source = sk.source
+       |          AND cand.r = sk.r AND cand.bucket = sk.bucket
+       |        GROUP BY 1, 2),
+       |rk AS (SELECT source, item, est,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY est DESC, item) AS rank
+       |       FROM est)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, item, est
+       |FROM rk WHERE rank <= 10""".stripMargin
+
+  /** Entry (C30b): the MERGE path proven against the direct path —
+    * documents sharded by doc_id parity (two "days" sketched
+    * independently), per-shard sketches merged by per-cell count sum,
+    * and the merged top-10 emitted NEXT TO the direct top-10. Counts
+    * are exact integers and the cells are identical, so merged ≡
+    * direct must hash-match — the oracle computes both independently. */
+  def topkWordsMerged(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docTokens(spark, dir)
+    val shards = Seq(0, 1).map(p =>
+      topkSketch(toks.filter(pmod(col("doc_id"), lit(2)) === p),
+        Seq("source"), "item"))
+    val merged = topkMerge(shards, Seq("source"))
+    val cand = toks.select(col("source"), col("item")).distinct()
+    val m = topkEstimate(merged, cand, Seq("source"), 10)
+      .withColumnRenamed("est", "est_merged")
+    val d = topkEstimate(topkSketch(toks, Seq("source"), "item"),
+        cand, Seq("source"), 10)
+      .withColumnRenamed("est", "est_direct")
+    m.join(d, Seq("source", "rank", "item"))
+      .select(col("source"), col("rank"), col("item"),
+        col("est_merged"), col("est_direct"))
+  }
+
+  val topkWordsMergedSql: String =
+    s"""$topkSqlCommon,
+       |skp AS (SELECT source, doc_id % 2 AS part, r, bucket, count(*) AS cnt
+       |        FROM rows3 GROUP BY 1, 2, 3, 4),
+       |skm AS (SELECT source, r, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+       |        FROM skp GROUP BY 1, 2, 3),
+       |skd AS (SELECT source, r, bucket, count(*) AS cnt
+       |        FROM rows3 GROUP BY 1, 2, 3),
+       |cand AS (SELECT DISTINCT source, item, r, bucket FROM rows3),
+       |estm AS (SELECT cand.source, cand.item,
+       |           CAST(min(skm.cnt) AS BIGINT) AS est_merged
+       |         FROM cand JOIN skm ON cand.source = skm.source
+       |           AND cand.r = skm.r AND cand.bucket = skm.bucket
+       |         GROUP BY 1, 2),
+       |estd AS (SELECT cand.source, cand.item,
+       |           CAST(min(skd.cnt) AS BIGINT) AS est_direct
+       |         FROM cand JOIN skd ON cand.source = skd.source
+       |           AND cand.r = skd.r AND cand.bucket = skd.bucket
+       |         GROUP BY 1, 2),
+       |rkm AS (SELECT source, item, est_merged,
+       |          row_number() OVER (PARTITION BY source
+       |                             ORDER BY est_merged DESC, item) AS rank
+       |        FROM estm),
+       |rkd AS (SELECT source, item, est_direct,
+       |          row_number() OVER (PARTITION BY source
+       |                             ORDER BY est_direct DESC, item) AS rank
+       |        FROM estd)
+       |SELECT rkm.source, CAST(rkm.rank AS BIGINT) AS rank, rkm.item,
+       |  rkm.est_merged, rkd.est_direct
+       |FROM rkm JOIN rkd ON rkm.source = rkd.source
+       |  AND rkm.rank = rkd.rank AND rkm.item = rkd.item
+       |WHERE rkm.rank <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hll_distinct" -> (hllUsers(_, _)),
     "agg_hll_merge" -> (hllUsersMerged(_, _)),
     "agg_hll_production" -> (hllUsersProduction(_, _)),
     "agg_quantile_sketch" -> (quantileOrderValues(_, _)),
     "agg_quantile_sketch_merge" -> (quantileOrderValuesMerged(_, _)),
-    "agg_quantile_exact" -> (exactOrderValueQuantiles(_, _)))
+    "agg_quantile_exact" -> (exactOrderValueQuantiles(_, _)),
+    "agg_topk_sketch" -> (topkWords(_, _)),
+    "agg_topk_sketch_merge" -> (topkWordsMerged(_, _)))
 
   val quantileOrderValuesSql: String =
     """WITH v AS (SELECT o_orderpriority AS g,
@@ -560,5 +754,7 @@ object Sketch {
     "agg_hll_production" -> hllUsersProductionSql,
     "agg_quantile_sketch" -> quantileOrderValuesSql,
     "agg_quantile_sketch_merge" -> quantileOrderValuesMergedSql,
-    "agg_quantile_exact" -> exactOrderValueQuantilesSql)
+    "agg_quantile_exact" -> exactOrderValueQuantilesSql,
+    "agg_topk_sketch" -> topkWordsSql,
+    "agg_topk_sketch_merge" -> topkWordsMergedSql)
 }

@@ -335,13 +335,27 @@ class GraftArrowReaderFactory(endpoint: Endpoint, query: QuerySpec,
     val rows = ArrowBridge.fromIpc(ipc, schema)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
+      private var exhausted = false
       override def next(): Boolean =
-        if (rows.hasNext) { current = rows.next(); true } else false
+        if (rows.hasNext) { current = rows.next(); true }
+        else { exhausted = true; false }
       override def get(): InternalRow = current
       // Spark calls close() on task completion whether or not the scan
       // was exhausted — this is what releases the endpoint's parquet
-      // reader on limit/take/cancelled tasks
-      override def close(): Unit = ipc.close()
+      // reader on limit/take/cancelled tasks. An EARLY close over the
+      // HTTP transport additionally fires the reference's best-effort
+      // server-side cancel (cancel_monitor.cpp): the disconnect alone
+      // stops the stream at the server's next write, but an explicit
+      // /v1/cancel releases it at the next FRAME even if the socket
+      // buffers would have absorbed more (r14, verdict slate #2b).
+      override def close(): Unit = {
+        ipc.close()
+        if (!exhausted) endpoint match {
+          case h: HttpEndpoint =>
+            h.cancelQuery(split.queryId, split.nonce)
+          case _ =>
+        }
+      }
     }
   }
 }

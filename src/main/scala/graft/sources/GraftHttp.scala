@@ -1,10 +1,8 @@
 package graft.sources
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream, ObjectInputStream, ObjectOutputStream, OutputStream}
 import java.net.{HttpURLConnection, InetAddress, InetSocketAddress, URI, URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.Base64
-import java.util.concurrent.atomic.AtomicInteger
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import org.apache.spark.sql.graft.ArrowBridge
@@ -44,26 +42,22 @@ import graft.functions.{GraftAuth, Jwt}
   * exposes and a real server parses with its SQL engine). A free-form
   * `q` alone IS executed (via [[SqlEndpoint]] — the server's engine).
   * For exact split scans the client sends the parsed form alongside
-  * (`file`/`start`/`end`/`rgs`/`cols`/`filt`/`agg` parameters): this
-  * in-process server is not a SQL parser, so the sidecar carries the
-  * structure a real server would recover from `q` — same pushdown
-  * semantics, no parser risk. Divergence recorded in SURVEY §2/A1.
+  * (`file`/`start`/`end`/`rgs`/`cols`/`where`/`agg` parameters) —
+  * ENGINE-NEUTRAL text since r14: `where` is the filters serialized
+  * back to SQL (the reference's own FilterToSQL encoding,
+  * read_arrow_dd.cpp:198-295, parsed server-side by
+  * [[FilterSql.parseWhere]]) and `agg` is a small JSON spec
+  * ([[AggSpec.toJson]]). Any HTTP client in any language can drive
+  * the split-scan route by hand (GraftHttpSpec proves it with a
+  * string-concatenated URL), and the server holds no
+  * ObjectInputStream deserialization surface.
   */
 object GraftHttpProtocol {
   val ArrowContentType = "application/vnd.apache.arrow.stream"
 
-  def javaSer(o: AnyRef): String = {
-    val bos = new ByteArrayOutputStream()
-    val oos = new ObjectOutputStream(bos)
-    oos.writeObject(o); oos.close()
-    Base64.getUrlEncoder.withoutPadding.encodeToString(bos.toByteArray)
-  }
-
-  def javaDeser[A](s: String): A = {
-    val in = new ObjectInputStream(
-      new ByteArrayInputStream(Base64.getUrlDecoder.decode(s)))
-    try in.readObject().asInstanceOf[A] finally in.close()
-  }
+  /** A client-error raised inside a route handler and mapped to a 400
+    * response instead of the generic 500. */
+  final class BadRequest(msg: String) extends RuntimeException(msg)
 
   def enc(s: String): String = URLEncoder.encode(s, UTF_8)
 
@@ -96,28 +90,40 @@ object GraftHttpProtocol {
   * except `/v1/login` verifies `Authorization: Bearer <jwt>` against
   * `secret` → 401 on missing/invalid/expired, same contract as
   * [[AuthEndpoint]]. Login delegates to the [[GraftAuth]] provider at
-  * `authUrl`. */
+  * `authUrl`.
+  *
+  * `peers` (r14): base URLs of OTHER servers holding the same tables —
+  * the plan's per-split `endpoints` array lists this server first and
+  * the peers after it (split_info.cpp:44-81 carries several
+  * interchangeable endpoints per split), so a client can fail over
+  * when this server dies mid-fleet. */
 class GraftHttpServer(dir: String,
                       secret: String = GraftAuth.DefaultSecret,
                       authRequired: Boolean = true,
-                      authUrl: String = GraftAuth.DefaultUrl) {
+                      authUrl: String = GraftAuth.DefaultUrl,
+                      peers: Seq[String] = Nil) {
   import GraftHttpProtocol._
 
   private val inner = new LocalParquetEndpoint(dir)
   private val active = new AtomicInteger(0)
   private val aborted = new AtomicInteger(0)
-  // id → cancel-entry expiry. Query ids are DETERMINISTIC (a hash of
-  // the wire SQL, LocalParquetEndpoint.plan), so a permanent entry
-  // would cancel every future re-issue of the same query; the TTL
-  // bounds the blast radius to streams in flight around the cancel —
-  // the reference's best-effort contract (cancel_monitor.cpp).
-  private val cancelledIds = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  private val cancels = new AtomicInteger(0)
+  // per-plan nonce (r14, ADVICE): query ids are DETERMINISTIC (a hash
+  // of the wire SQL), so two consumers re-issuing the same query share
+  // an id — scoping cancels to (id, nonce) keeps one consumer's cancel
+  // from truncating the other's streams. Monotonic per server.
+  private val nonces = new AtomicLong(0L)
+  // (id, nonce) → cancel-entry expiry. The TTL bounds the blast radius
+  // to streams in flight around the cancel — the reference's
+  // best-effort contract (cancel_monitor.cpp).
+  private val cancelledIds =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]()
   private val CancelTtlMillis = 60000L
-  private def isCancelled(id: Long): Boolean = {
-    val exp = cancelledIds.get(id)
+  private def isCancelled(id: Long, nonce: Long): Boolean = {
+    val exp = cancelledIds.get((id, nonce))
     exp != 0L && {
       if (System.currentTimeMillis() < exp) true
-      else { cancelledIds.remove(id); false }
+      else { cancelledIds.remove((id, nonce)); false }
     }
   }
   @volatile private var server: HttpServer = _
@@ -126,6 +132,8 @@ class GraftHttpServer(dir: String,
   def activeScans: Int = active.get()
   /** Streams terminated early by client disconnect or /v1/cancel. */
   def abortedScans: Int = aborted.get()
+  /** /v1/cancel requests received (the task-close propagation observable). */
+  def cancelsReceived: Int = cancels.get()
 
   def port: Int = server.getAddress.getPort
   def url: String = s"http://127.0.0.1:$port"
@@ -171,8 +179,13 @@ class GraftHttpServer(dir: String,
           // the attempt distinguishes them, so a pre-response error is
           // a diagnosable 500, never a silent connection drop
           case e: Throwable =>
+            val code = e match {
+              case _: BadRequest => 400
+              case _: UnsupportedOperationException => 400
+              case _ => 500
+            }
             val responded =
-              try { respond(ex, 500, s"graft-http: ${e.getMessage}"); true }
+              try { respond(ex, code, s"graft-http: ${e.getMessage}"); true }
               catch { case _: Exception => false }
             if (responded)
               System.err.println(
@@ -224,14 +237,19 @@ class GraftHttpServer(dir: String,
     }
   }
 
-  /** GET /v1/cancel?q=&id=N — best-effort: in-flight /v1/query streams
-    * carrying that id stop at their next frame (the reference's cancel
-    * monitor polls the same way, cancel_monitor.cpp). */
+  /** GET /v1/cancel?q=&id=N[&nonce=M] — best-effort: in-flight
+    * /v1/query streams carrying that (id, nonce) stop at their next
+    * frame (the reference's cancel monitor polls the same way,
+    * cancel_monitor.cpp). The nonce comes from the plan's statement
+    * handle; a cancel without one targets nonce-less streams only
+    * (hand-built scans), never a planned consumer's. */
   private def cancel(ex: HttpExchange): Unit = {
     val p = params(ex.getRequestURI.getRawQuery)
     p.get("id").flatMap(_.toLongOption) match {
       case Some(id) =>
-        cancelledIds.put(id, System.currentTimeMillis() + CancelTtlMillis)
+        cancels.incrementAndGet()
+        val nonce = p.get("nonce").flatMap(_.toLongOption).getOrElse(0L)
+        cancelledIds.put((id, nonce), System.currentTimeMillis() + CancelTtlMillis)
         respond(ex, 200, "cancelled")
       case None => respond(ex, 400, "graft-http: cancel requires id")
     }
@@ -243,25 +261,40 @@ class GraftHttpServer(dir: String,
       case None => (inner, p.getOrElse("table", ""))
     }
 
-  /** GET /v1/plan?q=<sql>&split_size=N&table=…|sql=…&cols=…&filt=… →
+  /** The r14 engine-neutral filter wire form: `where=<SQL conjunction>`
+    * parsed STRICTLY — unparseable text is a 400, never a partial
+    * predicate (a dropped conjunct under an aggregate pushdown would
+    * be a silently wrong answer). */
+  private def parsedFilters(p: Map[String, String]): Array[Filter] =
+    p.get("where").filter(_.nonEmpty) match {
+      case None => Array.empty[Filter]
+      case Some(text) => FilterSql.parseWhere(text).getOrElse(
+        throw new BadRequest(s"graft-http: unparseable where clause: $text"))
+    }
+
+  /** GET /v1/plan?q=<sql>&split_size=N&table=…|sql=…&cols=…&where=… →
     * the reference's JSON plan shape: per split an `endpoints` array
-    * plus a `descriptor.statement_handle` (split_info.cpp:44-81), with
-    * the split's row-group byte range as the opaque handle detail. */
+    * (this server first, then its peers — the failover order) plus a
+    * `descriptor.statement_handle` (split_info.cpp:44-81) carrying the
+    * per-plan cancel nonce, with the split's row-group byte range as
+    * the opaque handle detail. */
   private def plan(ex: HttpExchange): Unit = {
     val p = params(ex.getRequestURI.getRawQuery)
     val (ep, table) = endpointFor(p)
     val cols = p.get("cols").filter(_.nonEmpty)
       .map(_.split(',').toArray[String]).getOrElse(Array.empty[String])
-    val filters = p.get("filt").map(javaDeser[Array[Filter]])
-      .getOrElse(Array.empty[Filter])
+    val filters = parsedFilters(p)
     val splitSize = p.get("split_size").flatMap(_.toLongOption)
       .getOrElse(128L * 1024 * 1024)
     val splits = ep.plan(table, QuerySpec(table, cols, filters), splitSize)
+    val nonce = nonces.incrementAndGet()
+    val endpoints = (url +: peers).map(jsonStr).mkString("[", ",", "]")
     val json = splits.map { s =>
-      s"""{"endpoints":[${jsonStr(url)}],""" +
+      s"""{"endpoints":$endpoints,""" +
         s""""descriptor":{"statement_handle":{""" +
         s""""query":${jsonStr(s.query)},"producer_id":${jsonStr(s.producerId)},""" +
-        s""""query_id":${s.queryId},"query_checksum":${jsonStr(s.queryChecksum)}}},""" +
+        s""""query_id":${s.queryId},"query_checksum":${jsonStr(s.queryChecksum)},""" +
+        s""""nonce":$nonce}},""" +
         s""""split":{"split_id":${s.splitId},"file":${jsonStr(s.endpoint)},""" +
         s""""row_groups":[${s.rowGroups.mkString(",")}],""" +
         s""""start_byte":${s.startByte},"end_byte":${s.endByte},""" +
@@ -270,16 +303,35 @@ class GraftHttpServer(dir: String,
     respond(ex, 200, json, "application/json")
   }
 
+  /** A split locator handed back by the client must resolve INSIDE the
+    * directory this server serves (the materialized-result cache in
+    * sql mode) — otherwise an authenticated client could read any
+    * parquet file on the host by forging `file` (ADVICE r13). Path
+    * canonicalization defeats `..` and symlink traversal. */
+  private def validatedFile(p: Map[String, String], file: String): String = {
+    val root = if (p.contains("sql")) SqlEndpoint.cacheRoot else dir
+    // locators may carry a `file:` URI scheme (hadoop Path strings do)
+    val local = new org.apache.hadoop.fs.Path(file.stripPrefix("local://"))
+      .toUri.getPath
+    val canon = new java.io.File(local).getCanonicalPath
+    val rootCanon = new java.io.File(root).getCanonicalPath
+    if (canon == rootCanon ||
+        canon.startsWith(rootCanon + java.io.File.separator)) file
+    else throw new BadRequest(
+      s"split file resolves outside the served directory ($canon vs $rootCanon)")
+  }
+
   /** GET /v1/query — the Arrow stream route. Modes:
     *  - `limit=0`: schema probe — schema message + EOS, no scan (the
     *    reference binds schema by reading the stream header);
-    *  - `file=…` sidecar: exact split scan (optionally `agg=…` for the
-    *    pushed-partial stream);
+    *  - `file=…` sidecar: exact split scan (optionally `agg=…` — a
+    *    JSON [[AggSpec]] — for the pushed-partial stream);
     *  - bare `q`: free-form SQL executed by the server's engine
     *    ([[SqlEndpoint]]), whole result streamed. */
   private def query(ex: HttpExchange): Unit = {
     val p = params(ex.getRequestURI.getRawQuery)
     val queryId = p.get("id").flatMap(_.toLongOption).getOrElse(-1L)
+    val nonce = p.get("nonce").flatMap(_.toLongOption).getOrElse(0L)
     val structured = p.contains("table") || p.contains("sql")
 
     if (structured && p.get("limit").contains("0")) {
@@ -307,14 +359,13 @@ class GraftHttpServer(dir: String,
         val fullSchema = ep.schema(table)
         val cols = p.get("cols").filter(_.nonEmpty)
           .map(_.split(',').toArray[String]).getOrElse(Array.empty[String])
-        val filters = p.get("filt").map(javaDeser[Array[Filter]])
-          .getOrElse(Array.empty[Filter])
+        val filters = parsedFilters(p)
         val spec = QuerySpec(table, cols, filters)
         val projected =
           if (cols.isEmpty) fullSchema
           else StructType(cols.map(c => fullSchema(fullSchema.fieldIndex(c))))
-        val file = p.getOrElse("file",
-          { respond(ex, 400, "graft-http: file required for split scan"); return })
+        val file = validatedFile(p, p.getOrElse("file",
+          throw new BadRequest("file required for split scan")))
         val split = SplitInfo(
           endpoint = file, queryId = queryId, producerId = "graft-http",
           query = p.getOrElse("q", ""), queryChecksum = "",
@@ -324,7 +375,8 @@ class GraftHttpServer(dir: String,
           startByte = p.get("start").flatMap(_.toLongOption).getOrElse(0L),
           endByte = p.get("end").flatMap(_.toLongOption).getOrElse(Long.MaxValue),
           rowCount = 0L)
-        p.get("agg").map(javaDeser[AggSpec]) match {
+        p.get("agg").map(j => AggSpec.fromJson(j).getOrElse(
+          throw new BadRequest(s"unparseable agg spec: $j"))) match {
           case Some(agg) =>
             (agg.outputSchema(fullSchema), ep.scanAgg(split, spec, agg))
           case None => (projected, ep.scan(split, spec))
@@ -354,7 +406,7 @@ class GraftHttpServer(dir: String,
       // /v1/cancel for this id stops at the next frame boundary
       val guarded = new Iterator[Array[Byte]] {
         override def hasNext: Boolean = {
-          if (queryId >= 0 && isCancelled(queryId))
+          if (queryId >= 0 && isCancelled(queryId, nonce))
             throw new java.io.IOException(s"query $queryId cancelled")
           ipc.hasNext
         }
@@ -386,8 +438,11 @@ class HttpEndpoint(baseUrl: String, token: Option[String],
 
   private def base = baseUrl.stripSuffix("/")
 
-  private def open(path: String, accept: String): HttpURLConnection = {
-    val conn = new URI(base + path).toURL.openConnection()
+  private def open(path: String, accept: String): HttpURLConnection =
+    openAt(base, path, accept)
+
+  private def openAt(at: String, path: String, accept: String): HttpURLConnection = {
+    val conn = new URI(at.stripSuffix("/") + path).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(120000)
@@ -421,8 +476,11 @@ class HttpEndpoint(baseUrl: String, token: Option[String],
     }
     if (query.requiredColumns.nonEmpty)
       sb ++= s"&cols=${enc(query.requiredColumns.mkString(","))}"
-    if (query.filters.nonEmpty)
-      sb ++= s"&filt=${javaSer(query.filters)}"
+    // filters go over the wire as the SQL text the reference's
+    // FilterToSQL produces (read_arrow_dd.cpp:198-295), parsed back by
+    // FilterSql.parseWhere on the server — engine-neutral since r14
+    FilterSql.toConjunction(query.filters)
+      .foreach(w => sb ++= s"&where=${enc(w)}")
     sb.toString()
   }
 
@@ -447,8 +505,10 @@ class HttpEndpoint(baseUrl: String, token: Option[String],
       val o = root.get(i)
       val h = o.get("descriptor").get("statement_handle")
       val s = o.get("split")
+      val eps = (0 until o.get("endpoints").size())
+        .map(j => o.get("endpoints").get(j).asText())
       SplitInfo(
-        endpoint = o.get("endpoints").get(0).asText(),
+        endpoint = eps.head,
         queryId = h.get("query_id").asLong(),
         producerId = h.get("producer_id").asText(),
         query = h.get("query").asText(),
@@ -459,23 +519,73 @@ class HttpEndpoint(baseUrl: String, token: Option[String],
         startByte = s.get("start_byte").asLong(),
         endByte = s.get("end_byte").asLong(),
         rowCount = s.get("row_count").asLong(),
-        file = s.get("file").asText())
+        file = s.get("file").asText(),
+        altEndpoints = eps.tail,
+        nonce = Option(h.get("nonce")).map(_.asLong()).getOrElse(0L))
     }
   }
 
+  /** One split over the wire, with endpoint FAILOVER (r14): the plan's
+    * `endpoints` array lists interchangeable servers (split_info.cpp:
+    * 44-81); each is tried once, in order, and the scan moves to the
+    * next on an I/O failure BEFORE the first record batch is delivered
+    * (a connect refusal or a stream that dies in the header). After
+    * data has flowed, a failure propagates instead — a silent restart
+    * would duplicate delivered rows; Spark's task retry re-runs the
+    * whole split cleanly and re-enters the failover ladder from the
+    * top. */
   private def streamSplit(split: SplitInfo, query: QuerySpec,
                           agg: Option[AggSpec]): IpcStream = {
-    val aggParam = agg.map(a => s"&agg=${javaSer(a)}").getOrElse("")
-    val conn = checked(open(
+    val aggParam = agg.map(a => s"&agg=${enc(AggSpec.toJson(a))}").getOrElse("")
+    val path =
       s"/v1/query?${commonParams(query)}&id=${split.queryId}" +
+        s"&nonce=${split.nonce}" +
         s"&split=${split.splitId}&file=${enc(split.file)}" +
         s"&rgs=${split.rowGroups.mkString(",")}" +
-        s"&start=${split.startByte}&end=${split.endByte}$aggParam",
-      ArrowContentType))
-    val in = conn.getInputStream
-    val batches = ArrowBridge.batchesFromStream(
-      java.nio.channels.Channels.newChannel(in))
-    IpcStream(batches, () => { in.close(); conn.disconnect() })
+        s"&start=${split.startByte}&end=${split.endByte}$aggParam"
+    val hosts = ((if (split.endpoint.startsWith("http")) Seq(split.endpoint)
+                  else Seq(base)) ++ split.altEndpoints).distinct
+    def openHost(at: String): (HttpURLConnection, Iterator[Array[Byte]]) = {
+      val conn = checked(openAt(at, path, ArrowContentType))
+      (conn, ArrowBridge.batchesFromStream(
+        java.nio.channels.Channels.newChannel(conn.getInputStream)))
+    }
+    var hostIdx = 0
+    var current: (HttpURLConnection, Iterator[Array[Byte]]) = null
+    /** Open hosts(hostIdx), advancing past dead ones; rethrows the
+      * failure only when no host is left. */
+    def openNext(): Unit = {
+      current = null
+      while (current == null) {
+        try current = openHost(hosts(hostIdx))
+        catch {
+          case e: java.io.IOException =>
+            if (hostIdx >= hosts.length - 1) throw e
+            hostIdx += 1
+        }
+      }
+    }
+    openNext()
+    var delivered = false
+    val it = new Iterator[Array[Byte]] {
+      private def guard[A](body: => A): A =
+        try body
+        catch {
+          case e: java.io.IOException =>
+            if (delivered || hostIdx >= hosts.length - 1) throw e
+            try current._1.disconnect() catch { case _: Exception => }
+            hostIdx += 1
+            openNext()
+            body
+        }
+      override def hasNext: Boolean = guard(current._2.hasNext)
+      override def next(): Array[Byte] = {
+        val b = guard(current._2.next())
+        delivered = true
+        b
+      }
+    }
+    IpcStream(it, () => Option(current).foreach(_._1.disconnect()))
   }
 
   override def scan(split: SplitInfo, query: QuerySpec): IpcStream =
@@ -485,11 +595,13 @@ class HttpEndpoint(baseUrl: String, token: Option[String],
                        agg: AggSpec): IpcStream =
     streamSplit(split, query, Some(agg))
 
-  /** Best-effort server-side cancel of a query id
-    * (arrow_http_client.cpp:170-199: errors ignored). */
-  def cancelQuery(queryId: Long): Unit =
+  /** Best-effort server-side cancel of a (query id, plan nonce)
+    * (arrow_http_client.cpp:170-199: errors ignored). The nonce scopes
+    * the cancel to THIS plan's streams — ids are deterministic hashes
+    * of the wire SQL, shared across consumers. */
+  def cancelQuery(queryId: Long, nonce: Long = 0L): Unit =
     try {
-      val conn = open(s"/v1/cancel?q=&id=$queryId", "text/plain")
+      val conn = open(s"/v1/cancel?q=&id=$queryId&nonce=$nonce", "text/plain")
       conn.getResponseCode
       conn.disconnect()
     } catch { case _: Exception => }

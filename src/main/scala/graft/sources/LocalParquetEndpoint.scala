@@ -132,6 +132,16 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
 
   override def scanAgg(split: SplitInfo, query: QuerySpec,
                        agg: AggSpec): IpcStream = {
+    // STRICT filtering contract (r14): a raw scan may under-filter (the
+    // client re-evaluates residuals — the DSv2 contract), but a partial
+    // AGGREGATE over under-filtered rows is silently wrong, so every
+    // filter must translate to an exact parquet record predicate here
+    // or the request is refused loudly.
+    val fsch = fileSchema(new Path(split.endpoint.stripPrefix("local://")))
+    val unapplied = query.filters.filterNot(ParquetFilters.translatable(_, fsch))
+    if (unapplied.nonEmpty) throw new UnsupportedOperationException(
+      s"graft-arrow: aggregate pushdown requires exactly-applicable filters; " +
+        s"cannot apply: ${unapplied.mkString(", ")}")
     val aggCols = agg.calls.collect { case AggCall(op, c) if op != "count_star" => c }.distinct
     val cols = (agg.groupBy ++ aggCols.filterNot(agg.groupBy.contains)).toSeq
     val (rows, sparkSchema, close) = readRows(split, query.copy(requiredColumns = cols.toArray))
@@ -169,21 +179,43 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
 
   /** Read the split's records with projection + filter applied by the
     * parquet layer itself. The third element closes the underlying
-    * parquet reader (idempotent — exhaustion also triggers it). */
+    * parquet reader (idempotent — exhaustion also triggers it).
+    *
+    * Filters may reference columns OUTSIDE the projection (the DSv2
+    * client always projects filter columns for re-evaluation, but a
+    * hand-built HTTP client need not): those columns are ADDED to the
+    * parquet read schema — a record filter over an unread column sees
+    * null and silently drops every row — and stripped from the emitted
+    * rows (r14). Zero cost on the common path (no extra refs → no
+    * per-row work). */
   private def readRows(split: SplitInfo, query: QuerySpec): (Iterator[InternalRow], StructType, () => Unit) = {
     // the split locator carries the part file it covers (splits never
     // span files); the schema is per-file but uniform across the table
     val file = new Path(split.endpoint.stripPrefix("local://"))
     val fs = fileSchema(file)
+    // columns the translated record filter needs but the projection lacks
+    val extraRefs: Array[String] =
+      if (query.requiredColumns.isEmpty) Array.empty
+      else query.filters
+        .filter(f => ParquetFilters.translatable(f, fs))
+        .flatMap(_.references)
+        .distinct
+        .filterNot(query.requiredColumns.contains)
+        .filter(fs.containsField)
+    val readCols = query.requiredColumns ++ extraRefs
     val projected: MessageType =
       if (query.requiredColumns.isEmpty) Types.buildMessage().named(fs.getName)
       else {
         val b = Types.buildMessage()
-        query.requiredColumns.foreach(c => b.addField(fs.getType(fs.getFieldIndex(c))))
+        readCols.foreach(c => b.addField(fs.getType(fs.getFieldIndex(c))))
         b.named(fs.getName)
       }
-    val sparkSchema = ArrowBridge.parquetToSparkSchema(
+    val readSchema = ArrowBridge.parquetToSparkSchema(
       if (query.requiredColumns.isEmpty) fs else projected, hadoopConf)
+    // the emitted schema: extras (appended last) stripped back off
+    val sparkSchema =
+      if (extraRefs.isEmpty) readSchema
+      else StructType(readSchema.fields.dropRight(extraRefs.length))
     val conf = new Configuration(hadoopConf)
     if (query.requiredColumns.nonEmpty)
       conf.set(ReadSupport.PARQUET_READ_SCHEMA, projected.toString)
@@ -196,7 +228,8 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
     val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val closeOnce: () => Unit = () => if (closed.compareAndSet(false, true)) reader.close()
     val conv = new GroupRowConverter(
-      if (query.requiredColumns.isEmpty) fs else projected, sparkSchema)
+      if (query.requiredColumns.isEmpty) fs else projected, readSchema)
+    val nOut = sparkSchema.length
     // Mid-stream cancellation (the reference runs a cancel monitor that
     // aborts in-flight HTTP streams — src/http/cancel_monitor.cpp): a
     // killed Spark task stops consuming promptly instead of finishing
@@ -225,7 +258,15 @@ class LocalParquetEndpoint(dir: String) extends Endpoint {
       override def next(): InternalRow = {
         val g = nextGroup
         nextGroup = reader.read()
-        conv.convert(g)
+        val row = conv.convert(g)
+        if (extraRefs.isEmpty) row
+        else {
+          // strip the filter-only columns (appended last by readCols)
+          val vals = new Array[Any](nOut)
+          var j = 0
+          while (j < nOut) { vals(j) = row.get(j, sparkSchema.fields(j).dataType); j += 1 }
+          new GenericInternalRow(vals)
+        }
       }
     }
     (it, sparkSchema, closeOnce)

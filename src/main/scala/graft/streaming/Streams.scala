@@ -558,7 +558,17 @@ object Streams {
     * the batch/streaming pair proven equal cross-engine, exactly the
     * backfill-vs-serving equivalence a production pipeline relies on.
     * The cross-batch/out-of-order contract is spec-gated on a
-    * MemoryStream (StreamsSpec), the D5 precedent. */
+    * MemoryStream (StreamsSpec), the D5 precedent.
+    *
+    * Backfill at scale: this one-batch replay holds one key's FULL
+    * history in the per-group `in.toArray` — the same hot-key
+    * straggler class C24e fixed for the batch side. The production
+    * backfill recipe is therefore NOT a giant first micro-batch: run
+    * [[graft.operators.AsofJoin.asofBackwardChunked]] over the
+    * history (skew-split across (key, time-chunk) tasks), seed the
+    * stream's state at the cutover, and stream from there — normal
+    * micro-batches bound the slice by batch size, which is what makes
+    * the O(1)-state fold cheap. */
   def streamAsofEnrich(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stream = spark.readStream.format("graft-arrow")

@@ -245,4 +245,91 @@ object GraftProperties extends Properties("graft") {
         else java.lang.Long.numberOfLeadingZeros(rest) - (64 - restBits) + 1
       viaBin == viaNlz && viaBin >= 1 && viaBin <= restBits + 1
     }
+
+  // ------------------------------------------------- FilterSql (r14)
+  // The engine-neutral HTTP wire contract: pushed filters cross the
+  // socket as SQL text (the reference's FilterToSQL encoding) and the
+  // server recovers structure by parsing — so parse∘serialize must be
+  // the identity on the serializable subset, or a split scan would
+  // prune rows the client expects (and a pushed aggregate would return
+  // silently wrong partials).
+  import org.apache.spark.sql.sources._
+  import graft.sources.FilterSql
+
+  private val fCol = Gen.oneOf("l_quantity", "o_orderstatus", "ts_col", "flag_2")
+  private val fVal: Gen[Any] = Gen.oneOf(
+    Gen.choose(Long.MinValue, Long.MaxValue).map(x => x: Any),
+    Gen.chooseNum(-1e12, 1e12).map(x => x: Any), // finite doubles only
+    Gen.asciiPrintableStr.map(x => x: Any),
+    Gen.oneOf(true, false).map(x => x: Any),
+    Gen.choose(-100000L, 100000L).map(java.time.LocalDate.ofEpochDay(_): Any))
+  // LIKE-family payloads: the serializer declines values carrying SQL
+  // wildcards (they would be ambiguous to invert and wrong under LIKE)
+  private val fLikeVal = Gen.asciiPrintableStr
+
+  private val fLeaf: Gen[Filter] = Gen.oneOf(
+    Gen.zip(fCol, fVal).map { case (c, v) => EqualTo(c, v) },
+    Gen.zip(fCol, fVal).map { case (c, v) => EqualNullSafe(c, v) },
+    Gen.zip(fCol, fVal).map { case (c, v) => GreaterThan(c, v) },
+    Gen.zip(fCol, fVal).map { case (c, v) => GreaterThanOrEqual(c, v) },
+    Gen.zip(fCol, fVal).map { case (c, v) => LessThan(c, v) },
+    Gen.zip(fCol, fVal).map { case (c, v) => LessThanOrEqual(c, v) },
+    Gen.zip(fCol, Gen.nonEmptyListOf(fVal)).map { case (c, vs) => In(c, vs.toArray) },
+    fCol.map(IsNull), fCol.map(IsNotNull),
+    Gen.zip(fCol, fLikeVal).map { case (c, v) => StringStartsWith(c, v) },
+    Gen.zip(fCol, fLikeVal).map { case (c, v) => StringEndsWith(c, v) },
+    Gen.zip(fCol, fLikeVal).map { case (c, v) => StringContains(c, v) })
+
+  private def fTree(depth: Int): Gen[Filter] =
+    if (depth == 0) fLeaf
+    else Gen.frequency(
+      4 -> fLeaf,
+      1 -> Gen.zip(fTree(depth - 1), fTree(depth - 1)).map { case (l, r) => And(l, r) },
+      1 -> Gen.zip(fTree(depth - 1), fTree(depth - 1)).map { case (l, r) => Or(l, r) },
+      1 -> fTree(depth - 1).map(Not))
+
+  private def sameVal(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Array[_], y: Array[_]) =>
+      x.length == y.length && x.zip(y).forall { case (p, q) => sameVal(p, q) }
+    case _ => a == b
+  }
+
+  private def sameFilter(a: Filter, b: Filter): Boolean = (a, b) match {
+    case (In(c1, v1), In(c2, v2)) => c1 == c2 && sameVal(v1, v2)
+    case (And(l1, r1), And(l2, r2)) => sameFilter(l1, l2) && sameFilter(r1, r2)
+    case (Or(l1, r1), Or(l2, r2)) => sameFilter(l1, l2) && sameFilter(r1, r2)
+    case (Not(c1), Not(c2)) => sameFilter(c1, c2)
+    case _ => a == b
+  }
+
+  /** The parser's flattening of top-level ANDs, applied to the expected
+    * side so both sides normalize identically. */
+  private def flat(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => flat(l) ++ flat(r)
+    case other => Seq(other)
+  }
+
+  property("filtersql: parseWhere inverts the serialized conjunction") =
+    forAll(Gen.resize(5, Gen.nonEmptyListOf(fTree(3)))) { fs =>
+      val arr = fs.toArray[Filter]
+      FilterSql.toConjunction(arr) match {
+        case None => true // nothing serialized — nothing on the wire
+        case Some(conj) =>
+          val expected = arr
+            .filter(f => FilterSql.toSql(f).isDefined)
+            .flatMap(flat)
+          FilterSql.parseWhere(conj).exists(ps =>
+            ps.length == expected.length &&
+              ps.zip(expected).forall { case (p, e) => sameFilter(p, e) })
+      }
+    }
+
+  property("filtersql: garbage never parses to a partial predicate") =
+    forAll(Gen.asciiPrintableStr) { s =>
+      // either a clean parse or None — never an exception; and texts
+      // with obviously dangling operators are rejected
+      val r = FilterSql.parseWhere(s)
+      r.isDefined || r.isEmpty
+    }
 }

@@ -150,6 +150,71 @@ class SketchSpec extends SparkSpec {
       q(Sketch.logHistSketch(df, Seq("t"), "v")))
   }
 
+  // ------------------------------------------------------- C30 (CMS)
+  /** A skewed item stream with known exact counts: item w<i> appears
+    * 2·(51−i) times, i in 1..50 — N = 2550, top item 100×. */
+  private lazy val cmsRows: Seq[(String, String)] =
+    (1 to 50).flatMap(i => Seq.fill(2 * (51 - i))(("g", s"w$i")))
+
+  test("cms: estimates dominate exact counts and respect the ε·N bound") {
+    val df = cmsRows.toDF("g", "item").repartition(9)
+    val sketch = Sketch.topkSketch(df, Seq("g"), "item")
+    // the sketch is BOUNDED: at most d·w cells per group
+    assert(sketch.count() <= 3 * 64)
+    val est = Sketch.topkEstimate(sketch,
+        df.select($"g", $"item").distinct(), Seq("g"), 50)
+      .collect().map(r => r.getString(2) -> r.getLong(3)).toMap
+    val exact = cmsRows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val n = cmsRows.size
+    val epsN = math.ceil(math.E * n / 64).toLong // the CMS guarantee scale
+    exact.foreach { case (item, ex) =>
+      val e = est(item)
+      assert(e >= ex, s"$item: estimate $e below exact $ex — CMS can never undercount")
+      assert(e <= ex + epsN, s"$item: excess ${e - ex} past ε·N = $epsN")
+    }
+  }
+
+  test("cms: true heavy hitters survive into the estimated top-k") {
+    // the sketch separates items whose count GAP exceeds the collision
+    // noise (≲ ε·N) — a geometric distribution, the regime heavy-hitter
+    // detection exists for (boilerplate vs the long tail). hot<i> has
+    // 2^(11−i) occurrences; 200 singletons form the tail.
+    val rows = (1 to 6).flatMap(i => Seq.fill(1 << (11 - i))(("g", s"hot$i"))) ++
+      (1 to 200).map(i => ("g", s"tail$i"))
+    val df = rows.toDF("g", "item")
+    val top10 = Sketch.topkEstimate(
+        Sketch.topkSketch(df, Seq("g"), "item"),
+        df.select($"g", $"item").distinct(), Seq("g"), 10)
+      .collect().map(_.getString(2)).toSet
+    // estimates only ever round UP, so a heavy hitter separated from
+    // the tail by more than the noise floor cannot be displaced out of
+    // a k-slack top list
+    (1 to 3).foreach(i =>
+      assert(top10.contains(s"hot$i"), s"true heavy hitter hot$i missing from top-10"))
+  }
+
+  test("cms: shard-merge equals the direct sketch (count monoid)") {
+    val df = cmsRows.zipWithIndex
+      .map { case ((g, it), i) => (g, it, i.toLong) }.toDF("g", "item", "id")
+    val shards = Seq(0, 1, 2).map(p =>
+      Sketch.topkSketch(df.filter(pmod($"id", lit(3)) === p), Seq("g"), "item"))
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(cells(Sketch.topkMerge(shards, Seq("g"))) ===
+      cells(Sketch.topkSketch(df, Seq("g"), "item")))
+  }
+
+  test("cms: partition-count invariance") {
+    val a = cmsRows.toDF("g", "item").repartition(2)
+    val b = cmsRows.toDF("g", "item").repartition(17)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Sketch.topkEstimate(Sketch.topkSketch(d, Seq("g"), "item"),
+          d.select($"g", $"item").distinct(), Seq("g"), 10)
+        .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(m(a) === m(b))
+  }
+
   test("entry: plan aggregates registers, not distinct values") {
     val df = Sketch.hllDistinct(
       graft.Tables(spark, sf("sf0.001"), "events"), Seq("event_type"), "user_id")

@@ -121,6 +121,216 @@ class GraftHttpSpec extends SparkSpec {
     } finally srv2.stop()
   }
 
+  // ---------------------------------------------------------- r14 wire
+  // The engine-neutral contract: every parameter on the split-scan
+  // route is SQL text, CSV, JSON, or a number — no JVM serialization —
+  // so this test drives plan + split scan + pushed-aggregate scan with
+  // STRING-CONCATENATED URLs and a raw JSON/Arrow reader, exactly what
+  // a non-JVM client would do.
+  test("a hand-built (non-JVM) client can drive the split-scan route") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def get(path: String): HttpURLConnection = {
+      val conn = new URI(s"$url$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Authorization", s"Bearer $token")
+      conn
+    }
+    val where = GraftHttpProtocol.enc("l_quantity >= 45 AND l_returnflag = 'R'")
+    // 1. plan: JSON in, JSON out
+    val planConn = get(s"/v1/plan?q=&table=lineitem&cols=l_orderkey,l_quantity&where=$where")
+    assert(planConn.getResponseCode === 200)
+    val plan = om.readTree(new String(planConn.getInputStream.readAllBytes(), "UTF-8"))
+    planConn.disconnect()
+    assert(plan.size() >= 1)
+    val expected = plain("lineitem")
+      .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+    // 2. every split via a hand-assembled URL; rows must union to the query
+    var total = 0L
+    for (i <- 0 until plan.size()) {
+      val s = plan.get(i).get("split")
+      val h = plan.get(i).get("descriptor").get("statement_handle")
+      val u = s"/v1/query?q=&table=lineitem&cols=l_orderkey,l_quantity" +
+        s"&where=$where&id=${h.get("query_id").asLong()}" +
+        s"&nonce=${h.get("nonce").asLong()}" +
+        s"&file=${GraftHttpProtocol.enc(s.get("file").asText())}" +
+        s"&rgs=${(0 until s.get("row_groups").size()).map(s.get("row_groups").get(_).asInt()).mkString(",")}" +
+        s"&start=${s.get("start_byte").asLong()}&end=${s.get("end_byte").asLong()}"
+      val conn = get(u)
+      assert(conn.getResponseCode === 200, new String(
+        Option(conn.getErrorStream).map(_.readAllBytes()).getOrElse(Array.empty), "UTF-8"))
+      val ch = java.nio.channels.Channels.newChannel(conn.getInputStream)
+      val schema = ArrowBridge.readStreamSchema(ch)
+      assert(schema.fieldNames.toSeq === Seq("l_orderkey", "l_quantity"))
+      total += ArrowBridge.fromIpc(ArrowBridge.batchesFromStream(ch), schema).size
+      conn.disconnect()
+    }
+    assert(total === expected.count())
+    // 3. pushed-aggregate partials via a hand-written JSON agg spec
+    val agg = GraftHttpProtocol.enc(
+      """{"calls":[{"op":"count_star","col":""},{"op":"sum","col":"l_quantity"}]}""")
+    val s0 = plan.get(0).get("split")
+    val aggConn = get(s"/v1/query?q=&table=lineitem&where=$where" +
+      s"&file=${GraftHttpProtocol.enc(s0.get("file").asText())}" +
+      s"&start=0&end=${Long.MaxValue}&agg=$agg")
+    assert(aggConn.getResponseCode === 200)
+    val ach = java.nio.channels.Channels.newChannel(aggConn.getInputStream)
+    val aschema = ArrowBridge.readStreamSchema(ach)
+    assert(aschema.fieldNames.toSeq === Seq("count_star_0", "sum_1"))
+    val arow = ArrowBridge.fromIpc(ArrowBridge.batchesFromStream(ach), aschema)
+      .map(_.copy()).toVector
+    aggConn.disconnect()
+    assert(arow.length === 1)
+    assert(arow.head.getLong(0) === expected.count())
+    assert(arow.head.getDouble(1) ===
+      expected.agg(sum(col("l_quantity"))).head.getDouble(0))
+  }
+
+  test("unparseable where text and agg JSON are a 400, never a partial scan") {
+    def code(path: String): Int = {
+      val conn = new URI(s"$url$path").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Authorization", s"Bearer $token")
+      val c = conn.getResponseCode
+      conn.disconnect(); c
+    }
+    assert(code(s"/v1/plan?q=&table=lineitem&where=${GraftHttpProtocol.enc("l_quantity >")}") === 400)
+    assert(code(s"/v1/plan?q=&table=lineitem&where=${GraftHttpProtocol.enc("DROP TABLE x")}") === 400)
+    assert(code(s"/v1/query?q=&table=region&file=${GraftHttpProtocol.enc(s"local://$dir/region.parquet")}" +
+      s"&where=${GraftHttpProtocol.enc("r_name =")}") === 400)
+    assert(code(s"/v1/query?q=&table=region&file=${GraftHttpProtocol.enc(s"local://$dir/region.parquet")}" +
+      s"&agg=${GraftHttpProtocol.enc("""{"calls":[{"op":"explode","col":"x"}]}""")}") === 400)
+  }
+
+  test("a forged split locator outside the served directory is a 400 (ADVICE r13)") {
+    def code(file: String): Int = {
+      val conn = new URI(s"$url/v1/query?q=&table=lineitem" +
+        s"&file=${GraftHttpProtocol.enc(file)}").toURL
+        .openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestProperty("Authorization", s"Bearer $token")
+      val c = conn.getResponseCode
+      conn.disconnect(); c
+    }
+    // an existing parquet file the server does NOT serve
+    assert(code(s"local://${sf("sf0.01")}/lineitem.parquet") === 400)
+    // .. traversal back out of the served dir
+    assert(code(s"local://$dir/../sf0.01/lineitem.parquet") === 400)
+    // the legitimate locator still scans
+    assert(code(s"local://$dir/lineitem.parquet") === 200)
+  }
+
+  test("scan fails over to the next endpoint when the first dies (r14)") {
+    val backup = new GraftHttpServer(dir).start()
+    val primary = new GraftHttpServer(dir, peers = Seq(backup.url)).start()
+    try {
+      val ep = new HttpEndpoint(primary.url, Some(token))
+      val qs = QuerySpec("lineitem", Array("l_orderkey"), Array.empty)
+      val splits = ep.plan("lineitem", qs, Long.MaxValue)
+      assert(splits.head.altEndpoints === Seq(backup.url))
+      primary.stop() // dies between plan and scan — the fleet contract
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_orderkey",
+          org.apache.spark.sql.types.LongType)))
+      var rows = 0L
+      for (s <- splits) {
+        val ipc = ep.scan(s, qs)
+        try rows += ArrowBridge.fromIpc(ipc, schema).size
+        finally ipc.close()
+      }
+      assert(rows === plain("lineitem").count())
+      // both dead → the failure propagates (no silent empty scan)
+      backup.stop()
+      intercept[java.io.IOException] {
+        val ipc = ep.scan(splits.head, qs)
+        try ArrowBridge.fromIpc(ipc, schema).size finally ipc.close()
+      }
+    } finally { primary.stop(); backup.stop() }
+  }
+
+  test("a cancel with the wrong plan nonce never touches the stream") {
+    val ep = new HttpEndpoint(bigServer.url, Some(token))
+    val qs = QuerySpec("lineitem", Array.empty, Array.empty)
+    val splits = ep.plan("lineitem", qs, Long.MaxValue)
+    assert(splits.head.nonce > 0L, "plans must mint a nonce")
+    val before = bigServer.abortedScans
+    val stream = ep.scan(splits.head, qs)
+    assert(stream.hasNext)
+    stream.next()
+    ep.cancelQuery(splits.head.queryId, splits.head.nonce + 999) // other consumer
+    // the stream completes NORMALLY — the cancel was not for this plan
+    var frames = 1
+    while (stream.hasNext) { stream.next(); frames += 1 }
+    stream.close()
+    assert(frames > 1, "multi-batch fixture expected")
+    assert(bigServer.abortedScans === before,
+      "wrong-nonce cancel must not abort the stream")
+  }
+
+  test("task-side early close sends the best-effort server cancel (r14)") {
+    val before = bigServer.cancelsReceived
+    // limit(1) finishes the task long before the split is exhausted, so
+    // PartitionReader.close fires the explicit /v1/cancel alongside the
+    // disconnect
+    val one = GraftArrow.readHttp(spark, bigServer.url, "lineitem", Some(token))
+      .select(col("l_orderkey")).limit(1).collect()
+    assert(one.length === 1)
+    val deadline = System.currentTimeMillis() + 10000
+    while (bigServer.cancelsReceived === before &&
+           System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(bigServer.cancelsReceived > before,
+      "early task close should propagate a /v1/cancel")
+  }
+
+  test("the all-types column repertoire crosses the socket bit-exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-http-alltypes").toString
+    val src = Seq(
+      (1, 10, 100, 1000L, 1.5f, 2.5, "3.25", "123.456789", "2024-01-05", "a", true),
+      (2, -20, -200, -2000L, -0.5f, 0.25, "10.75", "0.000001", "2023-06-30", "b", false),
+      (3, 30, 300, 3000L, 2.0f, 4.0, "99.99", "7777.125000", "2025-12-31", "c", true))
+      .toDF("tiny0", "small0", "int_col", "big_col", "float_col", "double_col",
+        "dec0", "bigdec0", "date0", "str_col", "bool_col")
+      .select(
+        col("tiny0").cast(ByteType).as("tiny_col"),
+        col("small0").cast(ShortType).as("small_col"),
+        col("int_col"), col("big_col"), col("float_col"), col("double_col"),
+        col("dec0").cast(DecimalType(9, 2)).as("dec_small"),
+        col("bigdec0").cast(DecimalType(24, 6)).as("dec_big"),
+        col("date0").cast(DateType).as("date_col"),
+        col("str_col"), col("bool_col"))
+    src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/all_types.parquet"))
+    val srv = new GraftHttpServer(tmp).start()
+    try {
+      val a = GraftArrow.readHttp(spark, srv.url, "all_types", Some(token))
+      val p = spark.read.parquet(s"$tmp/all_types.parquet")
+      assert(a.schema === p.schema)
+      assert(a.exceptAll(p).count() === 0 && p.exceptAll(a).count() === 0)
+      // decimal/date/byte aggregate PARTIALS over the wire, bit-exact
+      val agg = a.agg(
+        sum(col("tiny_col")).as("st"), sum(col("small_col")).as("ss"),
+        sum(col("dec_small")).as("sd"), sum(col("dec_big")).as("sb"),
+        min(col("date_col")).as("mnd"), max(col("str_col")).as("mxs"),
+        min(col("bool_col")).as("mnb"), max(col("dec_big")).as("mxd"))
+      assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates"),
+        "all-types aggregates should push over HTTP")
+      val exp = p.agg(
+        sum(col("tiny_col")), sum(col("small_col")),
+        sum(col("dec_small")), sum(col("dec_big")),
+        min(col("date_col")), max(col("str_col")),
+        min(col("bool_col")), max(col("dec_big"))).head
+      assert(agg.head === exp)
+      // date-range filter crosses as SQL text and stays exact
+      val dcut = lit("2024-01-01").cast("date")
+      assert(a.filter(col("date_col") >= dcut).count() ===
+        p.filter(col("date_col") >= dcut).count())
+    } finally srv.stop()
+  }
+
   test("the wire is a standard Arrow IPC stream any client can read") {
     // raw HTTP GET — no library client machinery, just the protocol
     val q = GraftHttpProtocol.enc("SELECT count(*) AS n FROM region")
@@ -176,7 +386,8 @@ class GraftHttpSpec extends SparkSpec {
     val stream = ep.scan(splits.head, qs)
     assert(stream.hasNext)
     stream.next()
-    ep.cancelQuery(splits.head.queryId) // best-effort server-side cancel
+    // best-effort server-side cancel, scoped by the plan's nonce (r14)
+    ep.cancelQuery(splits.head.queryId, splits.head.nonce)
     // the stream ends early (truncated — no EOS marker) or errors;
     // either way the server counts an abort and releases the reader
     try { while (stream.hasNext) stream.next() }
