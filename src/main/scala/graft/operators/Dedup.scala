@@ -1142,6 +1142,122 @@ object Dedup {
   def spanCoverage(spark: SparkSession, dir: String): DataFrame =
     spanCoverage(docs(spark, dir))
 
+  // -------------------------------------------------------------- C23b
+  /** Span REWRITE (r13 verdict slate #4) — the operator a curation
+    * pipeline actually runs where C23 only scores: every occurrence of
+    * a >1-doc 8-token span is DROPPED except the corpus-wide first
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better" — exact substring dedup at span granularity,
+    * keep-first like C1/C1b). Returns the rewritten doc: `(doc_id,
+    * n_tokens, n_dropped, kept_text)`.
+    *
+    * Position semantics (the overlap rule): a token position is
+    * dropped iff it is covered by some NON-winner occurrence of a
+    * duplicated gram AND NOT covered by any WINNER occurrence — the
+    * winner-rescue keeps every kept span INTACT even when a distinct
+    * duplicated span overlaps it from another alignment, so the spec
+    * law holds: after rewrite each duplicated 8-gram appears exactly
+    * once corpus-wide (DedupSpec plants and proves it; adversarial
+    * all-alignments overlap could in principle let a loser fragment
+    * survive inside two winners' rescue shadows — the same
+    * maximal-match approximation Lee et al. accept by deduplicating
+    * 50-token windows instead of all substrings).
+    *
+    * Scale shape (the C23/C1b argument): gram keys are codegen'd
+    * xxhash64 8-byte longs (winner/dup selection needs determinism,
+    * not cross-engine parity — the oracle re-derives winners from the
+    * raw gram text, the C23 accepted-collision class); the winner
+    * table is ONE map-side-combined groupBy on the gram key (a
+    * boilerplate span with 10⁹ copies collapses per map task); the
+    * join back is AQE-skew-splittable; coverage is bounded by 8 ×
+    * duplicated occurrences; the final anti-join + reassembly group by
+    * doc_id, bounded per doc by doc length. Corpus text crosses a
+    * shuffle once (the reassembly), never twice. */
+  def spanRewrite(documents: DataFrame, n: Int = SpanTokens): DataFrame = {
+    val tk = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = tk
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => struct(i.as("pos"),
+          array_join(slice(col("toks"), i, lit(n)), " ").as("gram")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        xxhash64(col("pg.gram")).as("g"))
+    // per duplicated gram: the corpus-wide first occurrence
+    val winners = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        min(struct(col("doc_id"), col("pos"))).as("w"))
+      .filter(col("ndocs") > 1)
+      .select(col("g"), col("w"))
+    val occ = grams.join(winners, Seq("g"))
+      .withColumn("is_w",
+        col("doc_id") === col("w.doc_id") && col("pos") === col("w.pos"))
+    def cover(d: DataFrame) = d
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val winnerCover = cover(occ.filter(col("is_w")))
+    val loserCover = cover(occ.filter(!col("is_w")))
+    val dropPos = loserCover.join(winnerCover, Seq("doc_id", "p"), "left_anti")
+    val toks = tk.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .withColumn("p", col("p0") + 1)
+    val kept = toks.join(dropPos, Seq("doc_id", "p"), "left_anti")
+    tk.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(
+        kept.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_kept_i"),
+            concat_ws(" ", transform(
+              sort_array(collect_list(struct(col("p"), col("tok")))),
+              x => x.getField("tok"))).as("kept_text")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept_i"), lit(0L))).as("n_dropped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Entry: counts + reassembly-md5 per doc (the C1b proof shape — the
+    * gate checks the rewritten text without hauling it through). */
+  def spanRewriteEntry(spark: SparkSession, dir: String): DataFrame =
+    spanRewrite(docs(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_dropped"),
+        md5(col("kept_text")).as("kept_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Oracle: identical algebra on the raw gram text — winners via
+    * row_number over (doc_id, pos) like C1b, coverage via
+    * generate_series, winner-rescue via EXCEPT, reassembly via
+    * position-ordered string_agg. */
+  val spanRewriteSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+${SpanTokens - 1}], ' ') AS gram
+       |      FROM tk, unnest(generate_series(1, len(toks) - ${SpanTokens - 1})) AS u(i)
+       |      WHERE len(toks) >= $SpanTokens),
+       |w AS (SELECT doc_id, pos,
+       |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+       |        count(DISTINCT doc_id) OVER (PARTITION BY gram) AS nd
+       |      FROM g),
+       |occ AS (SELECT * FROM w WHERE nd > 1),
+       |wc AS (SELECT DISTINCT doc_id, p
+       |       FROM occ, unnest(generate_series(pos, pos + ${SpanTokens - 1})) AS pp(p)
+       |       WHERE rn = 1),
+       |lc AS (SELECT DISTINCT doc_id, p
+       |       FROM occ, unnest(generate_series(pos, pos + ${SpanTokens - 1})) AS pp(p)
+       |       WHERE rn > 1),
+       |dp AS (SELECT doc_id, p FROM lc EXCEPT SELECT doc_id, p FROM wc),
+       |t AS (SELECT doc_id, i AS p, toks[i] AS tok
+       |      FROM tk, unnest(generate_series(1, len(toks))) AS u(i)),
+       |kept AS (SELECT t.doc_id, t.p, t.tok
+       |         FROM t LEFT JOIN dp ON t.doc_id = dp.doc_id AND t.p = dp.p
+       |         WHERE dp.doc_id IS NULL)
+       |SELECT tk.doc_id,
+       |  CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(tk.toks) - count(kept.p) AS BIGINT) AS n_dropped,
+       |  md5(coalesce(string_agg(kept.tok, ' ' ORDER BY kept.p), '')) AS kept_md5
+       |FROM tk LEFT JOIN kept ON tk.doc_id = kept.doc_id
+       |GROUP BY tk.doc_id, len(tk.toks)
+       |ORDER BY tk.doc_id""".stripMargin
+
   val spanCoverageSql: String =
     s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+${SpanTokens - 1}], ' ') AS gram
@@ -1159,6 +1275,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_span_coverage" -> (spanCoverage(_, _)),
+    "dedup_span_rewrite" -> (spanRewriteEntry(_, _)),
     "dedup_clusters" -> clusters _,
     // same data, same oracle, but forced through the distributed
     // min-label-propagation path — the 100 TB path gets its own
@@ -1197,6 +1314,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_span_coverage" -> spanCoverageSql,
+    "dedup_span_rewrite" -> spanRewriteSql,
     "dedup_clusters" -> clustersSql,
     "dedup_clusters_dist" -> clustersSql,
     "dedup_exact" -> exactSql,

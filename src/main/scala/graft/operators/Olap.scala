@@ -433,6 +433,59 @@ object Olap {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  // --------------------------------------------------------------- B12b
+  /** CUBE over (returnflag, linestatus) — all four grouping sets, with
+    * GROUPING() markers carried as columns so marker-NULLs are
+    * distinguishable from data NULLs (the standard disambiguator; both
+    * engines implement the SQL-standard semantics). Completes the
+    * multi-dimensional surface next to B12's ROLLUP — DuckDB under the
+    * reference extension serves CUBE/GROUPING SETS too. */
+  def q12bCube(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("total_price"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+      .orderBy(col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  val q12bSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Explicit GROUPING SETS — the general form CUBE/ROLLUP sugar over:
+    * per-flag totals and per-status totals in one pass, no cross
+    * combination. SQL-text surface (the DataFrame API spells it
+    * `GROUP BY GROUPING SETS` too — Spark plans one Expand over the
+    * scan, not two scans). */
+  def q12cGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val q12cSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** queries + oracles for SparkEntry registration. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -446,7 +499,9 @@ object Olap {
     "q9_top_suppliers" -> q9TopSuppliers _,
     "q10_returned_items" -> q10ReturnedItems _,
     "q11_quantiles" -> q11Quantiles _,
-    "q12_rollup" -> q12Rollup _)
+    "q12_rollup" -> q12Rollup _,
+    "q12b_cube" -> q12bCube _,
+    "q12c_grouping_sets" -> q12cGroupingSets _)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -460,5 +515,7 @@ object Olap {
     "q9_top_suppliers" -> q9Sql,
     "q10_returned_items" -> q10Sql,
     "q11_quantiles" -> q11Sql,
-    "q12_rollup" -> q12Sql)
+    "q12_rollup" -> q12Sql,
+    "q12b_cube" -> q12bSql,
+    "q12c_grouping_sets" -> q12cSql)
 }

@@ -490,6 +490,83 @@ class DedupSpec extends SparkSpec {
     assert(expected.values.count(_._2 > 0) >= 2) // differential is non-vacuous
   }
 
+  test("spanRewrite: each duplicated span survives exactly once corpus-wide") {
+    import spark.implicits._
+    // planted: passage P (12 tokens → 5 duplicated 8-grams) appears in
+    // doc 1 (winner), doc 2 (later doc), and TWICE more in doc 2 — all
+    // occurrences after the corpus-wide first must vanish
+    val p = (1 to 12).map(i => s"p$i").mkString(" ")
+    val doc1 = ((1 to 5).map(i => s"a$i") :+ p) ++ (6 to 15).map(i => s"a$i")
+    val doc2 = ((1 to 3).map(i => s"b$i") :+ p) ++ (4 to 9).map(i => s"b$i") :+ p
+    val doc3 = (1 to 25).map(i => s"c$i") // untouched control
+    // doc 4: a WITHIN-doc-only repeat (never crosses docs) must be kept
+    val q = (1 to 9).map(i => s"q$i").mkString(" ")
+    val doc4 = (Seq(q) ++ (1 to 4).map(i => s"d$i")) :+ q
+    val docs = Seq(
+      (1L, doc1.mkString(" ")), (2L, doc2.mkString(" ")),
+      (3L, doc3.mkString(" ")), (4L, doc4.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanRewrite(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // winner doc keeps P intact; control and within-doc-repeat docs unchanged
+    assert(out(1L)._2 === 0L)
+    assert(out(1L)._3 === doc1.mkString(" "))
+    assert(out(3L)._2 === 0L && out(3L)._3 === doc3.mkString(" "))
+    assert(out(4L)._2 === 0L && out(4L)._3 === doc4.mkString(" "),
+      "within-doc-only repeats are not >1-doc spans and must be kept")
+    // doc 2 drops exactly its two P occurrences (24 positions)
+    assert(out(2L)._2 === 24L)
+    assert(!out(2L)._3.contains("p1"))
+    assert(out(2L)._3.split(" ").count(_.nonEmpty) === out(2L)._1 - 24)
+    // THE law: every originally->1-doc 8-gram appears exactly once
+    // across the rewritten corpus
+    def grams(s: String): Seq[String] = {
+      val t = s.split(" ")
+      if (t.length < 8) Nil else (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" "))
+    }
+    val originalDup = Seq(doc1, doc2, doc3, doc4).map(_.mkString(" "))
+      .zipWithIndex.flatMap { case (s, d) => grams(s).map((_, d)) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+    val rewrittenAll = out.values.toSeq.flatMap(v => grams(v._3))
+    originalDup.foreach { g =>
+      assert(rewrittenAll.count(_ == g) === 1,
+        s"duplicated gram '$g' must appear exactly once after rewrite")
+    }
+  }
+
+  test("spanRewrite: entry parity with a brute-force reference on testdata") {
+    // differential on the real corpus: n_dropped from the operator
+    // equals a driver-side recomputation of the position semantics
+    val documents = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val n = 8
+    val occs = documents.flatMap { case (d, t) =>
+      val toks = t.split(" ")
+      if (toks.length < n) Nil
+      else (0 to toks.length - n).map(i => (toks.slice(i, i + n).mkString(" "), d, i + 1))
+    }
+    val byGram = occs.groupBy(_._1).filter(_._2.map(_._2).distinct.length > 1)
+    val winners = byGram.map { case (_, os) => os.minBy(o => (o._2, o._3)) }.toSet
+    val winCover = winners.flatMap(o => (o._3 until o._3 + n).map((o._2, _)))
+    val loseCover = byGram.values.flatten.filterNot(winners)
+      .flatMap(o => (o._3 until o._3 + n).map((o._2, _))).toSet
+    val drops = (loseCover -- winCover).groupBy(_._1).view.mapValues(_.size).toMap
+    val got = Dedup.spanRewrite(Tables(spark, dir, "documents")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    documents.foreach { case (d, _) =>
+      assert(got(d) === drops.getOrElse(d, 0).toLong, s"doc $d n_dropped mismatch")
+    }
+    assert(drops.nonEmpty, "the fixture corpus must contain cross-doc spans")
+  }
+
+  test("spanRewrite: plan has no cartesian product") {
+    val plan = Dedup.spanRewrite(Tables(spark, dir, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("operators release every cache they take (no persist leaks in a long-lived session)") {
     val dir = sf("sf0.001")
     Dedup.ngramJaccard(spark, dir).count()

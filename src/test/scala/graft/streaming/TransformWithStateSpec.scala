@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
+
+import graft.SparkSpec
+import graft.streaming.Streams.{AsofEnriched, AsofState, Event}
+
+/** The r13-verdict transformWithState migration probe (stretch #7):
+  * D2/D6 run on `flatMapGroupsWithState`; Spark 4's
+  * `transformWithState` (TWS) is the successor API — typed state
+  * handles, timers, declarative TTL, and INITIAL-STATE seeding — but
+  * it requires the RocksDB state store provider. This spec implements
+  * the D6 fold as a `StatefulProcessor` and measures what migrating
+  * would buy:
+  *
+  *  - Probe 1 (semantics): the TWS twin reproduces the
+  *    flatMapGroupsWithState operator's output EXACTLY on the same
+  *    multi-batch, out-of-order MemoryStream — migration is
+  *    semantics-preserving, i.e. pure churn for the existing gated
+  *    contracts.
+  *  - Probe 2 (new capability): initial-state seeding runs the D6
+  *    scaladoc's PRODUCTION BACKFILL RECIPE end-to-end — history
+  *    folded BATCH-side into one latest-purchase row per key, the
+  *    stream seeded at the cutover, live clicks enriched by history
+  *    purchases that were never streamed. flatMapGroupsWithState
+  *    cannot express this without replaying history through the
+  *    stream (the giant-first-micro-batch straggler D6's scaladoc
+  *    warns about).
+  *
+  * VERDICT (recorded for SURVEY §8): keep flatMapGroupsWithState for
+  * the gated D2/D6 entries — identical semantics, no RocksDB
+  * requirement — and reach for TWS exactly when a pipeline needs
+  * state seeding (backfill cutover) or TTL'd/timer-driven state;
+  * probe 2 is the committed recipe for that day. */
+class TransformWithStateSpec extends SparkSpec {
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("TWS twin reproduces the flatMapGroupsWithState D6 output exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    // the full D6 contract surface: cross-batch carry, pre-purchase
+    // null, out-of-order (older-than-state) null, equal-ts match,
+    // within-batch monotone state, two keys interleaved
+    val batches: Seq[Seq[Event]] = Seq(
+      Seq(Event(100, t0, 7L, "purchase", 5.0),
+        Event(200, t0.minusMinutes(1), 9L, "click", 1.0)),
+      Seq(Event(101, t0.plusMinutes(5), 7L, "click", 1.0),
+        Event(102, t0.plusMinutes(5), 9L, "purchase", 2.0),
+        Event(103, t0.plusMinutes(5), 9L, "click", 1.0)),
+      Seq(Event(104, t0.minusMinutes(30), 7L, "click", 1.0), // older than state
+        Event(105, t0.plusMinutes(9), 7L, "purchase", 3.0),
+        Event(106, t0.plusMinutes(8), 7L, "purchase", 4.0),
+        Event(107, t0.plusMinutes(10), 7L, "click", 1.0)))
+    def run(f: org.apache.spark.sql.Dataset[Event] => org.apache.spark.sql.Dataset[AsofEnriched]): Set[AsofEnriched] = {
+      val input = MemoryStream[Event]
+      val name = s"tws_probe_${System.nanoTime()}"
+      val q = f(input.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[AsofEnriched].collect().toSet
+      } finally q.stop()
+    }
+    val viaFmgws = run(Streams.asofEnrichStreaming)
+    val viaTws = withRocksDb {
+      run(ev => ev.filter(e => e.event_type == "click" || e.event_type == "purchase")
+        .groupByKey(_.user_id)
+        .transformWithState(new TwsProbe.AsofProcessor,
+          TimeMode.None(), OutputMode.Append()))
+    }
+    assert(viaTws === viaFmgws, "TWS migration must be semantics-preserving")
+    assert(viaFmgws.size === 5)
+    // spot-pin the interesting rows so the comparison is non-vacuous
+    assert(viaFmgws.exists(r => r.click_id == 104 && r.purchase_id.isEmpty),
+      "older-than-state click must emit null")
+    assert(viaFmgws.exists(r => r.click_id == 107 && r.purchase_id.contains(105L)),
+      "latest purchase (by ts) must win within a batch")
+  }
+
+  test("TWS initial state runs the D6 backfill recipe: seed at cutover, stream live") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    // HISTORY (never streamed): purchases for users 7 and 9
+    val history = Seq(
+      Event(1, t0.minusHours(2), 7L, "purchase", 5.0),
+      Event(2, t0.minusHours(1), 7L, "purchase", 6.0), // the latest for 7
+      Event(3, t0.minusMinutes(30), 9L, "purchase", 7.0))
+    // the batch-side seed: latest purchase at-or-before the cutover,
+    // exactly what asofBackwardChunked's boundary pass produces per key
+    val seed = history.groupBy(_.user_id).map { case (uid, evs) =>
+      val latest = evs.maxBy(e => (TwsProbe.micros(e.ts), e.event_id))
+      uid -> AsofState(TwsProbe.micros(latest.ts), latest.event_id)
+    }.toSeq.toDS().groupByKey(_._1).mapValues(_._2)
+    val out = withRocksDb {
+      val input = MemoryStream[Event]
+      val name = s"tws_seed_${System.nanoTime()}"
+      val q = input.toDS()
+        .filter(e => e.event_type == "click" || e.event_type == "purchase")
+        .groupByKey(_.user_id)
+        .transformWithState(new TwsProbe.AsofProcessor,
+          TimeMode.None(), OutputMode.Append(), seed)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // LIVE: user 7 clicks (enriched by the seeded history purchase),
+        // user 9 purchases then clicks (live state supersedes the seed)
+        input.addData(Event(10, t0.plusMinutes(1), 7L, "click", 1.0))
+        q.processAllAvailable()
+        input.addData(
+          Event(11, t0.plusMinutes(2), 9L, "purchase", 8.0),
+          Event(12, t0.plusMinutes(3), 9L, "click", 1.0))
+        q.processAllAvailable()
+        spark.table(name).as[AsofEnriched].collect().toSet
+      } finally q.stop()
+    }
+    assert(out.size === 2)
+    // the history purchase (id 2) enriched a live click without ever
+    // being streamed — the capability flatMapGroupsWithState lacks
+    assert(out.exists(r => r.click_id == 10 && r.purchase_id.contains(2L)))
+    // live state supersedes the seed where newer
+    assert(out.exists(r => r.click_id == 12 && r.purchase_id.contains(11L)))
+  }
+}
+
+/** Top-level (serialization-clean) home for the probe's processor. */
+private[streaming] object TwsProbe {
+  def micros(t: LocalDateTime): Long =
+    t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+
+  /** The D6 fold ([[Streams.asofEnrichStreaming]]) re-expressed as a
+    * StatefulProcessor: identical slice sort, identical monotone
+    * latest-right state, plus TWS's initial-state hook (the backfill
+    * seed). */
+  final class AsofProcessor
+      extends StatefulProcessorWithInitialState[Long, Event, AsofEnriched, AsofState] {
+    @transient private var latest: ValueState[AsofState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[AsofState]("latest",
+        Encoders.product[AsofState], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initialState: AsofState,
+        timerValues: TimerValues): Unit =
+      latest.update(initialState)
+
+    override def handleInputRows(uid: Long, in: Iterator[Event],
+        timerValues: TimerValues): Iterator[AsofEnriched] = {
+      val evs = in.toArray.sortBy(e =>
+        (micros(e.ts), if (e.event_type == "purchase") 0 else 1, e.event_id))
+      val out = Vector.newBuilder[AsofEnriched]
+      evs.foreach { e =>
+        val us = micros(e.ts)
+        if (e.event_type == "purchase") {
+          if (!latest.exists() || latest.get().ts < us ||
+              (latest.get().ts == us && latest.get().rid < e.event_id))
+            latest.update(AsofState(us, e.event_id))
+        } else {
+          if (latest.exists() && latest.get().ts <= us) {
+            val s = latest.get()
+            out += AsofEnriched(uid, e.event_id, us,
+              Some(s.rid), Some(s.ts), Some(us - s.ts))
+          } else {
+            out += AsofEnriched(uid, e.event_id, us, None, None, None)
+          }
+        }
+      }
+      out.result().iterator
+    }
+  }
+}
