@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_r14_scale.json from the r14 chain's per-SF bench
+JSONs.
+
+The r14 chain (tools/run_scale_chain_r14.sh) benches the FULL 93-entry
+suite — including the six r14 additions (agg_topk_sketch,
+agg_topk_sketch_merge, dedup_span_rewrite, q12b_cube,
+q12c_grouping_sets, and the r14 engine-neutral wire contract under
+every arrow_http_* entry) — at sf0.1/sf1/sf3/sf10, so every entry has
+in-suite scale evidence.
+
+Comparability: /tmp/sf1-sf10 are the same gen_scaled_sf.py outputs the
+r12/r13 chains used, so r14-vs-r13 per-entry comparisons are
+like-for-like for the 88 shared entries.
+"""
+import json
+
+POINTS = [
+    ("sf0_1", "bench_points_r14/bench_r14_sf0.1.json", 1),
+    ("sf1", "bench_points_r14/bench_r14_sf1.json", 10),
+    ("sf3", "bench_points_r14/bench_r14_sf3.json", 30),
+    ("sf10", "bench_points_r14/bench_r14_sf10.json", 100),
+]
+
+blocks = {}
+for key, path, mult in POINTS:
+    with open(path) as f:
+        blocks[key] = json.load(f)
+    assert blocks[key]["failed"] == 0, f"{key} had failures"
+
+curve = []
+prev = None
+for key, _, mult in POINTS:
+    total = blocks[key]["value"]
+    step = None if prev is None else round(total / prev, 3)
+    curve.append({
+        "point": key, "data_multiple": mult,
+        "suite_total_sec": round(total, 3),
+        "step_ratio_vs_prev": step,
+        "failed": blocks[key]["failed"],
+    })
+    prev = total
+
+q0, q10 = blocks["sf0_1"]["queries"], blocks["sf10"]["queries"]
+ratios = {k: round(q10[k] / q0[k], 2) for k in sorted(q0) if k in q10}
+
+total100x = blocks["sf10"]["value"] / blocks["sf0_1"]["value"]
+out = {
+    "metric": "scale_curve_r14",
+    "description": (
+        "Full 93-entry suite (final r14 build: engine-neutral HTTP "
+        "wire contract — SQL-text filters + JSON agg spec, endpoint "
+        "failover, nonce-scoped cancel — plus the count-min top-k "
+        "sketch pair, span-rewrite dedup, and CUBE/GROUPING SETS) at "
+        "sf0.1 and 10x/30x/100x scaled copies (tools/gen_scaled_sf.py),"
+        " same machine, local[32], no concurrent load, ps-checked idle "
+        "before the chain. sf0.1: interleaved median-of-3 (also the "
+        "tracked BENCH_local.json). sf1/sf3/sf10: WARM mode — per "
+        "entry one untimed cold pre-rep ('first') then timed "
+        "back-to-back reps. failed=0 required at every point by the "
+        "assembler."
+    ),
+    "generated_round": 14,
+    "sf0_1": blocks["sf0_1"],
+    "sf1": blocks["sf1"],
+    "sf3": blocks["sf3"],
+    "sf10": blocks["sf10"],
+    "scale_curve": curve,
+    "per_entry_sf10_over_sf0_1_ratio": ratios,
+}
+out["summary"] = (
+    f"93-entry suite, 100x data in {round(total100x, 1)}x time "
+    f"({round(blocks['sf0_1']['value'], 1)}s -> "
+    f"{round(blocks['sf10']['value'], 1)}s), failed=0 at all four "
+    "points."
+)
+
+with open("BENCH_r14_scale.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(out["summary"])
