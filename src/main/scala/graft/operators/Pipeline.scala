@@ -569,6 +569,106 @@ object Pipeline {
        |GROUP BY r.source, r.n_total, r.keep_ppm
        |ORDER BY r.source""".stripMargin
 
+  // ------------------------------------------------- epoch mixing (C31)
+  /** Repetition cap: never repeat a source beyond 4 epochs (the
+    * data-constrained-scaling result of Muennighoff et al. 2023 — past
+    * ~4 epochs repeated tokens stop buying loss). */
+  private val EpochCapPpm = 4L * MixScale
+  /** The mixture re-weights toward 2× the corpus token mass (so some
+    * sources upsample past 1 epoch and the cap binds, some downsample). */
+  private val MixTargetFactor = 2L
+
+  /** UP-sampling source mixing — the capability [[mixSources]] (a pure
+    * down-sampler) lacks: given a per-source mixture weight, compute a
+    * per-source repetition factor (epochs, ppm fixed-point), cap it at
+    * [[EpochCapPpm]], and emit each doc `floor(epochs)` times plus one
+    * more iff md5-hash("epoch:" ‖ doc_id) mod [[MixScale]] < frac —
+    * deterministic fractional repetition, the exact-integer cousin of a
+    * Bernoulli epoch (reproducible across engines, runs, and partition
+    * counts). The target token mass per source is
+    * `MixTargetFactor · total_tokens · w_s / Σw`, with the mixture
+    * weight w_s = 1 + md5-hash(source) mod 8 — a deterministic stand-in
+    * for a recipe's hand-tuned weight vector (the same stand-in
+    * contract as Multimodal's fake decode: the plumbing — weight join,
+    * cap, fractional repetition, token accounting — is the operator;
+    * real recipes substitute their weights).
+    *
+    * Scale shape: one narrow scan aggregates per-source token mass (a
+    * source-cardinality-bounded frame); the global Σ is a window over
+    * that tiny frame (NOT a 1-row cross join — that plans the BNLJ the
+    * plan audit forbids); the per-source rates broadcast back over the
+    * corpus, and per-doc copy counts aggregate map-side. The corpus
+    * crosses no shuffle. Production emit = the same frame exploded by
+    * `sequence(1, n_copies)` (bounded ≤ 5× by the cap); this entry
+    * emits the per-source accounting of that emission. Overflow note:
+    * `2·SCALE·w·total` stays under 2⁶³ through ~10¹² corpus tokens;
+    * beyond that, rearrange to `(2·SCALE·w·(total div Σw)) div toks_s`
+    * (≤ 1 ppm drift) or lift to DECIMAL(38,0). */
+  def mixEpochs(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val rates = t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tokens_total"))
+      .withColumn("w",
+        (conv(substring(md5(col("source")), 1, 15), 16, 10)
+          .cast("long") % 8) + 1)
+      // global totals over the source-bounded aggregate: a single-
+      // partition window over n_sources rows, not a corpus shuffle
+      .withColumn("total", sum(col("tokens_total")).over(Window.partitionBy()))
+      .withColumn("sumw", sum(col("w")).over(Window.partitionBy()))
+      .withColumn("epochs_ppm",
+        least(lit(EpochCapPpm),
+          expr(s"($MixTargetFactor * $MixScale * w * total) div (sumw * tokens_total)")))
+      .select(col("source"), col("n_docs"), col("tokens_total"), col("w"),
+        col("epochs_ppm"))
+    val copies = t.join(broadcast(rates), "source")
+      .withColumn("h",
+        conv(substring(md5(concat(lit("epoch:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % MixScale)
+      .withColumn("n_copies",
+        expr(s"epochs_ppm div $MixScale") +
+          when(col("h") < col("epochs_ppm") % MixScale, 1L).otherwise(0L))
+    copies.groupBy(col("source"))
+      .agg(sum(col("n_copies")).cast("long").as("n_emitted"),
+        sum(col("n_copies") * col("n_tok")).cast("long").as("tokens_emitted"))
+      .join(broadcast(rates), "source")
+      .select(col("source"), col("n_docs"), col("tokens_total"), col("w"),
+        col("epochs_ppm"), col("n_emitted"), col("tokens_emitted"))
+      .orderBy(col("source"))
+  }
+
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame =
+    mixEpochs(Tables(spark, dir, "documents"))
+
+  val mixEpochsSql: String =
+    s"""WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+       |  FROM documents),
+       |s AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tok) AS BIGINT) AS tokens_total
+       |  FROM t GROUP BY source),
+       |sw AS (SELECT source, n_docs, tokens_total,
+       |    1 + ('0x' || substr(md5(source), 1, 15))::BIGINT % 8 AS w
+       |  FROM s),
+       |r AS (SELECT source, n_docs, tokens_total, w,
+       |    least(CAST($EpochCapPpm AS BIGINT),
+       |      ($MixTargetFactor * $MixScale * w * (SELECT CAST(sum(tokens_total) AS BIGINT) FROM sw))
+       |        // ((SELECT CAST(sum(w) AS BIGINT) FROM sw) * tokens_total)) AS epochs_ppm
+       |  FROM sw),
+       |c AS (SELECT t.source, t.n_tok,
+       |    (r.epochs_ppm // $MixScale)
+       |      + CASE WHEN ('0x' || substr(md5('epoch:' || CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |                  % $MixScale < (r.epochs_ppm % $MixScale)
+       |             THEN 1 ELSE 0 END AS n_copies
+       |  FROM t JOIN r USING (source))
+       |SELECT r.source, r.n_docs, r.tokens_total, r.w, r.epochs_ppm,
+       |  CAST(sum(c.n_copies) AS BIGINT) AS n_emitted,
+       |  CAST(sum(c.n_copies * c.n_tok) AS BIGINT) AS tokens_emitted
+       |FROM c JOIN r USING (source)
+       |GROUP BY r.source, r.n_docs, r.tokens_total, r.w, r.epochs_ppm
+       |ORDER BY r.source""".stripMargin
+
   // ------------------------------------------------------------- P7
   private val SplitScale = 1000L
   private val ValPermille = 100L // 10% held out
@@ -675,7 +775,8 @@ object Pipeline {
     "pipeline_sample_cap" -> sampleCap _,
     "pipeline_pack_sequences" -> packSequences _,
     "pipeline_pack_sequences_bpe" -> packSequencesBpe _,
-    "pipeline_mix_sources" -> mixSources _)
+    "pipeline_mix_sources" -> mixSources _,
+    "pipeline_mix_epochs" -> mixEpochs _)
 
   val oracles: Map[String, String] = Map(
     "pipeline_split_leakage_safe" -> splitLeakageSafeSql,
@@ -688,5 +789,6 @@ object Pipeline {
     "pipeline_sample_cap" -> sampleCapSql,
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_pack_sequences_bpe" -> packSequencesBpeSql,
-    "pipeline_mix_sources" -> mixSourcesSql)
+    "pipeline_mix_sources" -> mixSourcesSql,
+    "pipeline_mix_epochs" -> mixEpochsSql)
 }

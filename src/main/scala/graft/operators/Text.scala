@@ -552,6 +552,74 @@ object Text {
        |FROM wc JOIN lenv ON wc.w = lenv.w
        |GROUP BY wc.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- C32
+  /** Hashed-feature buckets of the linear model (fastText's default is
+    * 2M bucket slots; 4096 keeps the stand-in oracle readable — the
+    * plumbing is bucket-count-agnostic). */
+  private val ModelBuckets = 4096L
+  /** Deterministic stand-in weight per bucket: Knuth multiplicative
+    * hash of the bucket id folded into [−1000, 1000]. */
+  private val WeightMul = 2654435761L
+  private val WeightMod = 2001L
+
+  /** Model-based quality scoring — the fastText-architecture linear
+    * classifier (Joulin et al. 2016) that CCNet-style pipelines run as
+    * the learned complement to [[quality]]'s heuristics: features are
+    * the document's words plus word bigrams, each hashed into one of
+    * [[ModelBuckets]] buckets, and the document score is the integer
+    * sum of the per-bucket weights; keep ⇔ score > 0. The weights here
+    * are a deterministic stand-in (`(bucket·[[WeightMul]]) mod
+    * [[WeightMod]] − 1000` — the Multimodal fake-decode contract: the
+    * plumbing is the operator, a trained model substitutes its weight
+    * vector as a broadcast/literal array indexed by the same bucket).
+    * All arithmetic is exact integer (hash ≤ 2⁶⁰, bucket·mul < 2⁴⁴),
+    * so the oracle replays scores bit-for-bit.
+    *
+    * Scale shape: pure per-row fold (no explode, no gram shuffle — the
+    * features never leave their row), then one map-side-combined
+    * groupBy on source. Linear in corpus bytes, zero corpus shuffles. */
+  def qualityModel(documents: DataFrame): DataFrame = {
+    val t = documents.withColumn("toks", toks(col("text")))
+      // word bigrams; guarded because Spark sequence(1, 0) descends
+      .withColumn("feats",
+        concat(col("toks"),
+          when(size(col("toks")) >= 2,
+            zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => concat_ws(" ", a, b)))
+            .otherwise(array().cast("array<string>"))))
+      .withColumn("score",
+        expr(s"""aggregate(feats, 0L, (acc, g) ->
+            acc + ((CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)
+                      % $ModelBuckets) * $WeightMul) % $WeightMod - 1000)"""))
+    t.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).cast("long").as("n_keep"),
+        sum(col("score")).cast("long").as("sum_score"))
+      .orderBy(col("source"))
+  }
+
+  def qualityModel(spark: SparkSession, dir: String): DataFrame =
+    qualityModel(docs(spark, dir))
+
+  val qualityModelSql: String =
+    s"""WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |f AS (SELECT source,
+       |    list_concat(toks, list_transform(
+       |      generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS feats
+       |  FROM t),
+       |sc AS (SELECT source,
+       |    CAST(list_sum(list_transform(feats, g ->
+       |      ((('0x' || substr(md5(g), 1, 15))::BIGINT % $ModelBuckets)
+       |        * $WeightMul) % $WeightMod - 1000)) AS BIGINT) AS score
+       |  FROM f)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(score) AS BIGINT) AS sum_score
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId _,
     "text_quality" -> quality _,
@@ -562,7 +630,8 @@ object Text {
     "text_rarity" -> (rarity(_, _)),
     "text_pii" -> (pii(_, _)),
     "text_bigram_lm" -> (bigramLm(_, _)),
-    "text_tokens_bpe" -> tokensBpe _)
+    "text_tokens_bpe" -> tokensBpe _,
+    "text_quality_model" -> qualityModel _)
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
@@ -574,5 +643,6 @@ object Text {
     "text_rarity" -> raritySql,
     "text_pii" -> piiSql,
     "text_bigram_lm" -> bigramLmSql,
-    "text_tokens_bpe" -> tokensBpeSql)
+    "text_tokens_bpe" -> tokensBpeSql,
+    "text_quality_model" -> qualityModelSql)
 }

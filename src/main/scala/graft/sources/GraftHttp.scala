@@ -646,18 +646,42 @@ object HttpEndpoint {
 /** JVM-wide shared servers for entries/benches: one auth-required
   * loopback server per data directory, started on first use, daemon
   * dispatcher (see [[GraftHttpServer.start]]) so JVM exit is never
-  * blocked. */
+  * blocked. The registry is a bounded LRU ([[MaxServers]]): a
+  * long-lived session touching many data directories evicts (and
+  * STOPS) the least-recently-used server instead of accumulating
+  * listeners forever; a later `shared()` on an evicted dir just
+  * restarts it. */
 object GraftHttpServers {
-  private val servers = scala.collection.mutable.Map.empty[String, GraftHttpServer]
+  /** Verify/Bench touch exactly one dir; 4 leaves slack for
+    * multi-corpus sessions without ever hoarding sockets. */
+  private val MaxServers = 4
+
+  private val servers =
+    new java.util.LinkedHashMap[String, GraftHttpServer](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, GraftHttpServer]): Boolean = {
+        val evict = size() > MaxServers
+        if (evict) e.getValue.stop()
+        evict
+      }
+    }
 
   /** Start (once) and return the base URL of the shared server for
     * `dir`. */
   def shared(dir: String): String = synchronized {
-    servers.getOrElseUpdate(dir, new GraftHttpServer(dir).start()).url
+    var s = servers.get(dir)
+    if (s == null) {
+      s = new GraftHttpServer(dir).start()
+      servers.put(dir, s)
+    }
+    s.url
   }
 
+  /** Live servers in the registry (spec hook for the LRU bound). */
+  def activeCount: Int = synchronized(servers.size)
+
   def stopAll(): Unit = synchronized {
-    servers.values.foreach(_.stop())
+    servers.values.forEach(_.stop())
     servers.clear()
   }
 }

@@ -184,4 +184,38 @@ class PipelineSpec extends SparkSpec {
     assert(ws.agg(sum(col("n_docs"))).head.getLong(0) ===
       packed.agg(sum(col("n_docs"))).head.getLong(0))
   }
+
+  test("epoch mixing: cap respected, emission bounds hold, both directions bind") {
+    val rows = Pipeline.mixEpochs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, toksTotal, w, ppm, nEmit, toksEmit) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(w >= 1 && w <= 8, s"weight $w out of range")
+      assert(ppm >= 0 && ppm <= 4000000L, s"epoch cap violated: $ppm")
+      // every doc emits floor(epochs) or floor(epochs)+1 times
+      val whole = ppm / 1000000L
+      assert(nEmit >= nDocs * whole && nEmit <= nDocs * (whole + 1),
+        s"emission count outside [$whole, ${whole + 1}] epochs: $nEmit/$nDocs")
+      assert(toksEmit >= toksTotal * whole && toksEmit <= toksTotal * (whole + 1))
+    }
+    // the mixture must actually re-weight at this SF: some source
+    // upsamples past one epoch AND some downsamples below it
+    assert(rows.exists(r => r.getLong(5) > r.getLong(1)),
+      "no source upsampled — the capability this op adds is vacuous here")
+    assert(rows.exists(r => r.getLong(5) < r.getLong(1)),
+      "no source downsampled")
+    // independent recomputation of one source's emission via the same
+    // md5 fixed-point rule in raw Spark SQL
+    val r0 = rows.head
+    val n = graft.Tables(spark, dir, "documents")
+      .filter(col("source") === r0.getString(0))
+      .filter(expr(
+        "cast(conv(substring(md5('epoch:' || cast(doc_id as string)), 1, 15), 16, 10) as bigint)" +
+          s" % 1000000 < ${r0.getLong(4)} % 1000000"))
+      .count()
+    assert(r0.getLong(5) === r0.getLong(1) * (r0.getLong(4) / 1000000L) + n,
+      s"source ${r0.getString(0)}")
+  }
 }

@@ -350,4 +350,54 @@ class TextSpec extends SparkSpec {
     // non-vacuous: merges actually fire (bpe strictly below chars)
     assert(joined.filter(col("n_bpe") < col("n_chars")).count() > 0)
   }
+
+  /** The C32 stand-in weight, recomputed independently: md5-hash the
+    * feature into a bucket, Knuth-fold the bucket into [−1000, 1000]. */
+  private def modelWeight(feat: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(feat.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val bucket = java.lang.Long.parseLong(hex, 16) % 4096L
+    (bucket * 2654435761L) % 2001L - 1000L
+  }
+
+  test("quality model: hand-computed scores on a tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good text wins", "srcA"),
+      (2L, "bad", "srcA"), // single token: no bigram features
+      (3L, "more good text", "srcB"))
+      .toDF("doc_id", "text", "source")
+    def score(text: String): Long = {
+      val t = text.split(" ", -1)
+      val feats = t.toSeq ++ t.toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      feats.map(modelWeight).sum
+    }
+    val expect = Map(
+      "srcA" -> Seq(score("good text wins"), score("bad")),
+      "srcB" -> Seq(score("more good text")))
+    val got = Text.qualityModel(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    expect.foreach { case (src, scores) =>
+      val (nDocs, nKeep, sumScore) = got(src)
+      assert(nDocs === scores.size)
+      assert(nKeep === scores.count(_ > 0), s"$src keep count")
+      assert(sumScore === scores.sum, s"$src score sum")
+    }
+  }
+
+  test("quality model: one corpus shuffle only, scores deterministic") {
+    val res = Text.qualityModel(spark, dir)
+    // pure per-row fold, one groupBy, one presentation sort: a third
+    // Exchange anywhere means the features leaked out of their rows
+    val p = res.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 2, s"extra shuffles:\n$p")
+    val a = res.collect().map(_.toSeq).toSeq
+    val b = Text.qualityModel(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    // non-vacuous: the classifier actually separates (keeps some, drops some)
+    val (keep, docs) = a.map(r => (r(2).asInstanceOf[Long], r(1).asInstanceOf[Long]))
+      .reduce((x, y) => (x._1 + y._1, x._2 + y._2))
+    assert(keep > 0 && keep < docs, s"degenerate classifier: $keep/$docs")
+  }
 }

@@ -413,6 +413,32 @@ class GraftHttpSpec extends SparkSpec {
       s"dispatcher threads must be daemons: ${dispatchers.map(t => s"${t.getName}:${t.isDaemon}").mkString(", ")}")
   }
 
+  test("shared-server registry is a bounded LRU: eviction stops the listener") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lru").toFile
+    val dirs = (1 to 5).map { i =>
+      val d = new java.io.File(tmp, s"d$i"); d.mkdirs(); d.getAbsolutePath
+    }
+    val urls = dirs.map(GraftHttpServers.shared)
+    // the cap is 4: the 5th start must have evicted AND stopped the 1st
+    assert(GraftHttpServers.activeCount <= 4)
+    val evicted = new java.net.URL(urls.head + "/v1/login")
+    val ex = intercept[java.io.IOException] {
+      val c = evicted.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      c.setConnectTimeout(2000); c.setReadTimeout(2000)
+      c.getResponseCode
+    }
+    assert(ex != null, "evicted server's socket must refuse connections")
+    // the most recent 4 still serve (a connect succeeds, even if 4xx)
+    val live = new java.net.URL(urls.last + "/v1/login")
+    val c = live.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    c.setConnectTimeout(2000); c.setReadTimeout(2000)
+    assert(c.getResponseCode > 0)
+    c.disconnect()
+    // an evicted dir transparently restarts on next use
+    val back = GraftHttpServers.shared(dirs.head)
+    assert(back != urls.head || GraftHttpServers.activeCount <= 4)
+  }
+
   test("structured streaming reads over HTTP: one micro-batch per split") {
     // the micro-batch source shares the endpoint abstraction, so the
     // HTTP transport composes with readStream for free — assert it:
