@@ -2,10 +2,10 @@
 """Assemble BENCH_r14_scale.json from the r14 chain's per-SF bench
 JSONs.
 
-The r14 chain (tools/run_scale_chain_r14.sh) benches the FULL 93-entry
-suite — including the six r14 additions (agg_topk_sketch,
+The r14 chain (tools/run_scale_chain_r14.sh) benches the FULL 95-entry
+suite — including the eight r14 additions (agg_topk_sketch,
 agg_topk_sketch_merge, dedup_span_rewrite, q12b_cube,
-q12c_grouping_sets, and the r14 engine-neutral wire contract under
+q12c_grouping_sets, pipeline_mix_epochs, text_quality_model, and the r14 engine-neutral wire contract under
 every arrow_http_* entry) — at sf0.1/sf1/sf3/sf10, so every entry has
 in-suite scale evidence.
 
@@ -48,10 +48,10 @@ total100x = blocks["sf10"]["value"] / blocks["sf0_1"]["value"]
 out = {
     "metric": "scale_curve_r14",
     "description": (
-        "Full 93-entry suite (final r14 build: engine-neutral HTTP "
+        "Full 95-entry suite (final r14 build: engine-neutral HTTP "
         "wire contract — SQL-text filters + JSON agg spec, endpoint "
         "failover, nonce-scoped cancel — plus the count-min top-k "
-        "sketch pair, span-rewrite dedup, and CUBE/GROUPING SETS) at "
+        "sketch pair, span-rewrite dedup, CUBE/GROUPING SETS, epoch mixing, and the hashed-feature quality model) at "
         "sf0.1 and 10x/30x/100x scaled copies (tools/gen_scaled_sf.py),"
         " same machine, local[32], no concurrent load, ps-checked idle "
         "before the chain. sf0.1: interleaved median-of-3 (also the "
@@ -69,7 +69,7 @@ out = {
     "per_entry_sf10_over_sf0_1_ratio": ratios,
 }
 out["summary"] = (
-    f"93-entry suite, 100x data in {round(total100x, 1)}x time "
+    f"95-entry suite, 100x data in {round(total100x, 1)}x time "
     f"({round(blocks['sf0_1']['value'], 1)}s -> "
     f"{round(blocks['sf10']['value'], 1)}s), failed=0 at all four "
     "points."

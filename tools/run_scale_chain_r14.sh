@@ -1,7 +1,8 @@
 #!/bin/bash
-# r14 scale-evidence chain: the FULL 93-entry suite (every operator,
-# including the six r14 additions — the CMS top-k sketch + merge, the
-# span-rewrite dedup, CUBE/GROUPING SETS — and the r14 engine-neutral
+# r14 scale-evidence chain: the FULL 95-entry suite (every operator,
+# including the eight r14 additions — the CMS top-k sketch + merge, the
+# span-rewrite dedup, CUBE/GROUPING SETS, epoch mixing, the hashed-
+# feature quality model — and the r14 engine-neutral
 # HTTP wire contract under the transport entries) at four scale
 # points, run sequentially with no concurrent load against the frozen
 # r14 classes. The sf0.1 point writes straight to repo-root
