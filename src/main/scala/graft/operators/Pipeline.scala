@@ -764,6 +764,84 @@ object Pipeline {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- shard balance (C33)
+  /** Training-loader shard count (data-parallel ranks / file shards). */
+  private val NumShards = 16L
+
+  /** Token-balanced shard assignment (C33) — the data-loader prep step
+    * between curation and training: place every document into one of
+    * [[NumShards]] shards so per-shard token mass is near-equal
+    * (unbalanced shards idle data-parallel ranks at every epoch
+    * boundary). Allocation is boustrophedon ("snake") over the global
+    * token-count rank: sort docs by (n_tok DESC, doc_id), walk blocks
+    * of 2N, deal block positions 0..N−1 forward and N..2N−1 back, so
+    * each block gives every shard one heavy and one light doc. The
+    * law (PipelineSpec proves both the theorem on an adversarial
+    * fixture and the bound on the real corpus): within one block the
+    * pair-sum spread is ≤ block max − block min, and blocks telescope
+    * (block j's min ≥ block j+1's max), so
+    * `max shard tokens − min shard tokens ≤ max single-doc tokens` —
+    * the assignment is within one document of optimal, deterministically.
+    *
+    * Scale shape: the global rank is NOT a single-partition window over
+    * the corpus (the classic scale-killer). Instead: (1) a map-side-
+    * combined histogram of distinct token counts — bounded by max doc
+    * length, thousands of rows at any corpus size; (2) prefix-sum
+    * offsets via a single-partition window over THAT histogram (the
+    * mixEpochs discipline: tiny bounded frame, never the corpus);
+    * (3) rank = offset + row_number partitioned BY n_tok — distributed
+    * across as many partitions as there are distinct lengths, each
+    * bounded by its tie count. A corpus where one exact length
+    * dominates would re-concentrate; the fix is a secondary
+    * (n_tok, doc_id range-bucket) sub-key with per-bucket sub-offsets —
+    * same histogram trick one level down. Production emits the
+    * (doc_id → shard) frame this derives; the entry emits the
+    * per-shard accounting (the mixEpochs convention). */
+  def shardBalance(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val offsets = t.groupBy(col("n_tok"))
+      .agg(count(lit(1)).as("n"))
+      // prefix sum over the length histogram: docs with strictly more
+      // tokens rank first
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.partitionBy().orderBy(col("n_tok").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("n_tok"), col("offset"))
+    val block = NumShards * 2
+    t.join(broadcast(offsets), "n_tok")
+      .withColumn("pos",
+        (col("offset")
+          + row_number().over(
+              Window.partitionBy(col("n_tok")).orderBy(col("doc_id")))
+          - 1) % block)
+      .withColumn("shard",
+        when(col("pos") < NumShards, col("pos"))
+          .otherwise(lit(block - 1) - col("pos")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
+  def shardBalance(spark: SparkSession, dir: String): DataFrame =
+    shardBalance(Tables(spark, dir, "documents"))
+
+  val shardBalanceSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |r AS (SELECT n_tok,
+       |    (row_number() OVER (ORDER BY n_tok DESC, doc_id) - 1)
+       |      % ${NumShards * 2} AS pos
+       |  FROM t)
+       |SELECT CAST(CASE WHEN pos < $NumShards THEN pos
+       |                 ELSE ${NumShards * 2 - 1} - pos END AS BIGINT) AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split_leakage_safe" -> (splitLeakageSafeStats(_, _)),
     "pipeline_split_train_val" -> (splitTrainValStats(_, _)),
@@ -776,7 +854,8 @@ object Pipeline {
     "pipeline_pack_sequences" -> packSequences _,
     "pipeline_pack_sequences_bpe" -> packSequencesBpe _,
     "pipeline_mix_sources" -> mixSources _,
-    "pipeline_mix_epochs" -> mixEpochs _)
+    "pipeline_mix_epochs" -> mixEpochs _,
+    "pipeline_shard_balance" -> shardBalance _)
 
   val oracles: Map[String, String] = Map(
     "pipeline_split_leakage_safe" -> splitLeakageSafeSql,
@@ -790,5 +869,6 @@ object Pipeline {
     "pipeline_pack_sequences" -> packSequencesSql,
     "pipeline_pack_sequences_bpe" -> packSequencesBpeSql,
     "pipeline_mix_sources" -> mixSourcesSql,
-    "pipeline_mix_epochs" -> mixEpochsSql)
+    "pipeline_mix_epochs" -> mixEpochsSql,
+    "pipeline_shard_balance" -> shardBalanceSql)
 }

@@ -562,8 +562,8 @@ object Sketch {
     * candidates); the gated entries enumerate distinct tokens because
     * at gate SFs that IS the bounded set and it keeps the oracle a
     * pure SQL replay. */
-  private val CmsDepth = 3
-  private val CmsWidth = 64
+  private[graft] val CmsDepth = 3
+  private[graft] val CmsWidth = 64
 
   /** The mergeable sketch: `(groupCols…, r, bucket, cnt)` — at most
     * d·w rows per group. `itemCol` must have a stable string form. */
@@ -581,6 +581,29 @@ object Sketch {
   private def cmsBucket(r: Column, item: Column): Column =
     pmod(conv(substring(md5(concat(r.cast("string"), lit("|"), item)),
       1, 15), 16, 10).cast("long"), lit(CmsWidth.toLong))
+
+  /** JVM-side twin of [[cmsBucket]] for state folds that run outside
+    * Catalyst (the D7 streaming sketch): first 15 hex chars of
+    * md5(r ‖ '|' ‖ item) as an unsigned 60-bit integer, mod
+    * [[CmsWidth]] — byte-identical to the Column form (SketchSpec pins
+    * the agreement on a fixture; the D7 streamed-equals-batch law
+    * re-proves it over every token of a real feed). */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private[graft] def cmsBucketLocal(r: Int, item: String): Int = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s"$r|$item".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = the digest's first 60 bits = (first 8 bytes
+    // as an unsigned 64-bit integer) >>> 4 — no hex-string round trip
+    var x = 0L
+    var i = 0
+    while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+    ((x >>> 4) % CmsWidth).toInt
+  }
 
   /** Monoid merge of [[topkSketch]] tables over the same group schema:
     * union + per-cell count sum. */

@@ -590,13 +590,129 @@ object Streams {
     spark.table(sinkName)
   }
 
+  // ---------------------------------------------------------------- D7
+  /** One token occurrence flowing into the streaming sketch. */
+  case class Tok(source: String, item: String)
+
+  /** Per-source streaming sketch state: C30's count-min d×w counter
+    * cells flattened row-major — exactly
+    * [[graft.operators.Sketch.CmsDepth]]×[[graft.operators.Sketch.CmsWidth]]
+    * = 192 longs per key, however long the stream runs. */
+  case class CmsState(cells: Array[Long])
+
+  case class CmsCell(source: String, sub: Int, r: Int, bucket: Long,
+      cnt: Long)
+
+  /** Subshards per source for the streaming sketch fold — a source's
+    * token firehose is too hot for one state key (the C24e straggler
+    * class), so the stream keys by (source, item-hash mod this) and
+    * the finisher re-merges the subshard cells by per-cell SUM: cells
+    * are a commutative monoid, so the re-key is free and exact — C30b's
+    * merge law, applied operationally. */
+  private val CmsSubShards = 32
+
+  /** Streaming count-min maintenance (D7) — C30's sketch kept as LIVE
+    * `flatMapGroupsWithState` state, the operational form of the
+    * persist-per-day / merge-on-query law the batch merge entry (C30b)
+    * proves: each micro-batch's tokens fold into the keyed cell table
+    * by per-cell addition — the same commutative monoid — so the
+    * summed state after any prefix of the stream IS the batch sketch
+    * of that prefix, regardless of batch boundaries, arrival order, or
+    * subshard layout (StreamsSpec proves streamed ≡
+    * [[graft.operators.Sketch.topkSketch]] over a multi-batch
+    * out-of-order feed).
+    *
+    * Unlike D6's as-of fold, the slice needs NO sort and NO
+    * materialization — counters commute, so the iterator streams
+    * through in O(1) state memory (a fixed 192 longs per key). The
+    * only per-slice allocation is a bucket memo keyed by distinct
+    * token (bounded by the slice's vocabulary), which cuts the
+    * 3-md5-per-OCCURRENCE cost to 3-md5-per-DISTINCT-token — the
+    * cross-row reuse a per-row codegen'd Column cannot express, and
+    * what makes the streaming fold competitive with the batch scan on
+    * a Zipf-distributed feed. Hashes are the md5-derived C26 conv
+    * idiom ([[graft.operators.Sketch.cmsBucketLocal]], byte-identical
+    * to the batch Column form) so the cells stay cross-engine exact. */
+  def topkSketchStreaming(toks: Dataset[Tok]): Dataset[CmsCell] = {
+    import toks.sparkSession.implicits._
+    val d = graft.operators.Sketch.CmsDepth
+    val w = graft.operators.Sketch.CmsWidth
+    toks.groupByKey(t =>
+        (t.source, java.lang.Math.floorMod(t.item.hashCode, CmsSubShards)))
+      .flatMapGroupsWithState[CmsState, CmsCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, Int), in: Iterator[Tok], state: GroupState[CmsState]) =>
+          val cells = state.getOption.map(_.cells.clone())
+            .getOrElse(new Array[Long](d * w))
+          val memo = new java.util.HashMap[String, Array[Int]]()
+          in.foreach { t =>
+            var bs = memo.get(t.item)
+            if (bs == null) {
+              bs = Array.tabulate(d)(
+                graft.operators.Sketch.cmsBucketLocal(_, t.item))
+              memo.put(t.item, bs)
+            }
+            var r = 0
+            while (r < d) { cells(r * w + bs(r)) += 1; r += 1 }
+          }
+          state.update(CmsState(cells))
+          (0 until d * w).iterator.filter(cells(_) != 0L).map { i =>
+            CmsCell(key._1, key._2, i / w, (i % w).toLong, cells(i))
+          }
+      }
+  }
+
+  /** D7 entry: the documents feed replayed through the streaming
+    * sketch (split=false — one in-order micro-batch, the D6 gate
+    * shape), then C30's batch finisher
+    * ([[graft.operators.Sketch.topkEstimate]]) reads the emitted cells.
+    * With the whole feed folded, the state IS the batch sketch, so the
+    * output equals `agg_topk_sketch` and the oracle is topkWordsSql
+    * VERBATIM — the batch/streaming sketch pair proven equal
+    * cross-engine, like D6's as-of pair. The cross-batch accumulation
+    * contract is spec-gated on a MemoryStream (the D5/D6 precedent). */
+  def streamTopkSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "documents")
+      .option("split", false)
+      .load()
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (src, text) =>
+        text.split(" ", -1).iterator.filter(_.nonEmpty).map(Tok(src, _))
+      }
+    val sinkName = s"graft_d7_${System.nanoTime()}"
+    val q = withStatePartitions(spark, 32) {
+      topkSketchStreaming(feed)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    // per-(source, subshard) counters are monotone → max is the final
+    // snapshot; subshards then re-merge by per-cell SUM (C30b's law)
+    val sketch = spark.table(sinkName)
+      .groupBy(col("source"), col("sub"), col("r"), col("bucket"))
+      .agg(max(col("cnt")).as("c"))
+      .groupBy(col("source"), col("r"), col("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+    val cand = graft.Tables(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("item"))
+      .filter(length(col("item")) > 0)
+      .distinct()
+    graft.operators.Sketch.topkEstimate(sketch, cand, Seq("source"), 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> windowAgg _,
     "stream_sessionize" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
     "stream_dedup_watermark" -> streamDedupWatermark _,
     "stream_join" -> streamJoin _,
-    "stream_asof_enrich" -> streamAsofEnrich _)
+    "stream_asof_enrich" -> streamAsofEnrich _,
+    "stream_topk_sketch" -> streamTopkSketch _)
 
   val oracles: Map[String, String] = Map(
     "stream_window_agg" -> windowAggSql,
@@ -604,5 +720,6 @@ object Streams {
     "stream_dedup" -> streamDedupSql,
     "stream_dedup_watermark" -> streamDedupWatermarkSql,
     "stream_join" -> streamJoinSql,
-    "stream_asof_enrich" -> graft.operators.AsofJoin.joinAsofSql)
+    "stream_asof_enrich" -> graft.operators.AsofJoin.joinAsofSql,
+    "stream_topk_sketch" -> graft.operators.Sketch.topkWordsSql)
 }

@@ -218,4 +218,49 @@ class PipelineSpec extends SparkSpec {
     assert(r0.getLong(5) === r0.getLong(1) * (r0.getLong(4) / 1000000L) + n,
       s"source ${r0.getString(0)}")
   }
+
+  test("shard balance: snake allocation is exact on a full descending fixture") {
+    import spark.implicits._
+    // token counts 64..1 over 2 blocks of 32: block 1 pairs (64-i, 33+i)
+    // = 97 per shard, block 2 pairs (32-i, 1+i) = 33 — every shard must
+    // total exactly 130 tokens over exactly 4 docs
+    val docs = (1 to 64).map(i => (i.toLong, ("w " * (65 - i)).trim))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.shardBalance(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 16L))
+    rows.foreach { r =>
+      assert(r.getLong(1) === 4L, s"shard ${r.getLong(0)} doc count")
+      assert(r.getLong(2) === 130L, s"shard ${r.getLong(0)} token total")
+    }
+  }
+
+  test("shard balance: the within-one-doc-of-optimal law holds under adversarial skew") {
+    import spark.implicits._
+    // one 1000-token giant among 47 singletons: the giant's shard may
+    // exceed the rest by at most the giant itself
+    val docs = ((1L, ("w " * 1000).trim) +:
+      (2 to 48).map(i => (i.toLong, "w"))).toDF("doc_id", "text")
+    val rows = Pipeline.shardBalance(docs).collect()
+    val totals = rows.map(_.getLong(2))
+    assert(totals.max - totals.min <= 1000L,
+      s"spread ${totals.max - totals.min} exceeds the max-doc bound")
+    assert(rows.map(_.getLong(1)).sum === 48L)
+    assert(totals.sum === 1047L)
+  }
+
+  test("shard balance on the corpus: conservation, the balance law, partition invariance") {
+    val d = graft.Tables(spark, dir, "documents")
+    val rows = Pipeline.shardBalance(d).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 16L))
+    val tok = d.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n")), count(lit(1)), max(col("n"))).head
+    assert(rows.map(_.getLong(2)).sum === tok.getLong(0), "token conservation")
+    assert(rows.map(_.getLong(1)).sum === tok.getLong(1), "doc conservation")
+    assert(rows.map(_.getLong(2)).max - rows.map(_.getLong(2)).min
+      <= tok.getLong(2), "balance law: spread bounded by the largest doc")
+    // the assignment is a pure function of the corpus, not its layout
+    val re = Pipeline.shardBalance(d.repartition(7)).collect()
+    assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }

@@ -215,6 +215,23 @@ class SketchSpec extends SparkSpec {
     assert(m(a) === m(b))
   }
 
+  test("cms: the JVM-side bucket twin equals the Column-side bucket") {
+    import spark.implicits._
+    // includes the hash delimiter char, non-ascii (UTF-8 byte parity),
+    // digits, and the empty string
+    val items = Seq("the", "x|y", "éclair", "", "42", "naïve",
+      "a" * 100)
+    items.foreach { it =>
+      val cells = Sketch
+        .topkSketch(Seq(("g", it)).toDF("g", "item"), Seq("g"), "item")
+        .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+      (0 until Sketch.CmsDepth).foreach { r =>
+        assert(cells(r) === Sketch.cmsBucketLocal(r, it).toLong,
+          s"bucket divergence for item '$it' at row $r")
+      }
+    }
+  }
+
   test("entry: plan aggregates registers, not distinct values") {
     val df = Sketch.hllDistinct(
       graft.Tables(spark, sf("sf0.001"), "events"), Seq("event_type"), "user_id")

@@ -417,4 +417,50 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("D7: streaming CMS state equals the batch sketch across out-of-order micro-batches") {
+    import spark.implicits._
+    import graft.streaming.Streams.Tok
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tok]
+    val name = s"d7_test_${System.nanoTime()}"
+    val q = Streams.topkSketchStreaming(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val b1 = Seq(Tok("a", "x"), Tok("a", "y"), Tok("b", "x"), Tok("a", "x"))
+    val b2 = Seq(Tok("a", "z"), Tok("b", "x"), Tok("a", "x"), Tok("b", "q"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-(source, subshard) counters are monotone: max per cell across
+    // the append emissions is the final snapshot; subshards re-merge by
+    // per-cell SUM — and the result must equal the batch sketch of the
+    // CONCATENATED batches (the monoid law, operationally)
+    def finalCells = spark.table(name)
+      .groupBy(col("source"), col("sub"), col("r"), col("bucket"))
+      .agg(max(col("cnt")).as("c"))
+      .groupBy(col("source"), col("r"), col("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+    val streamed = finalCells.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val direct = graft.operators.Sketch
+      .topkSketch((b1 ++ b2).toDF("source", "item"), Seq("source"), "item")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed === direct)
+    // the batch-2 emission carries batch-1 counts forward: source a
+    // folded 3 'x' occurrences in total, and every one of x's 3 cells
+    // reports >= 3 after the second batch
+    val aFinal = finalCells.filter(col("source") === "a").collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    (0 until graft.operators.Sketch.CmsDepth).foreach { r =>
+      val b = graft.operators.Sketch.cmsBucketLocal(r, "x").toLong
+      assert(aFinal((r, b)) >= 3L, s"cell ($r,$b) lost cross-batch counts")
+    }
+  }
 }
