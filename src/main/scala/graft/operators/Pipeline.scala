@@ -842,6 +842,309 @@ object Pipeline {
        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin
 
+  // --------------------------------------------------- DSIR weights (C34)
+  /** Hash-bucket count for the two n-gram bag models (the DSIR paper
+    * uses 10k; 4096 matches C32's bucket space and keeps the oracle's
+    * replay readable — the plumbing is bucket-count-agnostic). */
+  private val DsirBuckets = 4096L
+
+  /** DSIR importance weights (C34) — Data Selection via Importance
+    * Resampling (Xie et al. 2023): score every raw document by how
+    * much more likely it is under a TARGET corpus's hashed n-gram
+    * bag-of-words model than under the raw corpus's own, then select
+    * the docs that look most like the target. Features are the
+    * document's words plus word bigrams (C32's feature space), hashed
+    * into [[DsirBuckets]] buckets; the target here is the `lang='en'`
+    * subset (a real pipeline points this at its quality corpus). The
+    * importance weight is the likelihood ratio
+    * `Π_g p_tgt(bucket(g)) / p_raw(bucket(g))` with add-1 smoothing.
+    *
+    * Cross-engine exactness without transcendentals: the classic form
+    * sums logs, but `ln` is not bit-portable across engines (the §8
+    * discipline). Each factor here is instead ONE division of two
+    * exact longs — `(c_tgt(b)+1)·(C_raw+B)` over `(c_raw(b)+1)·(C_tgt+B)`
+    * — and the per-doc weight is the POSITION-ORDERED product of those
+    * factors (`aggregate` over the feature array ≡ DuckDB
+    * `list_reduce(list(q ORDER BY pos))`, the C25 ordered-fold idiom:
+    * long→double conversion, multiply, and divide are all exactly
+    * rounded, so identical operand order means identical bits).
+    * Overflow: each long product is ≤ (C+1)·(C+B); safe through
+    * ~3·10⁹ feature occurrences per model, far past the gate SFs —
+    * beyond that, pre-divide both totals by a common 2^k (the scaladoc
+    * constant trade: ≤1 ulp drift per factor) or lift to DECIMAL(38).
+    *
+    * Scale shape: the bucket-count models are ONE map-side-combined
+    * aggregation over the exploded buckets (≤[[DsirBuckets]] rows
+    * cross the wire per partition), collected — a BOUNDED collect, 4096
+    * rows by construction — and re-broadcast as two literal arrays, so
+    * the scoring pass is a pure per-row fold: features never leave
+    * their row, zero corpus shuffles, one corpus-linear count pass plus
+    * one corpus-linear score pass.
+    *
+    * Alongside `w` the entry emits `n_pos`, the count of the doc's
+    * features whose smoothed target probability exceeds the raw one —
+    * an EXACT-INTEGER comparison (`(c_tgt+1)·(C_raw+B) >
+    * (c_raw+1)·(C_tgt+B)`, cross-multiplied so no division happens),
+    * the length-fair sign-test companion to the length-compounding
+    * ratio. The keep decision itself is policy, applied downstream
+    * (the paper resamples by Gumbel-top-k over `ln w`; a fixed
+    * `n_pos/n_feats` floor is the deterministic analogue) — bundling a
+    * hard flag here would freeze a threshold that degenerates on
+    * vocabulary-shared corpora like the gate fixture. */
+  def dsirWeights(documents: DataFrame): DataFrame = {
+    val feats = documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("feats",
+        concat(col("toks"),
+          when(size(col("toks")) >= 2,
+            zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => concat_ws(" ", a, b)))
+            .otherwise(array().cast("array<string>"))))
+      .withColumn("buckets", expr(
+        s"""transform(feats, g ->
+           |  CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)
+           |    % $DsirBuckets)""".stripMargin))
+    val counts = feats
+      .select(explode(col("buckets")).as("b"),
+        (col("lang") === "en").as("t"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("craw"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("ctgt"))
+      .collect() // bounded: ≤ DsirBuckets rows by construction
+    val raw = new Array[Long](DsirBuckets.toInt)
+    val tgt = new Array[Long](DsirBuckets.toInt)
+    counts.foreach { r =>
+      val b = r.getLong(0).toInt
+      raw(b) = r.getLong(1); tgt(b) = r.getLong(2)
+    }
+    val rawTot = raw.sum + DsirBuckets
+    val tgtTot = tgt.sum + DsirBuckets
+    val rawLit = typedLit(raw.toSeq)
+    val tgtLit = typedLit(tgt.toSeq)
+    feats
+      .withColumn("w", aggregate(col("buckets"), lit(1.0d), (acc, b) =>
+        acc * (((element_at(tgtLit, (b + 1).cast("int")) + 1L) * rawTot)
+                 .cast("double") /
+               ((element_at(rawLit, (b + 1).cast("int")) + 1L) * tgtTot)
+                 .cast("double"))))
+      .withColumn("n_pos", aggregate(col("buckets"), lit(0L), (acc, b) =>
+        acc + when(
+          (element_at(tgtLit, (b + 1).cast("int")) + 1L) * rawTot >
+            (element_at(rawLit, (b + 1).cast("int")) + 1L) * tgtTot,
+          1L).otherwise(0L)))
+      .select(col("doc_id"),
+        size(col("feats")).cast("long").as("n_feats"),
+        col("n_pos"), col("w"))
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables(spark, dir, "documents"))
+
+  val dsirWeightsSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |    list_concat(toks, list_transform(
+       |      generate_series(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS feats
+       |  FROM t),
+       |e AS (SELECT doc_id, lang, i AS pos,
+       |    ('0x' || substr(md5(feats[i]), 1, 15))::BIGINT % $DsirBuckets AS b
+       |  FROM f, unnest(generate_series(1, len(feats))) AS u(i)),
+       |c AS (SELECT b, count(*) AS craw,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ctgt
+       |  FROM e GROUP BY b),
+       |tot AS (SELECT CAST(sum(craw) + $DsirBuckets AS BIGINT) AS rawtot,
+       |    CAST(sum(ctgt) + $DsirBuckets AS BIGINT) AS tgttot FROM c),
+       |q AS (SELECT e.doc_id, e.pos,
+       |    CAST((c.ctgt + 1) * tot.rawtot AS DOUBLE)
+       |      / CAST((c.craw + 1) * tot.tgttot AS DOUBLE) AS q,
+       |    CASE WHEN (c.ctgt + 1) * tot.rawtot
+       |              > (c.craw + 1) * tot.tgttot
+       |         THEN 1 ELSE 0 END AS pf
+       |  FROM e JOIN c USING (b), tot)
+       |SELECT doc_id, count(*) AS n_feats,
+       |  CAST(sum(pf) AS BIGINT) AS n_pos,
+       |  list_reduce(list(q ORDER BY pos), (acc, x) -> acc * x) AS w
+       |FROM q GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------- overlap chunking (C35)
+  /** Chunk window (tokens) and stride — 16-token overlap so no span of
+    * ≤ 17 tokens is ever cut without appearing whole in some chunk. */
+  private val ChunkWindow = 64L
+  private val ChunkStride = 48L
+
+  /** Overlapping-window document chunking (C35) — the retrieval-prep
+    * step between curation and embedding: split each document's token
+    * stream into windows of [[ChunkWindow]] tokens advancing by
+    * [[ChunkStride]] (16-token overlap, the standard RAG chunking
+    * shape), so every passage fits an embedding-model context and
+    * boundary-straddling spans survive in the overlap. Chunk count is
+    * `1 + ceil(max(0, n−W)/S)`; the last chunk may be short (both
+    * engines' slice clamps identically).
+    *
+    * The entry emits the per-doc accounting with a C1b-shape
+    * reassembly proof: `chunks_md5` = md5 of the position-ordered
+    * concatenation of each chunk's own md5, so the oracle agreeing
+    * means every chunk's exact token content and order match — not
+    * just the counts. `n_chunk_tokens` (window sum incl. overlap)
+    * pins the window/stride arithmetic.
+    *
+    * Scale shape: pure per-row map — chunk ids, slices, and hashes are
+    * all computed inside the row via `transform`/`sequence`, zero
+    * shuffles, zero explodes; linear in corpus bytes. Production emits
+    * the exploded (doc_id, chunk_id, text) frame this derives —
+    * explode-at-write multiplies rows ~n/S-fold but stays map-only. */
+  def chunkOverlap(documents: DataFrame): DataFrame = {
+    val W = ChunkWindow
+    val S = ChunkStride
+    documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tok") <= W, 1L)
+          .otherwise(lit(1L) + expr(s"(n_tok - $W + $S - 1) div $S")))
+      .withColumn("n_chunk_tokens", expr(
+        s"""aggregate(sequence(0L, n_chunks - 1), CAST(0 AS BIGINT),
+           |  (acc, i) -> acc + least($W, n_tok - i * $S))""".stripMargin))
+      .withColumn("chunks_md5", md5(concat_ws("", expr(
+        s"""transform(sequence(0L, n_chunks - 1),
+           |  i -> md5(concat_ws(' ',
+           |         slice(toks, CAST(i * $S + 1 AS INT), $W))))""".stripMargin))))
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"),
+        col("n_chunk_tokens"), col("chunks_md5"))
+  }
+
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(Tables(spark, dir, "documents"))
+
+  val chunkOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (SELECT doc_id, toks, n_tok,
+       |    CAST(CASE WHEN n_tok <= $ChunkWindow THEN 1
+       |         ELSE 1 + (n_tok - $ChunkWindow + $ChunkStride - 1)
+       |                    // $ChunkStride END AS BIGINT) AS n_chunks
+       |  FROM t)
+       |SELECT doc_id, n_tok, n_chunks,
+       |  CAST(list_sum(list_transform(generate_series(0, n_chunks - 1),
+       |    i -> least($ChunkWindow, n_tok - i * $ChunkStride)))
+       |    AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(list_transform(generate_series(0, n_chunks - 1),
+       |    i -> md5(array_to_string(
+       |           list_slice(toks, i * $ChunkStride + 1,
+       |                      i * $ChunkStride + $ChunkWindow),
+       |           ' '))), '')) AS chunks_md5
+       |FROM c""".stripMargin
+
+  // --------------------------------------------------- Pareto skyline (C36)
+  /** Quality-bucket width for the skyline grid prune:
+    * `quality_micro div 1000` → at most ~1001 buckets. */
+  private val SkyBucket = 1000L
+
+  /** Distributed 2-D skyline over DISTINCT points `(quality_micro,
+    * n_words[, n_docs, min_doc_id])` — maximize quality, minimize
+    * length. Exact, fully distributed, no single-partition pass over
+    * data-sized frames:
+    *
+    *  1. GRID PRUNE: bucket points by `quality_micro div [[SkyBucket]]`;
+    *     the per-bucket min length is a tiny (≤ ~1001-row) aggregate,
+    *     and `hmin(b)` = min length over all STRICTLY higher buckets is
+    *     one window over that tiny frame (the mixEpochs discipline).
+    *     A point survives iff `n < hmin(b)` (or no higher bucket). The
+    *     prune is EXACT both ways: a pruned point is dominated by the
+    *     higher-bucket witness (`q' > q`, `n' ≤ n`), and if a
+    *     same-bucket dominator was pruned its dominatee is pruned too
+    *     (`n ≥ n_dom ≥ hmin`), so no skyline point is lost and no
+    *     cross-bucket domination remains among survivors.
+    *  2. PER-BUCKET FINISH: among survivors only same-bucket domination
+    *     is left, so a window PARTITIONED BY bucket (order
+    *     `quality_micro DESC, n ASC`, running min of n over the strict
+    *     prefix) finishes exactly: keep iff no preceding survivor in
+    *     the bucket has `n ≤ mine` — distributed across buckets, each
+    *     partition bounded by its bucket's surviving point count.
+    *
+    * Input must be distinct on (quality_micro, n_words) — the entry
+    * groups first, which also makes dominance strict-in-one
+    * well-defined (duplicate docs ride along in `n_docs`). */
+  private[operators] def skyline2d(pts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = pts.withColumn("b", expr(s"quality_micro div $SkyBucket"))
+    val buckets = b.groupBy(col("b")).agg(min(col("n_words")).as("bmin"))
+      .withColumn("hmin", min(col("bmin")).over(
+        Window.partitionBy().orderBy(col("b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("b"), col("hmin"))
+    val surv = b.join(broadcast(buckets), "b")
+      .filter(col("hmin").isNull || col("n_words") < col("hmin"))
+    val w = Window.partitionBy(col("b"))
+      .orderBy(col("quality_micro").desc, col("n_words").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    surv.withColumn("m", min(col("n_words")).over(w))
+      .filter(col("m").isNull || col("n_words") < col("m"))
+      .drop("b", "hmin", "m")
+  }
+
+  /** Pareto-skyline data selection (C36) — the skyline operator
+    * (Börzsönyi et al., ICDE 2001; Spark SQL integration studied in
+    * EDBT 2023) applied to curation: the Pareto frontier of document
+    * quality vs length, i.e. every (quality_micro, n_tok) point such
+    * that no document is simultaneously higher-quality and
+    * shorter-or-equal (or equal-quality and strictly shorter). This is
+    * the budget curve a data-selection pass walks: for any token
+    * budget, the best attainable quality is on this frontier.
+    * All-integer metrics (the C14 exact micro-score), so the DuckDB
+    * NOT-EXISTS dominance oracle replays it bit-for-bit; the
+    * distributed plan is [[skyline2d]]'s grid-prune + per-bucket
+    * finish — the naive formulation is an O(n²) self-join (a
+    * CartesianProduct, PlanAuditSpec-forbidden), this is two linear
+    * passes plus bounded-frame windows. */
+  /** The skyline's input point set — distinct (quality_micro, n_words)
+    * with doc accounting; exposed so the spec can brute-force the
+    * frontier over exactly the frame the operator consumes. */
+  private[operators] def paretoSkylinePoints(documents: DataFrame): DataFrame =
+    qualityMicro(documents)
+      .groupBy(col("quality_micro"), col("n_words"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+
+  def paretoSkyline(documents: DataFrame): DataFrame = {
+    val pts = paretoSkylinePoints(documents)
+    skyline2d(pts)
+      .select(col("quality_micro"), col("n_words").cast("long").as("n_tok"),
+        col("n_docs"), col("min_doc_id"))
+      .orderBy(col("quality_micro").desc)
+  }
+
+  def paretoSkyline(spark: SparkSession, dir: String): DataFrame =
+    paretoSkyline(Tables(spark, dir, "documents"))
+
+  val paretoSkylineSql: String =
+    s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(toks) AS BIGINT) AS n_tok,
+       |    CAST(${Text.sqlWordCount(Text.enStops)} AS BIGINT) AS stop_cnt,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+       |      AS alpha_chars
+       |  FROM t),
+       |q AS (SELECT doc_id, n_tok,
+       |    least(n_tok * 6000, 300000)
+       |      + (350000 * stop_cnt) // n_tok
+       |      + (350000 * alpha_chars) // n_chars AS qm
+       |  FROM s),
+       |p AS (SELECT qm, n_tok, count(*) AS n_docs,
+       |    CAST(min(doc_id) AS BIGINT) AS min_doc_id
+       |  FROM q GROUP BY 1, 2)
+       |SELECT qm AS quality_micro, n_tok, n_docs, min_doc_id FROM p
+       |WHERE NOT EXISTS (SELECT 1 FROM p o
+       |  WHERE o.qm >= p.qm AND o.n_tok <= p.n_tok
+       |    AND (o.qm > p.qm OR o.n_tok < p.n_tok))
+       |ORDER BY quality_micro DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split_leakage_safe" -> (splitLeakageSafeStats(_, _)),
     "pipeline_split_train_val" -> (splitTrainValStats(_, _)),
@@ -855,7 +1158,10 @@ object Pipeline {
     "pipeline_pack_sequences_bpe" -> packSequencesBpe _,
     "pipeline_mix_sources" -> mixSources _,
     "pipeline_mix_epochs" -> mixEpochs _,
-    "pipeline_shard_balance" -> shardBalance _)
+    "pipeline_shard_balance" -> shardBalance _,
+    "pipeline_dsir_weights" -> dsirWeights _,
+    "pipeline_chunk_overlap" -> chunkOverlap _,
+    "pipeline_pareto_skyline" -> paretoSkyline _)
 
   val oracles: Map[String, String] = Map(
     "pipeline_split_leakage_safe" -> splitLeakageSafeSql,
@@ -870,5 +1176,8 @@ object Pipeline {
     "pipeline_pack_sequences_bpe" -> packSequencesBpeSql,
     "pipeline_mix_sources" -> mixSourcesSql,
     "pipeline_mix_epochs" -> mixEpochsSql,
-    "pipeline_shard_balance" -> shardBalanceSql)
+    "pipeline_shard_balance" -> shardBalanceSql,
+    "pipeline_dsir_weights" -> dsirWeightsSql,
+    "pipeline_chunk_overlap" -> chunkOverlapSql,
+    "pipeline_pareto_skyline" -> paretoSkylineSql)
 }

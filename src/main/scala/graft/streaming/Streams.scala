@@ -611,6 +611,43 @@ object Streams {
     * merge law, applied operationally. */
   private val CmsSubShards = 32
 
+  /** Pre-combined token occurrences: the map-side form that actually
+    * crosses the state shuffle. */
+  case class TokC(source: String, item: String, cnt: Long)
+
+  /** Map-side combiner for the streaming sketch: collapse a
+    * partition's token occurrences to per-(source, item) counts before
+    * the state shuffle, so shuffle volume is the partition's DISTINCT
+    * vocabulary, not its occurrence count (on a Zipf feed that is the
+    * difference between shipping every token and shipping the word
+    * list). Memory is BOUNDED: the local map flushes whenever it
+    * reaches `maxEntries` distinct keys — a unique-heavy adversarial
+    * feed degrades gracefully to pass-through instead of growing a
+    * partition-sized map. Exact under any flush pattern because the
+    * downstream fold ADDS counts (the same commutative monoid). */
+  private[streaming] def localCombine(
+      it: Iterator[Tok], maxEntries: Int = 1 << 16): Iterator[TokC] =
+    new Iterator[TokC] {
+      private val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      private var drain: Iterator[TokC] = Iterator.empty
+      private def refill(): Unit = {
+        while (it.hasNext && m.size < maxEntries) {
+          val t = it.next()
+          val k = (t.source, t.item)
+          m.update(k, m.getOrElse(k, 0L) + 1L)
+        }
+        if (m.nonEmpty) {
+          drain = m.toArray.iterator.map { case ((s, i), c) => TokC(s, i, c) }
+          m.clear()
+        }
+      }
+      def hasNext: Boolean = { if (!drain.hasNext) refill(); drain.hasNext }
+      def next(): TokC = {
+        if (!hasNext) throw new NoSuchElementException("empty combiner")
+        drain.next()
+      }
+    }
+
   /** Streaming count-min maintenance (D7) — C30's sketch kept as LIVE
     * `flatMapGroupsWithState` state, the operational form of the
     * persist-per-day / merge-on-query law the batch merge entry (C30b)
@@ -624,7 +661,11 @@ object Streams {
     *
     * Unlike D6's as-of fold, the slice needs NO sort and NO
     * materialization — counters commute, so the iterator streams
-    * through in O(1) state memory (a fixed 192 longs per key). The
+    * through in O(1) state memory (a fixed 192 longs per key).
+    * Commutativity also buys a map-side combine ([[localCombine]]):
+    * each input partition collapses to per-(source, item) counts
+    * before the state shuffle, so wire volume is the partition's
+    * distinct vocabulary, not its occurrence count. The
     * only per-slice allocation is a bucket memo keyed by distinct
     * token (bounded by the slice's vocabulary), which cuts the
     * 3-md5-per-OCCURRENCE cost to 3-md5-per-DISTINCT-token — the
@@ -637,11 +678,12 @@ object Streams {
     import toks.sparkSession.implicits._
     val d = graft.operators.Sketch.CmsDepth
     val w = graft.operators.Sketch.CmsWidth
-    toks.groupByKey(t =>
+    toks.mapPartitions(localCombine(_))
+      .groupByKey(t =>
         (t.source, java.lang.Math.floorMod(t.item.hashCode, CmsSubShards)))
       .flatMapGroupsWithState[CmsState, CmsCell](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: (String, Int), in: Iterator[Tok], state: GroupState[CmsState]) =>
+        (key: (String, Int), in: Iterator[TokC], state: GroupState[CmsState]) =>
           val cells = state.getOption.map(_.cells.clone())
             .getOrElse(new Array[Long](d * w))
           val memo = new java.util.HashMap[String, Array[Int]]()
@@ -653,7 +695,7 @@ object Streams {
               memo.put(t.item, bs)
             }
             var r = 0
-            while (r < d) { cells(r * w + bs(r)) += 1; r += 1 }
+            while (r < d) { cells(r * w + bs(r)) += t.cnt; r += 1 }
           }
           state.update(CmsState(cells))
           (0 until d * w).iterator.filter(cells(_) != 0L).map { i =>

@@ -263,4 +263,152 @@ class PipelineSpec extends SparkSpec {
     assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
       rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
   }
+
+  test("dsir: disjoint-vocabulary fixture separates target from raw exactly") {
+    import spark.implicits._
+    // target (en) vocabulary {alpha, beta}, raw-only (de) {gamma, delta}
+    // — bucket-collision-free in 4096 buckets (verified offline). With
+    // disjoint vocabularies every en feature has c_tgt = c_raw, so each
+    // factor is exactly rawtot/tgttot > 1; every de feature has
+    // c_tgt = 0, so each factor is < 1.
+    val docs = (
+      (1 to 4).map(i => (i.toLong, "alpha beta alpha", "en")) ++
+        (5 to 16).map(i => (i.toLong, "gamma delta gamma", "de"))
+      ).toDF("doc_id", "text", "lang")
+    val rows = Pipeline.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.size === 16)
+    (1 to 4).foreach { i =>
+      val (nf, np, w) = rows(i.toLong)
+      assert(nf === 5L, s"doc $i n_feats") // 3 unigrams + 2 bigrams
+      assert(np === 5L, s"doc $i: every target feature must lean target")
+      assert(w > 1.0, s"doc $i target weight $w must exceed 1")
+    }
+    (5 to 16).foreach { i =>
+      val (nf, np, w) = rows(i.toLong)
+      assert(nf === 5L && np === 0L, s"doc $i: no raw-only feature leans target")
+      assert(w < 1.0 && w > 0.0, s"doc $i raw-only weight $w")
+    }
+    // the weight is a pure function of the corpus, not its layout
+    val re = Pipeline.dsirWeights(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(re === rows, "partition invariance (bit-exact doubles)")
+  }
+
+  test("dsir on the corpus: feature accounting laws hold for every doc") {
+    val d = graft.Tables(spark, dir, "documents")
+    val n = d.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Pipeline.dsirWeights(d).collect()
+    assert(rows.length === n.size)
+    rows.foreach { r =>
+      val (id, nf, np, w) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nf === 2 * n(id) - 1, s"doc $id: words + bigrams")
+      assert(np >= 0 && np <= nf, s"doc $id: n_pos in range")
+      assert(w > 0.0 && !w.isInfinite && !w.isNaN, s"doc $id weight $w")
+    }
+  }
+
+  /** Independent chunker: the spec's own window/stride/md5 chain. */
+  private def chunksOf(text: String): (Long, Long, Long, String) = {
+    val toks = text.split(" ", -1)
+    val n = toks.length
+    val W = 64; val S = 48
+    val nc = if (n <= W) 1 else 1 + ((n - W + S - 1) / S)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val parts = (0 until nc)
+      .map(i => toks.slice(i * S, math.min(i * S + W, n)).mkString(" "))
+    val sumTok = (0 until nc).map(i => math.min(W, n - i * S).toLong).sum
+    (n.toLong, nc.toLong, sumTok, hex(parts.map(hex).mkString("")))
+  }
+
+  test("chunking: window/stride arithmetic and the md5 chain on boundary lengths") {
+    import spark.implicits._
+    val lens = Seq(1, 63, 64, 65, 112, 113, 160)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      ((i + 1).toLong, (1 to n).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Pipeline.chunkOverlap(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val text = (1 to n).map(j => s"t$j").mkString(" ")
+      assert(got((i + 1).toLong) === chunksOf(text), s"len $n")
+    }
+    // expected chunk counts at the boundaries
+    assert(lens.indices.map(i => got((i + 1).toLong)._2) ===
+      Seq(1L, 1L, 1L, 2L, 2L, 3L, 3L))
+    // the overlap law: with W=64, S=48 every 17-token span fits whole
+    // inside some chunk (pure arithmetic over all lengths we'd ever see)
+    for (n <- 17 to 300; s <- 1 to n - 16) {
+      val nc = if (n <= 64) 1 else 1 + ((n - 64 + 47) / 48)
+      assert((0 until nc).exists(i => i * 48 + 1 <= s && s + 16 <= i * 48 + 64),
+        s"span [$s, ${s + 16}] of a $n-token doc straddles every chunk")
+    }
+  }
+
+  /** O(n²) reference skyline: maximize q, minimize n, over distinct points. */
+  private def bruteSkyline(pts: Seq[(Long, Long)]): Set[(Long, Long)] =
+    pts.filter { case (q, n) =>
+      !pts.exists { case (q2, n2) =>
+        q2 >= q && n2 <= n && (q2 > q || n2 < n)
+      }
+    }.toSet
+
+  test("skyline2d equals the O(n^2) brute force on adversarial point sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "anti-chain diagonal" -> (1 to 50).map(i => (i * 1000L, i.toLong)),
+      "single chain (one survivor)" -> (1 to 50).map(i => (i * 1000L, 100L - i)),
+      "all same quality" -> (1 to 30).map(i => (7777L, i.toLong)),
+      "all same length" -> (1 to 30).map(i => (i * 313L, 9L)),
+      "one bucket only" -> (1 to 40).map(i => (500L + i, (i * 7 % 40).toLong)),
+      "random 500" -> Seq.fill(500)((rnd.nextInt(1000000).toLong,
+        rnd.nextInt(200).toLong + 1)).distinct
+    )
+    cases.foreach { case (name, pts) =>
+      val df = pts.toDF("quality_micro", "n_words")
+        .withColumn("n_docs", lit(1L))
+        .withColumn("min_doc_id", col("quality_micro"))
+      val got = Pipeline.skyline2d(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === bruteSkyline(pts), s"case: $name")
+    }
+  }
+
+  test("pareto skyline on the corpus: sound, complete, and layout-invariant") {
+    val d = graft.Tables(spark, dir, "documents")
+    val sky = Pipeline.paretoSkyline(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force the frontier over ALL distinct corpus points, taken
+    // from the entry's own upstream score frame
+    val qn = Pipeline.paretoSkylinePoints(d)
+      .select(col("quality_micro"), col("n_words")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sky === bruteSkyline(qn.distinct), "frontier differs from brute force")
+    assert(sky.nonEmpty && sky.size < qn.distinct.size, "frontier is a proper subset")
+    val re = Pipeline.paretoSkyline(d.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re === sky, "layout invariance")
+  }
+
+  test("chunking differential: every corpus doc matches the independent chunker") {
+    val d = graft.Tables(spark, dir, "documents")
+    val texts = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Pipeline.chunkOverlap(d).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+        === chunksOf(texts(id)), s"doc $id")
+    }
+  }
 }

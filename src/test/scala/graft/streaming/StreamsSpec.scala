@@ -463,4 +463,22 @@ class StreamsSpec extends SparkSpec {
       assert(aFinal((r, b)) >= 3L, s"cell ($r,$b) lost cross-batch counts")
     }
   }
+
+  test("D7 map-side combiner conserves per-key counts under any flush cap") {
+    import graft.streaming.Streams.Tok
+    val toks = Seq(Tok("a", "x"), Tok("a", "y"), Tok("a", "x"), Tok("b", "x"),
+      Tok("a", "x"), Tok("b", "y"), Tok("a", "y"))
+    val expect = Map(("a", "x") -> 3L, ("a", "y") -> 2L,
+      ("b", "x") -> 1L, ("b", "y") -> 1L)
+    for (cap <- Seq(1, 2, 3, 100)) {
+      val out = Streams.localCombine(toks.iterator, cap).toSeq
+      val agg = out.groupBy(t => (t.source, t.item))
+        .map { case (k, v) => k -> v.map(_.cnt).sum }
+      assert(agg === expect, s"cap $cap loses or invents counts")
+      assert(out.forall(_.cnt >= 1L))
+      // an unbounded cap combines totally: exactly one row per key
+      if (cap == 100) assert(out.size === expect.size)
+    }
+    assert(Streams.localCombine(Iterator.empty, 4).isEmpty)
+  }
 }
