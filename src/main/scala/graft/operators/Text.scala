@@ -620,6 +620,132 @@ object Text {
        |  CAST(sum(score) AS BIGINT) AS sum_score
        |FROM sc GROUP BY source ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- C37
+  /** Number of merge ranks [[bpeLearn]] learns (a real tokenizer run
+    * learns ~32k; 8 keeps the unrolled oracle readable — the plumbing
+    * is rank-count-agnostic). */
+  private[operators] val BpeLearnRanks = 8
+  /** The segmentation delimiter — chr(31), the C11b convention. */
+  private val BD = "\u001f"
+
+  /** Distributed BPE merge-table LEARNING (C37) — the tokenizer
+    *-training step itself (Sennrich et al. 2016), completing the BPE
+    * story: C11b ([[tokensBpe]]) counts tokens under a FIXED merge
+    * table; this operator learns one from the corpus. Classic
+    * word-level BPE: words (lowercased, pure `[a-z]+` — production
+    * lifts to byte-level, which needs no such filter) are reduced to
+    * the vocabulary-with-frequency frame ONCE, each word starts as its
+    * character sequence, and each of [[BpeLearnRanks]] rounds (1)
+    * counts adjacent symbol pairs weighted by word frequency, (2)
+    * picks the most frequent pair — ties broken (count DESC, left ASC,
+    * right ASC), deterministic — and (3) merges it throughout the
+    * vocabulary. Output: one row per learned rank — the merge pair,
+    * its count at selection time, and the corpus token count after
+    * applying merges 1..rank (weighted by word frequency), which pins
+    * the full segmentation, not just the argmax.
+    *
+    * Cross-engine exactness: the segmentation lives in the C11b
+    * chr(31)-delimited string encoding, and a merge round applies
+    * `replace(pat, rep)` THREE nested times in BOTH engines (Spark
+    * `StringReplace` and DuckDB `replace` are the same
+    * leftmost-non-overlapping source-scan). One replace can miss an
+    * occurrence whose leading delimiter the previous match consumed,
+    * but missed occurrences are never consecutive (a miss requires its
+    * predecessor to have MATCHED), so pass 2 — whose replacements
+    * restore the delimiter — reaches the fixed point for left≠right
+    * pairs, and pass 3 is margin; for left==right pairs the
+    * replace-fixpoint is itself the defined (deterministic, shared)
+    * semantics. The spec asserts the fixpoint is reached on the corpus
+    * and on an adversarial same-symbol-run fixture.
+    *
+    * Scale shape: after the one corpus-linear word count, EVERYTHING
+    * is vocabulary-bounded (Heaps' law at 100 TB): each round is one
+    * map-side-combined pair aggregation over the cached vocabulary
+    * frame plus two bounded collects (the 1-row argmax and the 1-row
+    * token total). The driver holds K rows. A production 32k-rank run
+    * amortizes rounds by taking the top-N pairwise-non-interacting
+    * pairs per round — noted, not needed at K=8. */
+  def bpeLearn(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val wc = documents
+      .select(explode(split(lower(col("text")), "[ \t\n\r]+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", concat(lit(BD),
+        regexp_replace(col("w"), "(.)", "$1" + BD)))
+      .select(col("cnt"), col("s"))
+      .persist()
+    try {
+      var cur = wc
+      val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+      for (k <- 1 to BpeLearnRanks) {
+        val best = cur
+          .withColumn("parts", filter(split(col("s"), BD),
+            x => length(x) > 0))
+          .select(col("cnt"), explode(zip_with(
+            slice(col("parts"), lit(1), size(col("parts")) - 1),
+            slice(col("parts"), lit(2), size(col("parts")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("lft"), col("p.r").as("rgt"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("lft"), col("rgt"))
+          .limit(1).collect() // bounded: the 1-row argmax
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        val pat = lit(BD + a + BD + b + BD)
+        val rep = lit(BD + a + b + BD)
+        cur = cur.withColumn("s",
+          replace(replace(replace(col("s"), pat, rep), pat, rep), pat, rep))
+        val toks = cur.agg(sum(col("cnt") *
+            (length(col("s")) - length(replace(col("s"), lit(BD), lit("")))
+              - 1)).cast("long")).collect()(0).getLong(0) // bounded: 1 row
+        out += ((k.toLong, a, b, c, toks))
+      }
+      out.result().toDF("rank", "lft", "rgt", "pair_cnt", "corpus_tokens")
+    } finally wc.unpersist(false)
+  }
+
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame =
+    bpeLearn(docs(spark, dir))
+
+  val bpeLearnSql: String = {
+    val stages = (1 to BpeLearnRanks).map { k =>
+      val prev = s"s${k - 1}"
+      s"""p$k AS (SELECT parts[i] AS lft, parts[i+1] AS rgt,
+         |    CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, list_filter(string_split(s, chr(31)),
+         |          x -> x <> '') AS parts FROM $prev) t,
+         |    unnest(generate_series(1, len(parts) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT lft, rgt, c FROM p$k
+         |  ORDER BY c DESC, lft, rgt LIMIT 1),
+         |m$k AS (SELECT chr(31)||lft||chr(31)||rgt||chr(31) AS pat,
+         |    chr(31)||lft||rgt||chr(31) AS rep FROM b$k),
+         |s$k AS MATERIALIZED (SELECT cnt,
+         |    replace(replace(replace(s, m.pat, m.rep), m.pat, m.rep),
+         |            m.pat, m.rep) AS s
+         |  FROM $prev, m$k m),
+         |t$k AS (SELECT CAST(sum(cnt * (length(s)
+         |    - length(replace(s, chr(31), '')) - 1)) AS BIGINT) AS ct
+         |  FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BpeLearnRanks).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, lft, rgt, c AS pair_cnt,
+         |  (SELECT ct FROM t$k) AS corpus_tokens FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT
+       |    unnest(string_split_regex(lower(text), '[ \\t\\n\\r]+')) AS w
+       |  FROM documents),
+       |wc AS (SELECT w, count(*) AS cnt FROM w0
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT cnt,
+       |    chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS s
+       |  FROM wc),
+       |$stages
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> langId _,
     "text_quality" -> quality _,
@@ -631,7 +757,8 @@ object Text {
     "text_pii" -> (pii(_, _)),
     "text_bigram_lm" -> (bigramLm(_, _)),
     "text_tokens_bpe" -> tokensBpe _,
-    "text_quality_model" -> qualityModel _)
+    "text_quality_model" -> qualityModel _,
+    "text_bpe_learn" -> bpeLearn _)
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> langIdSql,
@@ -644,5 +771,6 @@ object Text {
     "text_pii" -> piiSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_tokens_bpe" -> tokensBpeSql,
-    "text_quality_model" -> qualityModelSql)
+    "text_quality_model" -> qualityModelSql,
+    "text_bpe_learn" -> bpeLearnSql)
 }

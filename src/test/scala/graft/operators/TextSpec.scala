@@ -400,4 +400,89 @@ class TextSpec extends SparkSpec {
       .reduce((x, y) => (x._1 + y._1, x._2 + y._2))
     assert(keep > 0 && keep < docs, s"degenerate classifier: $keep/$docs")
   }
+
+  // ------------------------------------------------------ C37 bpe_learn
+  private val BpeD = "\u001f"
+
+  /** Independent driver-side BPE learner with the operator's exact
+    * semantics: java String.replace is the same leftmost-non-overlap
+    * source scan both engines use, applied three nested times per
+    * rank. Returns the merge rows plus, per rank, whether the third
+    * replace had already reached the fixpoint. */
+  private def refBpeLearn(texts: Seq[String], ranks: Int)
+      : (Seq[(Long, String, String, Long, Long)], Seq[Boolean]) = {
+    val wc = texts.flatMap(_.toLowerCase.split("[ \t\n\r]+"))
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var segs: Seq[(Long, String)] = wc.toSeq.map { case (w, c) =>
+      (c, BpeD + w.flatMap(ch => s"$ch$BpeD"))
+    }
+    val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+    val fixed = Seq.newBuilder[Boolean]
+    for (k <- 1 to ranks) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (c, s) =>
+        val parts = s.split(BpeD).filter(_.nonEmpty)
+        parts.sliding(2).foreach {
+          case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val ((a, b), c) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.head
+      val pat = BpeD + a + BpeD + b + BpeD
+      val rep = BpeD + a + b + BpeD
+      segs = segs.map { case (cnt, s) =>
+        (cnt, s.replace(pat, rep).replace(pat, rep).replace(pat, rep))
+      }
+      fixed += segs.forall { case (_, s) => s.replace(pat, rep) == s }
+      val toks = segs.map { case (cnt, s) =>
+        cnt * (s.count(_ == BpeD.head) - 1)
+      }.sum
+      out += ((k.toLong, a, b, c, toks))
+    }
+    (out.result(), fixed.result())
+  }
+
+  test("bpe learn: corpus differential vs the independent learner; replace x3 is a fixpoint") {
+    val texts = graft.Tables(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val (want, fixed) = refBpeLearn(texts, Text.BpeLearnRanks)
+    assert(fixed.forall(identity), "a rank needed a 4th replace pass")
+    val got = Text.bpeLearn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === want)
+    // merge-count monotonicity: a merge only destroys occurrences of
+    // other pairs and creates pairs no more frequent than itself
+    assert(got.map(_._4).sliding(2).forall {
+      case Seq(x, y) => x >= y; case _ => true
+    }, "pair counts must be non-increasing over ranks")
+    assert(got.map(_._5).sliding(2).forall {
+      case Seq(x, y) => x > y; case _ => true
+    }, "each merge must strictly shrink the corpus token count")
+  }
+
+  test("bpe learn: same-symbol runs (left==right) match the reference and reach fixpoint") {
+    import spark.implicits._
+    // (a,a) is the top pair; its replace-fixpoint on odd runs is the
+    // DEFINED semantics — the reference applies the identical primitive
+    val docs = Seq((1L, "aaaaaa aaaa aa b"), (2L, "aaaaa aaa a ba"),
+      (3L, "aa aaaa baa ab")).toDF("doc_id", "text")
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val (want, fixed) = refBpeLearn(texts, Text.BpeLearnRanks)
+    assert(fixed.forall(identity), "adversarial run needed a 4th pass")
+    assert(want.head._2 == "a" && want.head._3 == "a", "fixture must force (a,a)")
+    val got = Text.bpeLearn(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
+  test("bpe learn: partition invariance") {
+    val d = graft.Tables(spark, dir, "documents")
+    val a = Text.bpeLearn(d).collect().map(_.toSeq).toSeq
+    val b = Text.bpeLearn(d.repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
 }

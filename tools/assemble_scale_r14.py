@@ -48,17 +48,24 @@ total100x = blocks["sf10"]["value"] / blocks["sf0_1"]["value"]
 out = {
     "metric": "scale_curve_r14",
     "description": (
-        "Full 95-entry suite (final r14 build: engine-neutral HTTP "
+        "Full 95-entry suite (the second-window r14 build, frozen "
+        "classes across ALL FOUR points: engine-neutral HTTP "
         "wire contract — SQL-text filters + JSON agg spec, endpoint "
         "failover, nonce-scoped cancel — plus the count-min top-k "
-        "sketch pair, span-rewrite dedup, CUBE/GROUPING SETS, epoch mixing, and the hashed-feature quality model) at "
+        "sketch pair, span-rewrite dedup, CUBE/GROUPING SETS, epoch "
+        "mixing, and the hashed-feature quality model) at "
         "sf0.1 and 10x/30x/100x scaled copies (tools/gen_scaled_sf.py),"
         " same machine, local[32], no concurrent load, ps-checked idle "
-        "before the chain. sf0.1: interleaved median-of-3 (also the "
-        "tracked BENCH_local.json). sf1/sf3/sf10: WARM mode — per "
-        "entry one untimed cold pre-rep ('first') then timed "
-        "back-to-back reps. failed=0 required at every point by the "
-        "assembler."
+        "before each point. The five entries added AFTER the freeze "
+        "(stream_topk_sketch, pipeline_shard_balance, "
+        "pipeline_dsir_weights, pipeline_chunk_overlap, "
+        "pipeline_pareto_skyline) are NOT in the chain; their scale "
+        "evidence is the solo windows in bench_points_r14/. "
+        "sf0.1: interleaved median-of-3 (also the "
+        "tracked BENCH_local.json at its commit). sf1/sf3/sf10: WARM "
+        "mode — per entry one untimed cold pre-rep ('first') then "
+        "timed back-to-back reps. failed=0 required at every point by "
+        "the assembler."
     ),
     "generated_round": 14,
     "sf0_1": blocks["sf0_1"],
