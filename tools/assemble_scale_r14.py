@@ -65,7 +65,12 @@ out = {
         "tracked BENCH_local.json at its commit). sf1/sf3/sf10: WARM "
         "mode — per entry one untimed cold pre-rep ('first') then "
         "timed back-to-back reps. failed=0 required at every point by "
-        "the assembler."
+        "the assembler. The sf3 point is a RE-RUN: the first sf3 "
+        "window (bench_points_r14/bench_r14_sf3_dirty.json, 961.8s) "
+        "ran concurrent with test/build load in an earlier session — "
+        "q1 at 41.5s vs 2.4s clean and sf3>sf10 on several entries "
+        "gave it away — so it was re-measured ps-checked idle on the "
+        "same frozen classes (759.6s)."
     ),
     "generated_round": 14,
     "sf0_1": blocks["sf0_1"],
