@@ -65,6 +65,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"text_rarity merge-joins:\n$p")
   }
 
+  test("chunk_overlap plans zero exchanges (pure per-row map)") {
+    // chunk ids, slices, and the md5 chain are all computed inside the
+    // row via transform/sequence — an Exchange anywhere means the
+    // chunker stopped being the free map-only pass it is at 100 TB
+    val p = SparkEntry.queries("pipeline_chunk_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunk_overlap shuffles:\n$p")
+  }
+
+  test("dsir scoring pass is shuffle-free (models ride as literals)") {
+    // the bucket-count models are collected (bounded, ≤4096 rows) and
+    // re-broadcast as literal arrays during construction; the RETURNED
+    // scoring frame must then be a pure per-row fold — an Exchange in
+    // it means the model went back through a join and the two-pass
+    // zero-corpus-shuffle design regressed
+    val p = SparkEntry.queries("pipeline_dsir_weights")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"dsir scoring shuffles:\n$p")
+  }
+
+  test("skyline joins only against the broadcast bucket frame") {
+    // skyline2d's grid prune joins the corpus points to the ≤~1001-row
+    // bucket-minimum frame, which is explicitly broadcast — a
+    // SortMergeJoin would mean the corpus got sorted against a frame
+    // three orders of magnitude smaller (and the blanket sweep above
+    // already proves it never degenerates to the O(n²) cartesian)
+    val p = SparkEntry.queries("pipeline_pareto_skyline")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"skyline shuffle-joins:\n$p")
+  }
+
   test("q7's rank filter plans a partial top-k below the shuffle (WindowGroupLimit)") {
     // the rn<=3 predicate must sit directly above the rank Window so
     // InferWindowGroupLimit fires — measured 3.7x at sf1; at cluster
