@@ -1041,6 +1041,135 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- C38
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmSeed = 10L
+  /** Micro-unit quantization + positive shift: coordinates become
+    * exact longs in [0, 8e6] (embeddings live in [-4, 4]; shifting
+    * every coordinate by the same constant changes no distance and
+    * commutes with the floor-div mean, since n·shift divides
+    * exactly), so every iteration is INTEGER arithmetic — no float
+    * summation order to disagree on. */
+  private val KmShift = 4000000L
+
+  /** Distributed k-means codebook TRAINING (C38, Lloyd 1982) — the
+    * trainer the IVF/PQ family's scaladocs defer to ("production
+    * trains codebooks offline"): C37 learns the tokenizer, this learns
+    * the vector codebook. [[KmIters]] Lloyd rounds over the quantized
+    * corpus: assign each vector to its nearest centroid (exact integer
+    * L2 via the zip_with/aggregate fold; ties (distance, cid)), then
+    * recompute each centroid as the element-wise floor-div mean.
+    * Output: per (iter, cid) the cluster size and an md5 over the
+    * comma-joined centroid coordinates — 24 rows that pin every
+    * iteration's full centroid set exactly, so any divergent
+    * assignment anywhere shows up cross-engine.
+    *
+    * Exactness: quantization (floor of an exactly-rounded double
+    * product, then the [[KmShift]] lift) makes every distance and
+    * every mean a pure long computation — distances bounded by
+    * 64·(8e6)² ≈ 4·10¹⁵, centroid sums by n·8e6 — and floor-div on
+    * non-negative longs is the same truncation in Spark (`div`) and
+    * DuckDB (`//`). Init = the quantized vectors with vec_id in
+    * [KmSeed, KmSeed+KmK) — the deterministic-sample convention of
+    * [[ivf]]/[[pq]]; production swaps in k-means|| (Bahmani 2012)
+    * seeding, which changes only this frame. An emptied cluster
+    * simply drops out of subsequent rounds (both engines agree by the
+    * same arithmetic).
+    *
+    * Scale shape: per round ONE broadcast-join corpus scan into a
+    * map-side-combined (cid, dim) sum — k·d = 512 rows cross the wire
+    * per partition — and the k-row centroid table rides back as the
+    * next broadcast; the driver holds k·(d+1) longs per round plus
+    * the 24 output rows. T rounds = T linear passes, no corpus
+    * shuffle ever. */
+  def kmeansTrain(embeddings: DataFrame): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val q = corpus(embeddings)
+      .select(col("vec_id"), transform(col("e"),
+        x => (floor(x * 1000000.0) + KmShift).cast("long")).as("v"))
+      .persist()
+    try {
+      var cents: Seq[(Long, Seq[Long])] = q
+        .filter(col("vec_id") >= KmSeed && col("vec_id") < KmSeed + KmK)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
+        .sortBy(_._1) // bounded: k rows
+      val out = Seq.newBuilder[(Long, Long, Long, String)]
+      for (t <- 1 to KmIters) {
+        val cdf = broadcast(cents.toDF("cid", "cv"))
+        val assigned = q.crossJoin(cdf)
+          .select(col("vec_id"), col("v"), col("cid"),
+            aggregate(zip_with(col("v"), col("cv"),
+              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+              .as("d"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d"), col("cid"))).as("m"),
+            first(col("v")).as("v"))
+          .select(col("v"), col("m.cid").as("cid"))
+        val upd = assigned
+          .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy(col("cid"), col("d"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .groupBy(col("cid"))
+          .agg(max(col("n")).as("n"),
+            array_sort(collect_list(struct(col("d"),
+              expr("s div n").as("c")))).as("a"))
+          .select(col("cid"), col("n"),
+            expr("transform(a, p -> p.c)").as("cv"))
+          .collect() // bounded: ≤ k rows
+          .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+          .sortBy(_._1)
+        cents = upd.map { case (cid, _, cv) => cid -> cv }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        upd.foreach { case (cid, n, cv) =>
+          val hex = md.digest(cv.mkString(",").getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          out += ((t.toLong, cid, n, hex))
+        }
+      }
+      out.result().toDF("iter", "cid", "n_vecs", "centroid_md5")
+    } finally q.unpersist(false)
+  }
+
+  def kmeansTrain(spark: SparkSession, dir: String): DataFrame =
+    kmeansTrain(Tables(spark, dir, "embeddings"))
+
+  val kmeansTrainSql: String = {
+    val stages = (1 to KmIters).map { t =>
+      s"""a$t AS MATERIALIZED (SELECT vec_id, v, cid FROM (
+         |  SELECT x.vec_id, x.v, x.cid,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY x.dist, x.cid) AS rn
+         |  FROM (SELECT v.vec_id, v.v, c.cid,
+         |      list_sum(list_transform(generate_series(1, $Dim),
+         |        i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i]))) AS dist
+         |    FROM v, c${t - 1} c) x) WHERE rn = 1),
+         |e$t AS (SELECT cid, d, CAST(sum(v[d]) AS BIGINT) AS s,
+         |    count(*) AS n
+         |  FROM a$t, unnest(generate_series(1, $Dim)) AS u(d)
+         |  GROUP BY 1, 2),
+         |c$t AS MATERIALIZED (SELECT cid, CAST(max(n) AS BIGINT) AS n,
+         |    list(s // n ORDER BY d) AS cv FROM e$t GROUP BY cid)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to KmIters).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS iter, cid, n AS n_vecs,
+         |  md5(array_to_string(list_transform(cv,
+         |    x -> CAST(x AS VARCHAR)), ',')) AS centroid_md5 FROM c$t"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+       |        + $KmShift) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM v
+       |  WHERE vec_id >= $KmSeed AND vec_id < ${KmSeed + KmK}),
+       |$stages
+       |$unions
+       |ORDER BY iter, cid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_mips_ivf" -> (mipsIvf(_, _)),
     "ann_bruteforce" -> bruteforce _,
@@ -1050,7 +1179,8 @@ object Ann {
     "ann_ivfpq" -> ivfPq _,
     "ann_ivfpq_residual" -> ivfPqResidual _,
     "ann_ivfpq_perlist" -> ivfPqPerList _,
-    "ann_recall_curve" -> recallCurve _)
+    "ann_recall_curve" -> recallCurve _,
+    "ann_kmeans_train" -> kmeansTrain _)
 
   val oracles: Map[String, String] = Map(
     "ann_mips_ivf" -> mipsIvfSql,
@@ -1061,5 +1191,6 @@ object Ann {
     "ann_ivfpq" -> ivfPqSql,
     "ann_ivfpq_residual" -> ivfPqResidualSql,
     "ann_ivfpq_perlist" -> ivfPqPerListSql,
-    "ann_recall_curve" -> recallCurveSql)
+    "ann_recall_curve" -> recallCurveSql,
+    "ann_kmeans_train" -> kmeansTrainSql)
 }
