@@ -449,17 +449,99 @@ object AsofJoin {
         (us(col("ts")) - us(col("ts_matched"))).as("gap_us"))
   }
 
+  // --------------------------------------------------------------- C39
+  /** Band width for [[rangeCount]]: 30 minutes, in microseconds. */
+  private val BandUs = 1800L * 1000000L
+
+  /** Distributed band-join COUNT (C39) — for every event, the number
+    * of events (corpus-wide) with `ts' ∈ [ts − W, ts]`, W =
+    * [[BandUs]]: the count-aggregate form of the range/band self-join
+    * (the other join Spark's zoo lacks beside as-of; the
+    * pair-PRODUCING form is the same chunk machinery with an
+    * equi-join on chunk + containment filter, it just multiplies
+    * output rows). Event analytics reads this as "activity in the
+    * trailing window at each event" — concurrency, burst and rate
+    * metrics.
+    *
+    * The naive formulations do not scale: the correlated count probes
+    * per row, the band θ-join is a cross product, and the direct
+    * window form — `count(*) OVER (ORDER BY ts RANGE W PRECEDING)`,
+    * which IS the semantics and IS the oracle — plans one global
+    * single-partition sort. The distributed plan exploits chunk =
+    * band width, so every band spans AT MOST TWO chunks and splits
+    * exactly:
+    *
+    *   count = |chunk(ts) ∩ (-∞, ts]| + |chunk(ts)−1 ∩ [ts − W, ∞)|
+    *
+    *  1. in-chunk prefix: `count(*)` over a window PARTITIONED BY
+    *     chunk, ordered by ts, RANGE-framed to current row
+    *     (peers-inclusive — duplicates of ts all count, matching the
+    *     oracle's RANGE frame) — distributed across chunks.
+    *  2. prev-chunk suffix: each event drops a QUERY row at `ts − W`
+    *     into chunk−1; one more per-chunk window over the
+    *     marker+query union (queries sort BEFORE markers at equal
+    *     position, so the closed `ts − W` bound counts the tie) gives
+    *     markers-strictly-before; suffix = chunk total − that, chunk
+    *     totals riding on a broadcast ≤|timespan/W|-row frame.
+    *
+    * Two chunk-partitioned exchanges, one tiny broadcast, zero
+    * data×data joins (the query rows carry their event's in-chunk
+    * prefix, so nothing joins back on event_id). A single hot 30-min
+    * chunk (a burst) is the C24e straggler class — the same sub-chunk
+    * treatment applies (split the hot chunk, one more carry level);
+    * not wired here because the band is what bounds the chunk. */
+  def rangeCount(events: DataFrame, bandUs: Long = BandUs): DataFrame = {
+    require(bandUs > 0, s"bandUs must be positive, got $bandUs")
+    val U = bandUs
+    val pts = events.select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("s"))
+      .withColumn("c", expr(s"s div $U"))
+    val wIn = Window.partitionBy(col("c")).orderBy(col("s"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIn = pts.withColumn("n_in", count(lit(1)).over(wIn))
+    val markers = withIn.select(col("c"), col("s").as("pos"),
+      lit(1L).as("m"), lit(null).cast("long").as("event_id"),
+      lit(null).cast("long").as("n_in"))
+    val queries = withIn.select((col("c") - 1).as("c"),
+      (col("s") - U).as("pos"), lit(0L).as("m"), col("event_id"),
+      col("n_in"))
+    val wSweep = Window.partitionBy(col("c"))
+      .orderBy(col("pos"), col("m"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = pts.groupBy(col("c")).agg(count(lit(1)).as("tot"))
+    markers.unionByName(queries)
+      .withColumn("pfx", coalesce(sum(col("m")).over(wSweep), lit(0L)))
+      .filter(col("event_id").isNotNull)
+      .join(broadcast(tot), Seq("c"), "left")
+      .select(col("event_id"),
+        (col("n_in") + coalesce(col("tot"), lit(0L)) - col("pfx"))
+          .as("n_band"))
+  }
+
+  def rangeCount(spark: SparkSession, dir: String): DataFrame =
+    rangeCount(Tables(spark, dir, "events"))
+
+  /** The oracle IS the naive global RANGE window — the semantics in
+    * one line, single-partition and fine in DuckDB. */
+  val rangeCountSql: String =
+    s"""SELECT event_id,
+       |  count(*) OVER (ORDER BY epoch_us(ts)
+       |    RANGE BETWEEN $BandUs PRECEDING AND CURRENT ROW) AS n_band
+       |FROM events""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> (joinAsof(_, _)),
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
     "join_asof_forward" -> (joinAsofForward(_, _)),
     "join_asof_nearest" -> (joinAsofNearest(_, _)),
-    "join_asof_chunked" -> (joinAsofChunked(_, _)))
+    "join_asof_chunked" -> (joinAsofChunked(_, _)),
+    "join_range_count" -> (rangeCount(_, _)))
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
     "join_asof_tolerance" -> joinAsofToleranceSql,
     "join_asof_forward" -> joinAsofForwardSql,
     "join_asof_nearest" -> joinAsofNearestSql,
-    "join_asof_chunked" -> joinAsofSql)
+    "join_asof_chunked" -> joinAsofSql,
+    "join_range_count" -> rangeCountSql)
 }

@@ -282,4 +282,76 @@ class AsofJoinSpec extends SparkSpec {
     assert(chunked.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(chunked).count() === 0)
   }
+
+  // ------------------------------------------- C39 band-join range count
+  private val Band = 30L * 60 * 1000000 // 30 min, matching the entry
+
+  test("range count: known values across a chunk boundary") {
+    // chunks are 30-min aligned from the epoch; pick a base ON a chunk
+    // boundary so windows deliberately straddle it
+    val base = 1700000000000L - (1700000000000L % 1800000L) // ms, aligned
+    def ev(id: Long, offSec: Long) =
+      (id, new Timestamp(base + offSec * 1000L))
+    val events = Seq(
+      ev(1, 0),      // 10:00:00 — alone in its trailing 30m: {1}
+      ev(2, 900),    // +15:00 — window [−15m, +15m] sees {1,2}
+      ev(3, 1799),   // +29:59 — sees {1,2,3} (1 is 29:59 old — inside)
+      ev(4, 1800),   // +30:00 — NEXT chunk; closed bound: {1,2,3,4}
+      ev(5, 1801),   // +30:01 — 1 aged out (30:01 > 30m): {2,3,4,5}
+      ev(6, 5400)    // +90:00 — everything older than 30m: {6}
+    ).toDF("event_id", "ts")
+    val out = AsofJoin.rangeCount(events, Band)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 4L, 6L -> 1L))
+  }
+
+  test("range count: duplicate timestamps all count (peers-inclusive)") {
+    val t0 = new Timestamp(1700000000000L)
+    val events = Seq((1L, t0), (2L, t0), (3L, t0)).toDF("event_id", "ts")
+    val out = AsofJoin.rangeCount(events, Band)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("range count: empty trailing chunks and gaps do not miscount") {
+    // two events many empty chunks apart: each sees only itself, and the
+    // query row dropped into the (event-less) previous chunk must resolve
+    // tot=0 through the left join
+    val events = Seq(
+      (1L, new Timestamp(1700000000000L)),
+      (2L, new Timestamp(1700000000000L + 10L * 3600 * 1000))
+    ).toDF("event_id", "ts")
+    val out = AsofJoin.rangeCount(events, Band)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("range count equals the global RANGE window at sf0.001") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val fast = AsofJoin.rangeCount(events)
+    // the semantics in one line — the single-partition plan the operator
+    // exists to avoid (fine at spec scale)
+    val w = Window.orderBy(col("s")).rangeBetween(-Band, 0)
+    val naive = events
+      .select(col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("s"))
+      .withColumn("n_band", count(lit(1)).over(w))
+      .select("event_id", "n_band")
+    assert(fast.count() === events.count())
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+    // non-vacuous: some events have trailing company, some don't
+    assert(fast.filter($"n_band" > 1).count() > 0)
+  }
+
+  test("range count plans no single-partition stage") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val plan = AsofJoin.rangeCount(events)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global (single-partition) stage in plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
