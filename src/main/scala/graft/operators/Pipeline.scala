@@ -1145,6 +1145,142 @@ object Pipeline {
        |    AND (o.qm > p.qm OR o.n_tok < p.n_tok))
        |ORDER BY quality_micro DESC""".stripMargin
 
+  // ------------------------------------------- exact stratified sampling
+  /** Digest modulus for the kept-set membership sum (prime, < 2³¹ so
+    * the per-source sum of ≤2³¹-sized residues stays long-safe up to
+    * ~2³² kept docs per source). */
+  private val DigestMod = 1000000007L
+
+  /** Bucket width for the selection histogram: h < 16¹⁵ = 2⁶⁰, so
+    * 2⁵²-wide buckets give 256 of them. */
+  private val SampleBucket = 1L << 52
+
+  /** EXACT k-smallest-by-h selection per stratum WITHOUT a full
+    * per-stratum sort — the distributed selection kernel of
+    * [[sampleStratified]], factored so the spec can drive handcrafted
+    * h layouts onto exact bucket edges.
+    *
+    * `d` carries (source, doc_id, h); `t` carries (source, k), k ≥ 0.
+    * Returns the kept (source, doc_id, h) rows: for each source, the k
+    * smallest by (h, doc_id) — the doc_id tiebreak makes the order
+    * total, so the keep-set is unique.
+    *
+    * Plan: one (source, bucket) histogram (≤ 256·|sources| rows), a
+    * cumulative sweep over that TINY frame (window over sources ×
+    * ≤256 rows — never data), broadcast back as two per-source
+    * thresholds. Bucket counts are monotone-cumulative in b, so
+    * "fully kept" is a single `b ≤ b_full` scan predicate; only the
+    * ONE boundary bucket per source (expected |stratum|/256 rows)
+    * pays a row_number sort, and that window runs on the
+    * already-filtered boundary subset. Compare the naive plan — a full
+    * row_number over every stratum — which serializes each stratum
+    * through one task's sort; here a 100 TB hot stratum costs a scan
+    * plus a 1/256-sized sort. (Same refine-the-one-bucket shape as
+    * C29c's exact quantile, applied to selection.) */
+  private[operators] def stratifiedSelect(d: DataFrame, t: DataFrame,
+      bucketWidth: Long = SampleBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val hb = d.withColumn("b", expr(s"h div $bucketWidth"))
+    val cum = hb.groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("source")).orderBy(col("b"))))
+      .join(t.select(col("source"), col("k")), Seq("source"))
+    // monotone cum ⇒ full buckets form a prefix: b ≤ b_full keeps all
+    val full = cum.filter(col("cum") <= col("k"))
+      .groupBy(col("source")).agg(max(col("b")).as("b_full"))
+    // at most ONE straddling bucket per source; r_star = how many of
+    // its (h, doc_id)-smallest rows complete the count to k
+    val bnd = cum
+      .filter(col("cum") - col("cnt") < col("k") && col("cum") > col("k"))
+      .select(col("source"), col("b").as("b_bnd"),
+        (col("k") - (col("cum") - col("cnt"))).as("r_star"))
+    val tagged = hb
+      .join(broadcast(full), Seq("source"), "left")
+      .join(broadcast(bnd), Seq("source"), "left")
+    val keptFull = tagged
+      .filter(col("b_full").isNotNull && col("b") <= col("b_full"))
+    val wB = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val keptBnd = tagged
+      .filter(col("b_bnd").isNotNull && col("b") === col("b_bnd"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= col("r_star"))
+    keptFull.select(col("source"), col("doc_id"), col("h"))
+      .unionByName(keptBnd.select(col("source"), col("doc_id"), col("h")))
+  }
+
+  /** EXACT-count stratified sampling (C40) — the per-source
+    * downsampling every corpus-mixing recipe starts from ("web at 25%,
+    * books at 100%"), with the count guarantee Bernoulli sampling
+    * (Spark `sampleBy`, Vitter 1985 rejection variants) cannot give:
+    * each source keeps EXACTLY k_s = rate_s · n_s (floor) documents,
+    * selected uniformly (by md5 rank — deterministic, replayable, and
+    * independent of layout) rather than "first k by id"
+    * ([[sampleCap]]'s cheaper, biased cousin).
+    *
+    * Rates here derive from the source index (src{i} → (i mod 4 + 1)
+    * quarters, exercising 25/50/75/100%); production passes a rate
+    * table. Selection = k_s smallest by (h, doc_id) via
+    * [[stratifiedSelect]] — histogram + one boundary-bucket sort, no
+    * full per-stratum sort, so a hot source never serializes through
+    * one task.
+    *
+    * Output is the per-source audit frame (n_total/n_target/n_kept +
+    * an order-free membership digest: sum of h mod [[DigestMod]] over
+    * kept docs — O(1) aggregation state, collision-improbable);
+    * production materializes the kept rows themselves (the
+    * [[stratifiedSelect]] output joined back to the corpus), same
+    * plan minus the digest. Oracle replays the SAME keep-set with the
+    * naive per-stratum row_number — fine single-node, and the
+    * equality IS the proof the distributed selection picks the
+    * identical k rows. */
+  def sampleStratified(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("source"), col("doc_id"),
+      conv(substring(md5(concat(lit("samp:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val t = d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .withColumn("idx", substring(col("source"), 4, 10).cast("int"))
+      .withColumn("k", expr("((idx % 4) + 1) * n_total div 4"))
+    val kept = stratifiedSelect(d, t)
+    kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("h") % DigestMod).as("digest"))
+      .join(t, Seq("source"), "right")
+      .select(col("source"), col("n_total"), col("k").as("n_target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("digest"), lit(0L)).as("digest"))
+      .orderBy(col("source"))
+  }
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    sampleStratified(Tables(spark, dir, "documents"))
+
+  val sampleStratifiedSql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |t AS (
+       |  SELECT source, count(*) AS n_total,
+       |    ((CAST(substr(source, 4) AS INT) % 4) + 1) * count(*) // 4 AS k
+       |  FROM d GROUP BY source),
+       |r AS (
+       |  SELECT d.source, d.h,
+       |    row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rn
+       |  FROM d),
+       |kept AS (
+       |  SELECT r.source, r.h FROM r JOIN t ON r.source = t.source
+       |  WHERE r.rn <= t.k)
+       |SELECT t.source, t.n_total, t.k AS n_target,
+       |  count(kept.h) AS n_kept,
+       |  coalesce(CAST(sum(kept.h % $DigestMod) AS BIGINT), 0) AS digest
+       |FROM t LEFT JOIN kept ON t.source = kept.source
+       |GROUP BY t.source, t.n_total, t.k
+       |ORDER BY t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split_leakage_safe" -> (splitLeakageSafeStats(_, _)),
     "pipeline_split_train_val" -> (splitTrainValStats(_, _)),
@@ -1161,7 +1297,8 @@ object Pipeline {
     "pipeline_shard_balance" -> shardBalance _,
     "pipeline_dsir_weights" -> dsirWeights _,
     "pipeline_chunk_overlap" -> chunkOverlap _,
-    "pipeline_pareto_skyline" -> paretoSkyline _)
+    "pipeline_pareto_skyline" -> paretoSkyline _,
+    "pipeline_sample_stratified" -> (sampleStratified(_, _)))
 
   val oracles: Map[String, String] = Map(
     "pipeline_split_leakage_safe" -> splitLeakageSafeSql,
@@ -1179,5 +1316,6 @@ object Pipeline {
     "pipeline_shard_balance" -> shardBalanceSql,
     "pipeline_dsir_weights" -> dsirWeightsSql,
     "pipeline_chunk_overlap" -> chunkOverlapSql,
-    "pipeline_pareto_skyline" -> paretoSkylineSql)
+    "pipeline_pareto_skyline" -> paretoSkylineSql,
+    "pipeline_sample_stratified" -> sampleStratifiedSql)
 }

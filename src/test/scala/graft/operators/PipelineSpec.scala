@@ -411,4 +411,86 @@ class PipelineSpec extends SparkSpec {
         === chunksOf(texts(id)), s"doc $id")
     }
   }
+
+  // ------------------------------------- C40 exact stratified sampling
+  private def selectFrame(hs: Seq[(String, Long, Long)]) = {
+    import spark.implicits._
+    hs.toDF("source", "doc_id", "h")
+  }
+  private def kFrame(ks: (String, Long)*) = {
+    import spark.implicits._
+    ks.toSeq.toDF("source", "k")
+  }
+  private def keptSet(d: org.apache.spark.sql.DataFrame,
+      t: org.apache.spark.sql.DataFrame, bw: Long) = {
+    import spark.implicits._
+    Pipeline.stratifiedSelect(d, t, bw)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+  }
+
+  test("stratified select: k inside a bucket, on an edge, zero, and all") {
+    // h = 0..99 with doc_id = h, bucket width 10 ⇒ buckets 0-9 hold
+    // exactly 10 each — every boundary case is addressable
+    val d = selectFrame((0L until 100L).map(i => ("s", i, i)))
+    // k=35: buckets 0-2 full, bucket 3 contributes its 5 smallest
+    assert(keptSet(d, kFrame("s" -> 35L), 10L) ===
+      (0L until 35L).map(("s", _)).toSet)
+    // k=30: exactly a bucket edge — no boundary bucket at all
+    assert(keptSet(d, kFrame("s" -> 30L), 10L) ===
+      (0L until 30L).map(("s", _)).toSet)
+    // k=0: nothing kept; k=100: everything kept (no straddle either way)
+    assert(keptSet(d, kFrame("s" -> 0L), 10L) === Set.empty)
+    assert(keptSet(d, kFrame("s" -> 100L), 10L) ===
+      (0L until 100L).map(("s", _)).toSet)
+  }
+
+  test("stratified select: sparse buckets and multi-source independence") {
+    // source a: h jumps over empty buckets; source b: all in ONE bucket
+    val d = selectFrame(Seq(
+      ("a", 1L, 5L), ("a", 2L, 95L), ("a", 3L, 96L), ("a", 4L, 300L),
+      ("b", 1L, 42L), ("b", 2L, 43L), ("b", 3L, 44L)))
+    val out = keptSet(d, kFrame("a" -> 3L, "b" -> 2L), 10L)
+    assert(out === Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L), ("b", 2L)))
+  }
+
+  test("stratified select: equal h resolves by doc_id inside the boundary") {
+    val d = selectFrame(Seq(
+      ("s", 7L, 11L), ("s", 3L, 11L), ("s", 9L, 11L), ("s", 1L, 2L)))
+    // k=2: h=2 first, then the SMALLEST doc_id among the h=11 tie
+    assert(keptSet(d, kFrame("s" -> 2L), 10L) === Set(("s", 1L), ("s", 3L)))
+  }
+
+  test("stratified select equals the naive per-stratum sort at sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables(spark, dir, "documents")
+    val d = docs.select(col("source"), col("doc_id"),
+      conv(substring(md5(concat(lit("samp:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+    val t = d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .withColumn("k", expr("n_total div 3")) // ragged: boundary everywhere
+    val fast = Pipeline.stratifiedSelect(d, t.select("source", "k"))
+      .select("source", "doc_id")
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val naive = d.withColumn("rn", row_number().over(w))
+      .join(t.select("source", "k"), Seq("source"))
+      .filter(col("rn") <= col("k")).select("source", "doc_id")
+    assert(fast.count() === naive.count())
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+  }
+
+  test("stratified entry: exact counts and rate rule") {
+    val out = Pipeline.sampleStratified(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (src, nTotal, nTarget, nKept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val q = src.drop(3).toInt % 4 + 1
+      assert(nTarget === q * nTotal / 4, src)
+      assert(nKept === nTarget, s"$src: kept != target — selection inexact")
+    }
+    // the rate rule must actually exercise distinct fractions
+    assert(out.map(r => r.getLong(2) * 4 / r.getLong(1)).distinct.length > 1)
+  }
 }
