@@ -746,7 +746,67 @@ object Text {
        |ORDER BY rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- C41
+  /** Terms kept per document. */
+  private val TfidfTopK = 3
+
+  /** Integer-exact TF-IDF keyword extraction (C41) — the top
+    * [[TfidfTopK]] terms per document by corpus-weighted
+    * distinctiveness (Spärck Jones 1972), the feature behind keyword
+    * tagging, topic clustering seeds, and boilerplate-vs-content
+    * separation in curation pipelines.
+    *
+    * Cross-engine exactness forbids the transcendental log in
+    * `tf·log(N/df)`, so the score is the UNDAMPED inverse-df weight
+    * `score_ppm = (tf · 10⁶) div df` — integer floor division on both
+    * engines, same ranking family (monotone ↑tf, ↓df), with raw `tf`
+    * and `df` emitted alongside so any damped variant is a consumer-
+    * side map over this output. Ties (same score within a doc) break
+    * by term text — total order, because (doc, term) is unique after
+    * the tf aggregation.
+    *
+    * Plan shape (the canonical corpus-statistic pair, like
+    * [[rarity]]): explode → map-side-combinable (doc, term) tf agg;
+    * df = count over the tf frame per term — VOCABULARY-sized
+    * (Heaps-bounded at 100 TB), so AQE broadcasts it into the
+    * score join; the final per-doc top-k window partitions by doc_id
+    * with each partition bounded by the doc's own distinct-term
+    * count. No corpus×corpus join anywhere. */
+  def tfidfTopk(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    tf.join(dfc, "term")
+      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_ppm"), col("rnk"))
+  }
+
+  def tfidfTopk(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopk(docs(spark, dir))
+
+  val tfidfTopkSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+       |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+       |    (tf.tf * 1000000) // dfc.df AS score_ppm,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY (tf.tf * 1000000) // dfc.df DESC, tf.term) AS rnk
+       |  FROM tf JOIN dfc USING (term))
+       |SELECT doc_id, term, tf, df, score_ppm, rnk
+       |FROM s WHERE rnk <= $TfidfTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf_topk" -> (tfidfTopk(_, _)),
     "text_langid" -> langId _,
     "text_quality" -> quality _,
     "text_tokens" -> tokens _,
@@ -761,6 +821,7 @@ object Text {
     "text_bpe_learn" -> bpeLearn _)
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf_topk" -> tfidfTopkSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokensSql,

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** C42 z-order layout: Morton-code correctness on known bit patterns,
+  * axis monotonicity, the per-bucket locality guarantee the operator
+  * exists for, and the broadcast (never nested-loop) plan shape. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def zOf(pairs: (Long, Long)*): Seq[Long] =
+    pairs.toSeq.toDF("ux", "uy")
+      .selectExpr(s"(${Layout.zExprSpark("ux", "uy")}) AS z")
+      .as[Long].collect().toSeq
+
+  test("morton code: known interleavings") {
+    // z(x, y) interleaves x into even bits, y into odd bits
+    assert(zOf((0L, 0L)) === Seq(0L))
+    assert(zOf((1L, 0L)) === Seq(1L))
+    assert(zOf((0L, 1L)) === Seq(2L))
+    assert(zOf((1L, 1L)) === Seq(3L))
+    assert(zOf((3L, 3L)) === Seq(15L))
+    assert(zOf((5L, 0L)) === Seq(17L))     // 101 -> 1_0_1 = 10001
+    assert(zOf((0L, 5L)) === Seq(34L))     // odd-bit copy of 17
+    assert(zOf((65535L, 65535L)) === Seq((1L << 32) - 1))
+  }
+
+  test("morton code: monotone along each axis, bijective on a grid") {
+    val grid = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val zs = zOf(grid: _*)
+    val byPair = grid.zip(zs).toMap
+    for (y <- 0L until 8L; x <- 0L until 7L)
+      assert(byPair((x, y)) < byPair((x + 1, y)), s"x-monotone at ($x,$y)")
+    for (x <- 0L until 8L; y <- 0L until 7L)
+      assert(byPair((x, y)) < byPair((x, y + 1)), s"y-monotone at ($x,$y)")
+    assert(zs.distinct.length === grid.length, "z must be injective")
+  }
+
+  test("buckets are small hyper-rectangles in BOTH dims on the corpus") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val out = Layout.zorder(events).cache()
+    try {
+      assert(out.count() > 1, "corpus must spread over multiple buckets")
+      val g = events.select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .agg(min("user_id"), max("user_id"), min("s"), max("s")).head()
+      val (uRange, sRange) =
+        (g.getLong(1) - g.getLong(0), g.getLong(3) - g.getLong(2))
+      // top 8 z bits = top 4 bits of each dim ⇒ every bucket spans at
+      // most 1/16 of each dim's range (+1 scaled-unit rounding slack);
+      // assert the conservative 1/8 bound — the pruning property
+      val bad = out.filter(
+        (col("max_user") - col("min_user")) > lit(uRange / 8 + 2) ||
+        (col("max_s") - col("min_s")) > lit(sRange / 8 + 2))
+      assert(bad.count() === 0,
+        "a z-bucket spans more than 1/8 of a dimension — no pruning value")
+      // conservation: bucket counts sum to the corpus
+      assert(out.agg(sum("n_events")).head().getLong(0) === events.count())
+    } finally out.unpersist()
+  }
+
+  test("plan: literal-inlined bounds keep the corpus scan join-free") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val plan = Layout.zorder(events).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("Join"), s"bounds must inline as literals:\n$plan")
+  }
+
+  test("empty input yields an empty frame, not a crash") {
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    assert(Layout.zorder(empty).count() === 0)
+  }
+}

@@ -485,4 +485,60 @@ class TextSpec extends SparkSpec {
     val b = Text.bpeLearn(d.repartition(7)).collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  // ------------------------------------------------- C41 tf-idf top-k
+  test("tfidf: known tf/df/scores, rare term outranks a stopword") {
+    import spark.implicits._
+    // "the" appears in all 4 docs (df=4); "llama" only in doc 1 (df=1)
+    val docs = Seq(
+      (1L, "the llama the llama the cat"),
+      (2L, "the cat sat"),
+      (3L, "the dog sat"),
+      (4L, "the fish")).toDF("doc_id", "text")
+    val out = Text.tfidfTopk(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    // doc 1: llama tf=2 df=1 → 2_000_000; the tf=3 df=4 → 750_000;
+    // cat tf=1 df=2 → 500_000
+    assert(out((1L, "llama")) === ((2L, 1L, 2000000L, 1)))
+    assert(out((1L, "the")) === ((3L, 4L, 750000L, 2)))
+    assert(out((1L, "cat")) === ((1L, 2L, 500000L, 3)))
+    // doc 4 has only 2 distinct terms → exactly 2 rows, no padding
+    assert(out.keys.count(_._1 == 4L) === 2)
+    // fish (df=1) outranks the universal "the" despite equal tf
+    assert(out((4L, "fish"))._4 === 1)
+    assert(out((4L, "the"))._4 === 2)
+  }
+
+  test("tfidf: score ties break by term text") {
+    import spark.implicits._
+    // b and a: identical tf=1, both df=1 → tied score; a must rank first
+    val docs = Seq((1L, "b a"), (2L, "zz")).toDF("doc_id", "text")
+    val rows = Text.tfidfTopk(docs).filter(col("doc_id") === 1L)
+      .orderBy("rnk").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b"))
+    assert(rows.map(_.getLong(4)).distinct.length === 1, "scores must tie")
+  }
+
+  test("tfidf: per-doc cardinality and rank laws on the corpus") {
+    val d = graft.Tables(spark, dir, "documents")
+    val out = Text.tfidfTopk(d).cache()
+    try {
+      // every doc emits min(3, n_distinct_terms) rows with ranks 1..n
+      val perDoc = out.groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"),
+          min(col("rnk")).as("minr"))
+      assert(perDoc.filter(col("n") =!= col("maxr") || col("minr") =!= 1)
+        .count() === 0)
+      assert(perDoc.filter(col("n") > 3).count() === 0)
+      val nDocs = d.select("doc_id").distinct().count()
+      assert(perDoc.count() === nDocs, "every doc must be represented")
+      // scores are non-increasing in rank within a doc
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("rnk")
+      val bad = out.withColumn("prev", lag(col("score_ppm"), 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") < col("score_ppm"))
+      assert(bad.count() === 0, "score must be non-increasing in rank")
+    } finally out.unpersist()
+  }
 }
