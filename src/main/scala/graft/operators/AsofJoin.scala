@@ -529,13 +529,86 @@ object AsofJoin {
        |    RANGE BETWEEN $BandUs PRECEDING AND CURRENT ROW) AS n_band
        |FROM events""".stripMargin
 
+  // --------------------------------------------------------------- C43
+  /** Keyed interval (band) join, PAIRS form (C43) — every (left,
+    * right) pair on the same key with `right.ts ∈ [left.ts − band,
+    * left.ts]`, bounds inclusive: Flink's interval join in batch, the
+    * pair-producing sibling of [[rangeCount]] and the one-to-MANY
+    * complement of the as-of join (attribution wants ALL clicks
+    * preceding a purchase, not just the latest).
+    *
+    * The naive θ-join (`key equality AND ts BETWEEN`) plans an
+    * equi-join on the key alone with the band as a post-join filter —
+    * O(|L_k|·|R_k|) candidate amplification per key, the C24 disease.
+    * Here both sides co-partition on (key, time-chunk) with chunk =
+    * band width: a band spans at most two chunks, so each left row is
+    * replicated to exactly its own chunk and the previous one (a
+    * bounded 2× — compare the unbounded per-key blow-up), the join is
+    * a true equi-join on (key, chunk), and the containment filter
+    * runs inside the joined partition. Replicas carry DISTINCT chunk
+    * values, so a matching right row (in exactly one chunk) meets
+    * exactly one replica — no duplicate pairs, no dedup pass.
+    * Output: all left columns, the matched right ts as
+    * `<tsCol>_right`, and the right payload. */
+  def intervalJoinPairs(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, bandUs: Long = BandUs): DataFrame = {
+    require(bandUs > 0, s"bandUs must be positive, got $bandUs")
+    val rightPayload = validate(left, right, keyCol, tsCol)
+    val reserved = Set("__ls", "__jc", "__rk", "__rs", "__rjc",
+      s"${tsCol}_right")
+    val reservedHits =
+      (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"column names reserved by the interval join present in an " +
+        s"input: ${reservedHits.mkString(", ")}")
+    val l = left
+      .withColumn("__ls", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("__jc", explode(array(
+        expr(s"__ls div $bandUs"), expr(s"__ls div $bandUs - 1"))))
+    val r = right.select(
+      (col(keyCol).as("__rk") +:
+        unix_micros(col(tsCol).cast("timestamp")).as("__rs") +:
+        col(tsCol).as(s"${tsCol}_right") +:
+        rightPayload.map(col)): _*)
+      .withColumn("__rjc", expr(s"__rs div $bandUs"))
+    l.join(r,
+        col(keyCol) === col("__rk") && col("__jc") === col("__rjc") &&
+          col("__rs") >= col("__ls") - bandUs && col("__rs") <= col("__ls"))
+      .drop("__ls", "__jc", "__rk", "__rs", "__rjc")
+  }
+
+  /** Attribution pairs entry: for every purchase, ALL clicks by the
+    * same user in the trailing 30 minutes, with the click age. */
+  def joinInterval(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    def us(c: Column) = unix_micros(c.cast("timestamp"))
+    intervalJoinPairs(purchases, clicks, "user_id", "ts")
+      .select(col("purchase_id"), col("click_id"),
+        (us(col("ts")) - us(col("ts_right"))).as("gap_us"))
+  }
+
+  /** The oracle IS the θ-join — correct single-node, amplification-
+    * prone distributed (the plan this operator replaces). */
+  val joinIntervalSql: String =
+    s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       |FROM events p JOIN events c ON p.user_id = c.user_id
+       | AND p.event_type = 'purchase' AND c.event_type = 'click'
+       | AND epoch_us(c.ts)
+       |   BETWEEN epoch_us(p.ts) - $BandUs AND epoch_us(p.ts)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> (joinAsof(_, _)),
     "join_asof_tolerance" -> (joinAsofTolerance(_, _)),
     "join_asof_forward" -> (joinAsofForward(_, _)),
     "join_asof_nearest" -> (joinAsofNearest(_, _)),
     "join_asof_chunked" -> (joinAsofChunked(_, _)),
-    "join_range_count" -> (rangeCount(_, _)))
+    "join_range_count" -> (rangeCount(_, _)),
+    "join_interval" -> (joinInterval(_, _)))
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> joinAsofSql,
@@ -543,5 +616,6 @@ object AsofJoin {
     "join_asof_forward" -> joinAsofForwardSql,
     "join_asof_nearest" -> joinAsofNearestSql,
     "join_asof_chunked" -> joinAsofSql,
-    "join_range_count" -> rangeCountSql)
+    "join_range_count" -> rangeCountSql,
+    "join_interval" -> joinIntervalSql)
 }

@@ -345,6 +345,71 @@ class AsofJoinSpec extends SparkSpec {
     assert(fast.filter($"n_band" > 1).count() > 0)
   }
 
+  // ---------------------------------------- C43 interval join (pairs)
+  test("interval pairs: inclusive bounds, multi-match, cross-chunk, key isolation") {
+    val U = 1000000L // 1-second band for addressable edges
+    val baseMs = 1700000000000L // ms, on a chunk boundary
+    def t(offMs: Long) = new Timestamp(baseMs + offMs)
+    val lft = Seq(
+      (1L, t(1000), 10L), // band [0s, 1s]
+      (2L, t(500), 20L)   // other key, band [-0.5s, 0.5s]
+    ).toDF("k", "ts", "lid")
+    val rgt = Seq(
+      (1L, t(0), 100L),    // exactly ts - U: inclusive lower bound
+      (1L, t(400), 101L),  // inside, PREVIOUS chunk (cross-chunk)
+      (1L, t(1000), 102L), // exactly ts: inclusive upper bound
+      (1L, t(1001), 103L), // 1ms after: excluded
+      (1L, t(-1), 104L),   // 1ms before the band: excluded
+      (2L, t(400), 105L)   // key 2's own match — never key 1's
+    ).toDF("k", "ts", "rid")
+    val out = AsofJoin.intervalJoinPairs(lft, rgt, "k", "ts", U)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out === Set((10L, 100L), (10L, 101L), (10L, 102L),
+      (20L, 105L)))
+  }
+
+  test("interval pairs equal the theta join at sf0.001, no duplicates") {
+    val out = AsofJoin.joinInterval(spark, sf("sf0.001"))
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val p = events.filter($"event_type" === "purchase")
+      .select($"user_id", us($"ts").as("ps"), $"event_id".as("purchase_id"))
+    val c = events.filter($"event_type" === "click")
+      .select($"user_id".as("cuid"), us($"ts").as("cs"),
+        $"event_id".as("click_id"))
+    val naive = p.join(c, $"user_id" === $"cuid" &&
+        $"cs" >= $"ps" - 1800000000L && $"cs" <= $"ps")
+      .select($"purchase_id", $"click_id", ($"ps" - $"cs").as("gap_us"))
+    assert(out.count() === naive.count())
+    assert(out.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(out).count() === 0)
+    // replicas must not double-produce: (purchase, click) pairs unique
+    assert(out.select("purchase_id", "click_id").distinct().count()
+      === out.count())
+    assert(out.count() > 0, "fixture band produced no pairs — vacuous")
+  }
+
+  test("interval pairs plan a true equi-join, never a theta amplification") {
+    val plan = AsofJoin.joinInterval(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the chunk key must be part of the join keys, not a post-filter:
+    // an equi-join on (key, chunk) plans hash/merge join over BOTH keys
+    assert(plan.contains("__jc") || plan.contains("__rjc"),
+      s"chunk key missing from the executed join:\n$plan")
+  }
+
+  test("interval pairs reject reserved and colliding column names") {
+    val lft = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("k", "ts", "lid")
+    val bad = lft.withColumn("__jc", lit(0L))
+    val rgt = Seq((1L, ts("2024-01-01 10:00:00"), 2L)).toDF("k", "ts", "rid")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.intervalJoinPairs(bad, rgt, "k", "ts", 1000000L)
+    }
+    assert(e.getMessage.contains("__jc"))
+  }
+
   test("range count plans no single-partition stage") {
     val events = graft.Tables(spark, sf("sf0.001"), "events")
     val plan = AsofJoin.rangeCount(events)
