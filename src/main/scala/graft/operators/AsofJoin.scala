@@ -493,9 +493,14 @@ object AsofJoin {
   def rangeCount(events: DataFrame, bandUs: Long = BandUs): DataFrame = {
     require(bandUs > 0, s"bandUs must be positive, got $bandUs")
     val U = bandUs
+    // FLOOR division, not Spark's truncating `div`: the suffix
+    // accounting needs chunk(ts − W) == chunk(ts) − 1 EXACTLY, and
+    // truncation widens the chunk at zero (trunc maps (−U, U) → 0), so
+    // pre-1970 timestamps would miscount. (s − pmod(s, U)) is exactly
+    // divisible, making the trailing div exact for any sign.
     val pts = events.select(col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("s"))
-      .withColumn("c", expr(s"s div $U"))
+      .withColumn("c", expr(s"(s - pmod(s, ${U}L)) div ${U}L"))
     val wIn = Window.partitionBy(col("c")).orderBy(col("s"))
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     val withIn = pts.withColumn("n_in", count(lit(1)).over(wIn))
@@ -548,6 +553,13 @@ object AsofJoin {
     * runs inside the joined partition. Replicas carry DISTINCT chunk
     * values, so a matching right row (in exactly one chunk) meets
     * exactly one replica — no duplicate pairs, no dedup pass.
+    * (Truncating `div` is safe HERE even for pre-1970 timestamps:
+    * both sides chunk with the same nondecreasing step function, and
+    * r ∈ [l − U, l] keeps chunk(r) ∈ {chunk(l) − 1, chunk(l)} under
+    * truncation's widened zero-chunk too — spec-pinned on a
+    * negative-epoch fixture. Contrast [[rangeCount]], whose suffix
+    * accounting needs the EXACT chunk(ts − W) = chunk − 1 identity
+    * and therefore floor-divides.)
     * Output: all left columns, the matched right ts as
     * `<tsCol>_right`, and the right payload. */
   def intervalJoinPairs(left: DataFrame, right: DataFrame, keyCol: String,

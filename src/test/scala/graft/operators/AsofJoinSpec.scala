@@ -410,6 +410,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("__jc"))
   }
 
+  test("range count: pre-1970 timestamps floor-divide into the right chunks") {
+    // events straddling the epoch: truncating div folds (−U, U) into
+    // ONE chunk and breaks the prev-chunk suffix accounting — the
+    // floor-div fix makes chunk(ts − W) == chunk(ts) − 1 for any sign
+    val events = Seq(
+      (1L, new Timestamp(-1500L * 1000)), // −25:00
+      (2L, new Timestamp(-100L * 1000)),  // −01:40
+      (3L, new Timestamp(600L * 1000)),   // +10:00
+      (4L, new Timestamp(1700L * 1000))   // +28:20
+    ).toDF("event_id", "ts")
+    val out = AsofJoin.rangeCount(events, Band)
+      .as[(Long, Long)].collect().toMap
+    // 30-min trailing bands: {1}, {1,2}, {2,3}, {2,3,4} (−100s is
+    // exactly on e4's closed lower bound 1700−1800 = −100)
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("interval pairs: negative-epoch rows still meet exactly one replica") {
+    val lft = Seq((1L, new Timestamp(500L), 10L)).toDF("k", "ts", "lid")
+    val rgt = Seq(
+      (1L, new Timestamp(-400L), 100L), // inside [−0.5s, 0.5s]
+      (1L, new Timestamp(-500L), 101L), // exactly on the closed bound
+      (1L, new Timestamp(-600L), 102L), // outside
+      (1L, new Timestamp(500L), 103L),  // equal ts — inclusive
+      (1L, new Timestamp(600L), 104L)   // after left — excluded
+    ).toDF("k", "ts", "rid")
+    val out = AsofJoin.intervalJoinPairs(lft, rgt, "k", "ts", 1000000L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out === Set((10L, 100L), (10L, 101L), (10L, 103L)))
+  }
+
   test("range count plans no single-partition stage") {
     val events = graft.Tables(spark, sf("sf0.001"), "events")
     val plan = AsofJoin.rangeCount(events)

@@ -142,6 +142,45 @@ class EventsSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("funnel: randomized differential vs driver-side brute force") {
+    // deterministic LCG event soups: dense ties, all five types, tiny
+    // windows — the greedy carry must match the O(n³) EXISTS reference
+    var seed = 0xC0FFEE123456789L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed >>> 11 }
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    for (trial <- 0 until 3) {
+      val wSec = 20L + next() % 40
+      val evs = (0 until 150).map { i =>
+        ((next() % 4) + 1, t(next() % 120), types((next() % 5).toInt),
+          i.toLong)
+      }
+      def brute(u: Long) = {
+        val e = evs.filter(r => r._1 == u && r._3 != "error" && r._3 != "signup")
+          .map(r => (r._2.getTime * 1000L, r._3, r._4))
+        val vs = e.filter(_._2 == "view").map(_._1)
+        val cs = e.filter(_._2 == "click").map(_._1)
+        val ps = e.filter(_._2 == "purchase")
+        val W = wSec * 1000000L
+        val d1 = if (vs.nonEmpty) 1L else 0L
+        val d2 = if (vs.exists(v => cs.exists(c => v <= c && c - v <= W))) 1L else 0L
+        def conv(p: Long) =
+          vs.exists(v => cs.exists(c => v <= c && c <= p && p - v <= W))
+        val convs = ps.count(p => conv(p._1)).toLong
+        val d3 = if (convs > 0) 1L else 0L
+        (d1 + d2 + d3, convs)
+      }
+      val users = evs.filter(r => Set("view", "click", "purchase")(r._3))
+        .map(_._1).distinct
+      val want = users.map(u => u -> brute(u)).toMap
+      val got = Events.funnel(
+          evs.toDF("user_id", "ts", "event_type", "event_id"),
+          windowUs = wSec * 1000000L)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got === want, s"trial $trial (window ${wSec}s)")
+    }
+  }
+
   test("plans: one exchange each, no joins in the funnel") {
     val events = graft.Tables(spark, sf("sf0.001"), "events")
     for ((name, df) <- Seq("sessionize" -> Events.sessionize(events),

@@ -38,6 +38,17 @@ class LayoutSpec extends SparkSpec {
     assert(zs.distinct.length === grid.length, "z must be injective")
   }
 
+  test("morton code: randomized differential vs a JVM bit-interleave") {
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    var seed = 0xDEADBEEFCAFEL
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed >>> 11 }
+    val pairs = (0 until 300).map(_ => (next() % 65536, next() % 65536))
+    assert(zOf(pairs: _*) === pairs.map { case (x, y) => ref(x, y) })
+  }
+
   test("buckets are small hyper-rectangles in BOTH dims on the corpus") {
     val events = graft.Tables(spark, sf("sf0.001"), "events")
     val out = Layout.zorder(events).cache()

@@ -480,6 +480,32 @@ class PipelineSpec extends SparkSpec {
     assert(naive.exceptAll(fast).count() === 0)
   }
 
+  test("stratified select: randomized differential vs sort-take-k") {
+    // deterministic LCG frames: heavy h collisions (h mod 37), sparse
+    // and dense buckets, k swept across the whole range — every case
+    // must match the reference sort((h, doc_id)).take(k) exactly
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed >>> 11 }
+    for (trial <- 0 until 4) {
+      val n = 120 + trial * 70
+      val rows = (0 until n).map { i =>
+        val src = s"s${next() % 3}"
+        (src, i.toLong, (next() % 37) * (1L + next() % 5))
+      }
+      val ks = rows.groupBy(_._1).map { case (s, g) =>
+        s -> (next() % (g.size + 1)).toLong
+      }
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (s, g) =>
+        g.sortBy(r => (r._3, r._2)).take(ks(s).toInt)
+          .map(r => (s, r._2))
+      }.toSet
+      val d = selectFrame(rows)
+      val t = kFrame(ks.toSeq: _*)
+      assert(keptSet(d, t, 8L) === want, s"trial $trial (bucket 8)")
+      assert(keptSet(d, t, 1000L) === want, s"trial $trial (one bucket)")
+    }
+  }
+
   test("stratified entry: exact counts and rate rule") {
     val out = Pipeline.sampleStratified(spark, dir).collect()
     assert(out.nonEmpty)
