@@ -182,11 +182,75 @@ object Events {
        |  CAST(n_conversions AS BIGINT) AS n_conversions
        |FROM d ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------------------------- C46
+  /** Week width in µs (epoch-aligned weeks — deterministic, engine-
+    * neutral; calendar weeks are a consumer-side relabeling). */
+  private val WeekUs = 7L * 24 * 3600 * 1000000L
+
+  /** Weekly cohort retention (C46) — the third leg of the
+    * event-analytics trio: users cohorted by their FIRST-ACTIVE week,
+    * then for every (cohort_week, week_offset) the count of cohort
+    * members active that week and the retention rate in ppm
+    * (integer: n_active·10⁶ div cohort size; offset 0 is exactly 10⁶
+    * by definition — every user is active in their first week).
+    *
+    * Plan: distinct (user, week) pairs — ONE exchange on user_id —
+    * then the cohort week as a min-over-user window on the SAME
+    * partitioning (no join back to the corpus), a (cohort, offset)
+    * count aggregate over the collapsed frame, and the cohort-size
+    * denominators (offset-0 rows, ≤ |weeks| of them) broadcast back
+    * into the ppm. Weeks floor-divide ([[rangeCount]]'s pmod
+    * discipline) so pre-1970 data cohorts correctly. */
+  def retention(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"),
+        expr(s"(unix_micros(cast(ts as timestamp)) - " +
+          s"pmod(unix_micros(cast(ts as timestamp)), ${WeekUs}L)) " +
+          s"div ${WeekUs}L").as("week"))
+      .distinct()
+    val cohorted = uw
+      .withColumn("cohort_week", min(col("week")).over(
+        Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val base = cohorted.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("n_cohort"))
+    cohorted.join(broadcast(base), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        expr("n_active * 1000000 div n_cohort").as("retention_ppm"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    retention(Tables(spark, dir, "events"))
+
+  val retentionSql: String =
+    s"""WITH uw AS (SELECT DISTINCT user_id,
+       |    (epoch_us(ts) - (epoch_us(ts) % $WeekUs + $WeekUs) % $WeekUs)
+       |      // $WeekUs AS week
+       |  FROM events),
+       |c AS (SELECT user_id, week,
+       |    min(week) OVER (PARTITION BY user_id) AS cohort_week
+       |  FROM uw),
+       |m AS (SELECT cohort_week, week - cohort_week AS week_offset,
+       |    count(*) AS n_active
+       |  FROM c GROUP BY 1, 2),
+       |b AS (SELECT cohort_week, n_active AS n_cohort FROM m
+       |  WHERE week_offset = 0)
+       |SELECT m.cohort_week, m.week_offset, m.n_active, b.n_cohort,
+       |  (m.n_active * 1000000) // b.n_cohort AS retention_ppm
+       |FROM m JOIN b ON m.cohort_week = b.cohort_week
+       |ORDER BY m.cohort_week, m.week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_sessionize" -> (sessionize(_, _)),
-    "events_funnel" -> (funnel(_, _)))
+    "events_funnel" -> (funnel(_, _)),
+    "events_retention" -> (retention(_, _)))
 
   val oracles: Map[String, String] = Map(
     "events_sessionize" -> sessionizeSql,
-    "events_funnel" -> funnelSql)
+    "events_funnel" -> funnelSql,
+    "events_retention" -> retentionSql)
 }

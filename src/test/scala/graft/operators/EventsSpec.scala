@@ -181,6 +181,48 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+  // -------------------------------------------------------- retention
+  test("retention: known cohort matrix with epoch-aligned weeks") {
+    val Week = 7L * 24 * 3600
+    // epoch-aligned: week k starts at k·Week seconds since 1970
+    def wk(week: Long, offSec: Long) =
+      new Timestamp((week * Week + offSec) * 1000L)
+    val events = Seq(
+      // cohort week 100: users 1, 2 — user 1 returns weeks 101, 103;
+      // user 2 returns week 101 only
+      (1L, wk(100, 10), 1L), (1L, wk(101, 20), 2L), (1L, wk(103, 0), 3L),
+      (2L, wk(100, 50), 4L), (2L, wk(101, 60), 5L),
+      (2L, wk(101, 61), 6L), // same user+week twice: distinct collapses
+      // cohort week 101: user 3, never returns
+      (3L, wk(101, 5), 7L)
+    ).toDF("user_id", "ts", "event_id")
+    val out = Events.retention(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (100L, 0L, 2L, 2L, 1000000L),
+      (100L, 1L, 2L, 2L, 1000000L),
+      (100L, 3L, 1L, 2L, 500000L),
+      (101L, 0L, 1L, 1L, 1000000L)))
+  }
+
+  test("retention: matrix laws on the corpus") {
+    val events = graft.Tables(spark, sf("sf0.001"), "events")
+    val out = Events.retention(events).cache()
+    try {
+      // offset 0 is always exactly 10⁶, and cohort sizes sum to the
+      // distinct-user total (every user belongs to exactly one cohort)
+      assert(out.filter($"week_offset" === 0 &&
+        $"retention_ppm" =!= 1000000L).count() === 0)
+      val cohortSum = out.filter($"week_offset" === 0)
+        .agg(sum("n_cohort")).head().getLong(0)
+      assert(cohortSum === events.select("user_id").distinct().count())
+      // no cell exceeds its cohort, no negative offsets
+      assert(out.filter($"n_active" > $"n_cohort").count() === 0)
+      assert(out.filter($"week_offset" < 0).count() === 0)
+      assert(out.count() > 1, "corpus must spread over several cells")
+    } finally out.unpersist()
+  }
+
   test("plans: one exchange each, no joins in the funnel") {
     val events = graft.Tables(spark, sf("sf0.001"), "events")
     for ((name, df) <- Seq("sessionize" -> Events.sessionize(events),
