@@ -737,7 +737,145 @@ object Sketch {
        |  AND rkm.rank = rkd.rank AND rkm.item = rkd.item
        |WHERE rkm.rank <= 10""".stripMargin
 
+  // ------------------------------------------------------ C47 KMV sketch
+  /** Sketch size: bottom-64 hashes per group. */
+  private val KmvK = 64
+
+  /** Hash space: 12 hex chars of md5 = exactly 48 bits, so
+    * (K−1)·M ≈ 2⁵⁴ stays long-safe through the estimator and the
+    * intersection rescale (ρ·d ≤ 64·63·2⁴⁸ < 2⁶³). */
+  private val KmvM = 1L << 48
+
+  /** The engine-neutral KMV hash: md5-derived 48-bit integer. */
+  private def kmvHash(c: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), c.cast("string"))), 1, 12),
+      16, 10).cast("long")
+
+  private def kmvAggCol(h: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.KmvAgg(Bridge.expression(h), KmvK)
+      .toAggregateExpression())
+  }
+
+  /** KMV bottom-k distinct sketch per group (C47) — the sketch HLL
+    * cannot be: because it keeps actual hash SAMPLES, two groups'
+    * sketches compose into SET-OPERATION estimates ([[kmvOverlap]]).
+    * Per event_type over distinct users: the ascending bottom-64 hash
+    * array (pinned by md5 digest), θ = its max, and the distinct
+    * estimate d̂ = (K−1)·M div θ — EXACT (= the kept count) below K
+    * distinct, the classical KMV estimator above it, all integer
+    * arithmetic so DuckDB replays the ESTIMATES (the C30 discipline).
+    * [[graft.functions.KmvAgg]] dedups inside the partial-agg buffer:
+    * ≤64 longs per group per map task cross the wire, no global
+    * DISTINCT pass. */
+  def kmvDistinct(events: DataFrame): DataFrame = {
+    val sk = col("sk")
+    events
+      .select(col("event_type"), kmvHash(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmvAggCol(col("h")).as("sk"))
+      .select(col("event_type"),
+        size(sk).cast("long").as("n_kept"),
+        element_at(sk, size(sk)).as("theta"),
+        when(size(sk) < KmvK, size(sk).cast("long"))
+          .otherwise(expr(
+            s"(${KmvK - 1}L * ${KmvM}L) div greatest(element_at(sk, $KmvK), 1L)"))
+          .as("d_hat"),
+        md5(concat_ws(",", transform(sk, x => x.cast("string"))))
+          .as("sketch_md5"))
+      .orderBy(col("event_type"))
+  }
+
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    kmvDistinct(Tables(spark, dir, "events"))
+
+  val kmvDistinctSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM d),
+       |s AS (SELECT event_type, count(*) AS n_kept, max(h) AS theta,
+       |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY h)) AS sketch_md5
+       |  FROM r WHERE rn <= $KmvK GROUP BY event_type)
+       |SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept, theta,
+       |  CASE WHEN n_kept < $KmvK THEN CAST(n_kept AS BIGINT)
+       |    ELSE (${KmvK - 1} * $KmvM) // greatest(theta, 1) END AS d_hat,
+       |  sketch_md5
+       |FROM s ORDER BY event_type""".stripMargin
+
+  /** Driver-side KMV set-operation estimate over two sketches —
+    * bounded input (two ≤K-long ascending arrays), pure integer
+    * arithmetic, shared by the entry and the spec. Returns
+    * (L = |union bottom-k|, θ, ρ, d̂_union, Jaccard ppm, |A∩B| hat). */
+  private[operators] def kmvOverlapStats(a: Seq[Long], b: Seq[Long])
+      : (Long, Long, Long, Long, Long, Long) = {
+    val sa = a.toSet; val sb = b.toSet
+    val u = (sa ++ sb).toSeq.sorted.take(KmvK)
+    val L = u.size.toLong
+    val theta = if (u.nonEmpty) u.last else 0L
+    val rho = u.count(h => sa(h) && sb(h)).toLong
+    val dU = if (L < KmvK) L
+      else (KmvK - 1).toLong * KmvM / math.max(theta, 1L)
+    val jPpm = if (L == 0) 0L else rho * 1000000L / L
+    val inter = if (L == 0) 0L else rho * dU / L
+    (L, theta, rho, dU, jPpm, inter)
+  }
+
+  /** KMV set-operation entry (C47b): distinct-user OVERLAP between
+    * clicks and purchases from the two sketches alone (Beyer et al.
+    * 2007): union bottom-k gives θ and d̂_union; ρ = union-bottom-k
+    * members present in BOTH sketches; Jaccard ≈ ρ/K and |A∩B| ≈
+    * (ρ·d̂_union)/K, emitted as integer ppm / counts. The corpus never
+    * re-scans — the composition runs on TWO ≤64-long arrays (bounded
+    * collect, the C37/C38 scalar discipline). This is the
+    * cross-source audience-overlap / corpus-overlap measure a
+    * multi-dump pipeline needs and HLL registers cannot express. */
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables(spark, dir, "events")
+    val sk = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), kmvHash(col("user_id")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmvAggCol(col("h")).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val (l, theta, rho, dU, jPpm, inter) = kmvOverlapStats(
+      sk.getOrElse("click", Seq.empty), sk.getOrElse("purchase", Seq.empty))
+    Seq((KmvK.toLong, l, theta, rho, dU, jPpm, inter))
+      .toDF("k", "l_union", "theta", "rho", "d_union_hat", "j_ppm",
+        "inter_hat")
+  }
+
+  val kmvIntersectSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+       |  FROM events WHERE event_type IN ('click', 'purchase')),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM d),
+       |sk AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+       |ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |  FROM (SELECT DISTINCT h FROM sk)),
+       |bu AS (SELECT h FROM ru WHERE rn <= $KmvK),
+       |l AS (SELECT count(*) AS n, coalesce(max(h), 0) AS theta FROM bu),
+       |rho AS (SELECT count(*) AS c FROM bu
+       |  WHERE h IN (SELECT h FROM sk WHERE event_type = 'click')
+       |    AND h IN (SELECT h FROM sk WHERE event_type = 'purchase')),
+       |est AS (SELECT l.n, l.theta, rho.c,
+       |    CASE WHEN l.n < $KmvK THEN l.n
+       |      ELSE (${KmvK - 1} * $KmvM) // greatest(l.theta, 1) END AS du
+       |  FROM l, rho)
+       |SELECT CAST($KmvK AS BIGINT) AS k, CAST(n AS BIGINT) AS l_union,
+       |  theta, CAST(c AS BIGINT) AS rho, CAST(du AS BIGINT) AS d_union_hat,
+       |  CASE WHEN n = 0 THEN 0 ELSE (c * 1000000) // n END AS j_ppm,
+       |  CASE WHEN n = 0 THEN 0 ELSE (c * du) // n END AS inter_hat
+       |FROM est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct" -> (kmvDistinct(_, _)),
+    "agg_kmv_intersect" -> (kmvIntersect(_, _)),
     "agg_hll_distinct" -> (hllUsers(_, _)),
     "agg_hll_merge" -> (hllUsersMerged(_, _)),
     "agg_hll_production" -> (hllUsersProduction(_, _)),
@@ -772,6 +910,8 @@ object Sketch {
       |FROM e""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_kmv_distinct" -> kmvDistinctSql,
+    "agg_kmv_intersect" -> kmvIntersectSql,
     "agg_hll_distinct" -> hllUsersSql,
     "agg_hll_merge" -> hllUsersMergedSql,
     "agg_hll_production" -> hllUsersProductionSql,

@@ -241,4 +241,89 @@ class SketchSpec extends SparkSpec {
     // the register table is bounded: ≤ groups × m rows reach the final agg
     assert(df.count() === 5)
   }
+
+  // ------------------------------------------------------ C47 KMV sketch
+  import org.apache.spark.sql.graft.Bridge
+  import graft.functions.KmvAgg
+
+  private def kmvOf(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    df.agg(Bridge.column(
+        KmvAgg(Bridge.expression(col("h")), k).toAggregateExpression())
+        .as("sk"))
+      .head().getSeq[Long](0)
+  }
+
+  test("kmv: bottom-k of the distinct set, ascending, deduped") {
+    import spark.implicits._
+    val vals = Seq(9L, 3L, 7L, 3L, 1L, 9L, 8L, 2L, 1L, 5L)
+    val df = vals.toDF("h")
+    assert(kmvOf(df, 4) === Seq(1L, 2L, 3L, 5L))
+    // k larger than the distinct count: the whole distinct set
+    assert(kmvOf(df, 100) === vals.distinct.sorted)
+  }
+
+  test("kmv: partition invariance and shard-merge semilattice") {
+    import spark.implicits._
+    val vals = (0 until 3000).map(i => (i.toLong * 2654435761L) % 100000L)
+    val df = vals.toDF("h")
+    val direct = kmvOf(df, 64)
+    assert(kmvOf(df.repartition(13), 64) === direct)
+    // merging per-shard bottom-k arrays driver-side ≡ the direct sketch
+    val shards = Seq(vals.take(1000), vals.slice(1000, 2000), vals.drop(2000))
+      .map(s => kmvOf(s.toDF("h"), 64))
+    val merged = shards.flatten.distinct.sorted.take(64)
+    assert(merged === direct)
+  }
+
+  test("kmv: distinct estimate lands inside the sampling band") {
+    val out = Sketch.kmvDistinct(spark, sf("sf0.01")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val events = graft.Tables(spark, sf("sf0.01"), "events")
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, d) =>
+      val (nKept, dHat) = out(g)
+      if (d < 64) assert(dHat === d, s"$g: below K must be exact")
+      else {
+        assert(nKept === 64L, g)
+        // KMV with K=64: σ ≈ D/√(K−2) ≈ 12.7% — assert a 3σ band
+        assert(math.abs(dHat - d) <= 0.4 * d,
+          s"$g: d_hat=$dHat exact=$d — outside the sampling band")
+      }
+    }
+  }
+
+  test("kmv: overlap stats — known values, disjoint, empty, exact regime") {
+    // exact regime: fewer than K in the union → everything exact
+    val (l, theta, rho, dU, j, inter) =
+      Sketch.kmvOverlapStats(Seq(1L, 2L, 3L), Seq(2L, 3L, 4L))
+    assert((l, theta, rho, dU) === ((4L, 4L, 2L, 4L)))
+    assert(j === 500000L)  // J = 2/4
+    assert(inter === 2L)   // exact
+    // disjoint and empty
+    assert(Sketch.kmvOverlapStats(Seq(1L), Seq(9L))._3 === 0L)
+    assert(Sketch.kmvOverlapStats(Seq.empty, Seq.empty) ===
+      ((0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("kmv: intersection estimate tracks the exact overlap on the corpus") {
+    val row = Sketch.kmvIntersect(spark, sf("sf0.01")).head()
+    val (jPpm, interHat) = (row.getLong(5), row.getLong(6))
+    val events = graft.Tables(spark, sf("sf0.01"), "events")
+    import org.apache.spark.sql.functions.col
+    def users(t: String) = events.filter(col("event_type") === t)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val (a, b) = (users("click"), users("purchase"))
+    val exactJ = a.intersect(b).size.toDouble / a.union(b).size
+    // ρ/K is a K-sample estimate of J: allow a generous 4σ ≈ 4·√(J(1−J)/K)
+    val tol = 4 * math.sqrt(exactJ * (1 - exactJ) / 64) + 0.02
+    assert(math.abs(jPpm / 1e6 - exactJ) <= tol,
+      s"j=${jPpm / 1e6} exact=$exactJ tol=$tol")
+    val exactI = a.intersect(b).size
+    assert(math.abs(interHat - exactI) <= math.max(6.0, 0.6 * exactI),
+      s"inter_hat=$interHat exact=$exactI")
+  }
 }
