@@ -890,6 +890,165 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- C48
+  /** Semantic-dedup tuning: clusters are sized so a cluster holds
+    * ~[[SemClusterTarget]] vectors on average — k grows with the corpus
+    * (k = ⌈n/512⌉, floor 8), which is what keeps the within-cluster
+    * pair mass LINEAR in n (Σ|c|² ≈ n·512 when balanced) instead of the
+    * quadratic n²/k a fixed k degrades to. SemDeDup's published runs use
+    * the same shape (k ≈ n/1000 at 100M-doc scale). */
+  private[operators] val SemClusterTarget = 512L
+  private[operators] val SemSeed = 10L
+  private[operators] val SemTau = 0.8
+  private[operators] val SemTwinMod = 50
+
+  /** ENTRY-LAYER FIXTURE for `dedup_semantic` (the [[plantTwins]]
+    * discipline — the operator stays pure, only the registered entry
+    * and its oracle plant): every [[SemTwinMod]]-th vector gets an
+    * EXACT copy at `vec_id + off` (same quantized assignment ⇒ same
+    * cluster ⇒ guaranteed within-cluster drop — non-vacuous gate), and
+    * every (SemTwinMod k + 25)-th gets a NEAR copy at `vec_id + 2·off`
+    * with its first coordinate scaled by 0.75 (exactly representable,
+    * so the perturbed vector is bit-identical cross-engine). The near
+    * twin's cosine stays ≈1 but its centroid can differ — landing
+    * cross-cluster is SemDeDup's documented recall trade, and the
+    * oracle replays whichever way the assignment falls. */
+  private[graft] def plantSemTwins(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("embedding"))
+    val off = base
+      .agg(coalesce(max(col("vec_id")), lit(-1L))).head.getLong(0) + 1L
+    base
+      .unionAll(base.filter(col("vec_id") % SemTwinMod === 0)
+        .select((col("vec_id") + off).as("vec_id"), col("embedding")))
+      .unionAll(base.filter(col("vec_id") % SemTwinMod === 25)
+        .select((col("vec_id") + 2 * off).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x * 0.75).otherwise(x)).as("embedding")))
+  }
+
+  /** Semantic dedup (C48) — SemDeDup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-bucketed within-cluster cosine dedup,
+    * the cluster-bucketed complement of C5's LSH banding (C5 finds
+    * near-IDENTICAL pairs anywhere; this drops semantically redundant
+    * docs that share a centroid — the form production curation runs
+    * with a trained codebook). A vector is DROPPED iff a smaller
+    * vec_id in its cluster has cosine ≥ [[SemTau]] — keep-first
+    * against all earlier members, a total, order-free rule (the greedy
+    * sequential variant is chain-dependent and neither distributable
+    * nor SQL-expressible). Output: (vec_id, cid, kept) for every row.
+    *
+    * Plan shape: assignment is a broadcast codebook probe — the k-row
+    * codebook crosses the corpus (the ann_* broadcast semantics; the
+    * ONLY nested-loop in the plan, build side k rows), per-row distance
+    * = cn − 2·dot (the row's own norm is assignment-invariant and
+    * dropped), argmin via a map-side-collapsing min(struct(d, cid)).
+    * The within-cluster verify joins the assigned frame to itself ON
+    * cid — both sides the same object, so ReuseExchange materializes
+    * the one corpus shuffle once — with the cosine predicate INSIDE the
+    * join (pairs are never materialized as a frame; C5 must re-join
+    * vectors because banding makes candidates sparse — here every
+    * same-cluster pair is a candidate, so vectors ride the one cid
+    * shuffle instead). A pathological hot cluster (all vectors on one
+    * centroid) degrades to that cluster's |c|² — AQE skew-join splits
+    * the straggler, and the production fix is the trained codebook
+    * (balanced k-means / k-means‖ via [[graft.operators.Ann]]'s C38
+    * trainer), whose whole job is bounding |c|.
+    *
+    * Exactness: distances and cosines are [[dot]] folds (bit-identical
+    * to list_inner_product, the C5 precedent) combined by exactly-
+    * rounded IEEE ops in the SAME tree shape as the oracle; argmin
+    * ties break (d, cid). No quantization needed — both engines
+    * compute the same doubles, whatever they are. */
+  def semanticDedup(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    val emb = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val cents = codebook.select(col("cid"), col("ce"),
+      dot(col("ce"), col("ce")).as("cn"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"),
+        struct((col("cn") - lit(2.0) * dot(col("e"), col("ce"))).as("d"),
+          col("cid").as("cid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("m"), first(col("e")).as("e"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("e"))
+      // explicit null guards (no-ops under the input contract): the
+      // left-outer self-join below pushes isnotnull(vec_id)/isnotnull(cid)
+      // into its BUILD side only, which would de-canonicalize the two
+      // sides and re-run the codebook probe per side — stating the same
+      // filters on the shared frame keeps both subtrees identical so
+      // ReuseExchange fires (PlanAuditSpec pins this)
+      .filter(col("vec_id").isNotNull && col("cid").isNotNull)
+    val cos = dot(col("x.e"), col("y.e")) /
+      (sqrt(dot(col("x.e"), col("x.e"))) * sqrt(dot(col("y.e"), col("y.e"))))
+    // kept = "no earlier same-cluster member above SemTau", computed as
+    // a grouped existence over ONE left-outer self-join — exactly two
+    // consumers of `assigned`, so the plan evaluates the codebook probe
+    // once and reuses its exchange (a semi-join + back-join variant
+    // planned a third, column-pruned copy of the probe: the pruned
+    // aggregate no longer canonicalized with the self-join sides' and
+    // re-scanned the corpus — caught by PlanAuditSpec in development).
+    // All rows of a vec_id share its cid partition, so the count
+    // collapses map-side and only n narrow rows cross the final agg
+    // exchange.
+    assigned.as("x").join(assigned.as("y"),
+        col("x.cid") === col("y.cid") && col("y.vec_id") < col("x.vec_id") &&
+          cos >= SemTau, "left_outer")
+      .groupBy(col("x.vec_id"), col("x.cid"))
+      .agg(count(col("y.vec_id")).as("hits"))
+      .select(col("vec_id"), col("cid"), (col("hits") === 0).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Seed-codebook form: centroids are the vectors with vec_id in
+    * [[[SemSeed]], SemSeed + k), k = max(8, ⌈n/[[SemClusterTarget]]⌉) —
+    * the ivf/pq deterministic-sample convention (requires those ids to
+    * exist; the test tables' vec_ids are contiguous from 0). The one
+    * driver action (count) is a bounded scalar sizing the codebook.
+    * Production passes a trained codebook to the 2-arg overload. */
+  def semanticDedup(embeddings: DataFrame): DataFrame = {
+    val emb = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val n = emb.count()
+    val k = math.max(8L, (n + SemClusterTarget - 1) / SemClusterTarget)
+    semanticDedup(embeddings, emb
+      .filter(col("vec_id") >= SemSeed && col("vec_id") < SemSeed + k)
+      .select(col("vec_id").as("cid"), col("e").as("ce")))
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables(spark, dir, "embeddings"))
+
+  val semanticDedupSql: String =
+    s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |raw AS (
+       |  SELECT vec_id, e FROM base
+       |  UNION ALL
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base), e
+       |  FROM base WHERE vec_id % $SemTwinMod = 0
+       |  UNION ALL
+       |  SELECT vec_id + 2 * (SELECT max(vec_id) + 1 FROM base),
+       |    list_transform(generate_series(1, len(e)),
+       |      i -> CASE WHEN i = 1 THEN e[i] * 0.75 ELSE e[i] END)
+       |  FROM base WHERE vec_id % $SemTwinMod = 25),
+       |c AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cn
+       |  FROM raw WHERE vec_id >= $SemSeed AND vec_id < $SemSeed +
+       |    greatest(8, (SELECT (count(*) + ${SemClusterTarget - 1})
+       |      // $SemClusterTarget FROM raw))),
+       |a AS (SELECT vec_id, e, cid FROM (
+       |  SELECT r.vec_id, r.e, c.cid,
+       |    row_number() OVER (PARTITION BY r.vec_id
+       |      ORDER BY c.cn - 2.0 * list_inner_product(r.e, c.ce), c.cid) AS rn
+       |  FROM raw r, c) WHERE rn = 1),
+       |d AS (SELECT DISTINCT x.vec_id FROM a x JOIN a y
+       |  ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |  AND list_inner_product(x.e, y.e) /
+       |    (sqrt(list_inner_product(x.e, x.e)) *
+       |     sqrt(list_inner_product(y.e, y.e))) >= $SemTau)
+       |SELECT a.vec_id, a.cid, d.vec_id IS NULL AS kept
+       |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   // --------------------------------------------------------------- C13
   /** Near-dup cluster assignment: connected components over the
     * LSH-verified pair graph by iterative min-label propagation — the
@@ -1310,7 +1469,12 @@ object Dedup {
     // the gate stays non-vacuous without the operator fabricating rows
     "dedup_embedding" ->
       ((s: SparkSession, d: String) =>
-        embeddingDedup(plantTwins(Tables(s, d, "embeddings")))))
+        embeddingDedup(plantTwins(Tables(s, d, "embeddings")))),
+    // SemDeDup (C48): planted composition like dedup_embedding — exact
+    // twins guarantee within-cluster drops, so the gate is non-vacuous
+    "dedup_semantic" ->
+      ((s: SparkSession, d: String) =>
+        semanticDedup(plantSemTwins(Tables(s, d, "embeddings")))))
 
   val oracles: Map[String, String] = Map(
     "dedup_span_coverage" -> spanCoverageSql,
@@ -1325,5 +1489,6 @@ object Dedup {
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
-    "dedup_embedding" -> embeddingDedupSql)
+    "dedup_embedding" -> embeddingDedupSql,
+    "dedup_semantic" -> semanticDedupSql)
 }

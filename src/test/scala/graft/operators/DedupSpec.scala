@@ -166,6 +166,66 @@ class DedupSpec extends SparkSpec {
     assert(res === Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("semantic dedup: brute-force differential on the planted corpus, twins drop, keep-first") {
+    // replay the WHOLE algorithm driver-side (assignment argmin + the
+    // within-cluster earlier-member cosine rule) and compare
+    // decision-for-decision on the real sf0.001 corpus with the
+    // entry's planted fixture aboard
+    val planted = Dedup.plantSemTwins(Tables(spark, dir, "embeddings"))
+    val res = Dedup.semanticDedup(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val rows = planted.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def dd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val k = math.max(8L, (rows.length + 511) / 512)
+    val cents = rows.filter { case (id, _) => id >= 10L && id < 10L + k }
+    val assign = rows.map { case (id, e) =>
+      val (_, cid) = cents.map { case (c, ce) =>
+        (dd(ce, ce) - 2.0 * dd(e, ce), c) }.min
+      (id, cid, e)
+    }
+    val expected = assign.map { case (id, cid, e) =>
+      val hit = assign.exists { case (id2, cid2, e2) =>
+        cid2 == cid && id2 < id &&
+          dd(e, e2) / (math.sqrt(dd(e, e)) * math.sqrt(dd(e2, e2))) >= 0.8
+      }
+      (id, cid, !hit)
+    }
+    assert(res.toSet === expected.toSet)
+    // non-vacuous: every planted EXACT twin is in its original's
+    // cluster (identical vector => identical argmin) and drops
+    val off = Tables(spark, dir, "embeddings")
+      .agg(max(col("vec_id"))).head.getLong(0) + 1
+    val exactTwins = res.filter { case (id, _, _) => id >= off && id < 2 * off }
+    assert(exactTwins.nonEmpty && exactTwins.forall(!_._3),
+      s"exact twins must all drop: ${exactTwins.filter(_._3).mkString(",")}")
+    // keep-first: the smallest vec_id of every cluster has no earlier
+    // member, so it is always kept
+    res.groupBy(_._2).values.foreach { members =>
+      assert(members.minBy(_._1)._3, "cluster-min vec_id must be kept")
+    }
+  }
+
+  test("semantic dedup is layout-invariant and the codebook overload binds") {
+    val planted = Dedup.plantSemTwins(Tables(spark, dir, "embeddings"))
+    val base = Dedup.semanticDedup(planted).collect().toSeq
+    val shuffled = Dedup.semanticDedup(planted.repartition(7)).collect().toSeq
+    assert(base === shuffled)
+    // production form: passing the seed codebook explicitly is the
+    // identical computation
+    val emb = planted.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"))
+    val k = math.max(8L, (emb.count() + 511) / 512)
+    val codebook = emb
+      .filter(col("vec_id") >= 10L && col("vec_id") < 10L + k)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val viaCodebook = Dedup.semanticDedup(planted, codebook).collect().toSeq
+    assert(base === viaCodebook)
+  }
+
   test("library forms accept any frame shape (extra columns, shuffled order)") {
     import spark.implicits._
     // extra columns + non-canonical column order: the scaladoc contract
