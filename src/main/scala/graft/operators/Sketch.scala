@@ -739,7 +739,7 @@ object Sketch {
 
   // ------------------------------------------------------ C47 KMV sketch
   /** Sketch size: bottom-64 hashes per group. */
-  private val KmvK = 64
+  private[graft] val KmvK = 64
 
   /** Hash space: 12 hex chars of md5 = exactly 48 bits, so
     * (K−1)·M ≈ 2⁵⁴ stays long-safe through the estimator and the
@@ -750,6 +750,19 @@ object Sketch {
   private def kmvHash(c: Column): Column =
     conv(substring(md5(concat(lit("kmv:"), c.cast("string"))), 1, 12),
       16, 10).cast("long")
+
+  /** JVM twin of [[kmvHash]] for the streaming fold (the
+    * cmsBucketLocal precedent) — first 12 hex chars of the md5 as an
+    * unsigned 48-bit long; byte parity with the Column form is
+    * spec-pinned. */
+  private[graft] def kmvHashLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(("kmv:" + s).getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
 
   private def kmvAggCol(h: Column): Column = {
     import org.apache.spark.sql.graft.Bridge
@@ -768,12 +781,19 @@ object Sketch {
     * [[graft.functions.KmvAgg]] dedups inside the partial-agg buffer:
     * ≤64 longs per group per map task cross the wire, no global
     * DISTINCT pass. */
-  def kmvDistinct(events: DataFrame): DataFrame = {
-    val sk = col("sk")
-    events
+  def kmvDistinct(events: DataFrame): DataFrame =
+    kmvFinish(events
       .select(col("event_type"), kmvHash(col("user_id")).as("h"))
       .groupBy(col("event_type"))
-      .agg(kmvAggCol(col("h")).as("sk"))
+      .agg(kmvAggCol(col("h")).as("sk")))
+
+  /** Shared KMV finisher over an (event_type, sk: ascending ≤K longs)
+    * frame — the estimate/digest projection of [[kmvDistinct]], reused
+    * by the streaming form (D8), whose state re-merges to exactly this
+    * shape by the bottom-k semilattice law. */
+  private[graft] def kmvFinish(skFrame: DataFrame): DataFrame = {
+    val sk = col("sk")
+    skFrame
       .select(col("event_type"),
         size(sk).cast("long").as("n_kept"),
         element_at(sk, size(sk)).as("theta"),

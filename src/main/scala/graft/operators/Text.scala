@@ -805,7 +805,95 @@ object Text {
        |SELECT doc_id, term, tf, df, score_ppm, rnk
        |FROM s WHERE rnk <= $TfidfTopK""".stripMargin
 
+  // --------------------------------------------------------------- C49
+  /** Plant density for the `text_length_outliers` entry fixture. */
+  private[operators] val OutlierPlantMod = 97
+
+  /** ENTRY-LAYER FIXTURE (the plantTwins discipline): the corpus's
+    * n_chars is near-uniform per source (max |z| ≈ √3 for a uniform
+    * law), so a 3σ gate on clean data flags nothing at any SF and the
+    * driver would be hashing an all-true column. Every
+    * [[OutlierPlantMod]]-th doc gets a ×20-length copy at
+    * `doc_id + max+1` — a single extreme point in a ~25-row stratum
+    * sits at z ≈ √(n−1)·(n−1)/n > 3, so every SF flags deterministic
+    * rows and the oracle replays the same plant. Only the columns the
+    * operator reads survive (the planted row's text is NOT rewritten —
+    * the operator is a pure function of (key, value)). */
+  private[graft] def plantLengthOutliers(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
+    val off = base
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0) + 1L
+    base.unionAll(base.filter(col("doc_id") % OutlierPlantMod === 0)
+      .select((col("doc_id") + off).as("doc_id"), col("source"),
+        (col("n_chars") * 20).as("n_chars")))
+  }
+
+  /** Distribution-outlier filter (C49) — the statistical-curation
+    * primitive behind Gopher-style length/perplexity cutoffs: flag
+    * every row whose `value` sits more than k standard deviations from
+    * its group's mean, computed EXACTLY from integer power sums. The
+    * k·σ test is evaluated in cross-multiplied form —
+    * `(n·x − Σx)² > k²·(n·Σx² − (Σx)²)` — so no mean, variance, or
+    * sqrt is ever materialized: both sides are products/differences of
+    * exactly-rounded doubles built from exact integer sums (< 2⁵³ for
+    * any realistic length column; past that, promote the sums to
+    * decimal — the comparison form is unchanged), bit-identical
+    * cross-engine whatever they round to. σ = 0 and n = 1 groups flag
+    * nothing (0 > 0 is false) with no special case.
+    *
+    * Plan shape: one map-side-combined groupBy(key) power-sum
+    * aggregate (one row per group crosses the wire per partition),
+    * joined back — group-count-bounded, so AQE broadcasts it — and a
+    * pure per-row flag: two linear passes, zero corpus shuffles (the
+    * C34 two-pass-statistic shape). `mean_milli` = (Σx·1000) div n is
+    * emitted as the exact-integer audit of each group's center. */
+  def statOutliers(df: DataFrame, key: String, value: String,
+      k: Double): DataFrame = {
+    val stats = df.groupBy(col(key)).agg(
+      count(lit(1)).as("src_n"),
+      sum(col(value)).as("sm"),
+      sum(col(value) * col(value)).as("q"))
+    val nd = col("src_n").cast("double")
+    val xd = col(value).cast("double")
+    val smd = col("sm").cast("double")
+    val qd = col("q").cast("double")
+    val dev = nd * xd - smd
+    df.join(stats, key)
+      .withColumn("mean_milli", expr("sm * 1000 div src_n"))
+      .withColumn("outlier",
+        dev * dev > lit(k * k) * (nd * qd - smd * smd))
+      .drop("sm", "q")
+  }
+
+  def lengthOutliers(spark: SparkSession, dir: String): DataFrame =
+    statOutliers(plantLengthOutliers(docs(spark, dir)),
+        "source", "n_chars", 3.0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("src_n"), col("mean_milli"), col("outlier"))
+      .orderBy(col("doc_id"))
+
+  val lengthOutliersSql: String =
+    s"""WITH base AS (SELECT doc_id, source, n_chars FROM documents),
+       |raw AS (SELECT doc_id, source, n_chars FROM base
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM base), source,
+       |    n_chars * 20
+       |  FROM base WHERE doc_id % $OutlierPlantMod = 0),
+       |s AS (SELECT source, count(*) AS src_n,
+       |    CAST(sum(n_chars) AS BIGINT) AS sm,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+       |  FROM raw GROUP BY source)
+       |SELECT r.doc_id, r.source, r.n_chars, s.src_n,
+       |  (s.sm * 1000) // s.src_n AS mean_milli,
+       |  (s.src_n::DOUBLE * r.n_chars::DOUBLE - s.sm::DOUBLE)
+       |    * (s.src_n::DOUBLE * r.n_chars::DOUBLE - s.sm::DOUBLE)
+       |    > 9.0 * (s.src_n::DOUBLE * s.q::DOUBLE
+       |             - s.sm::DOUBLE * s.sm::DOUBLE) AS outlier
+       |FROM raw r JOIN s USING (source)
+       |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_outliers" -> lengthOutliers _,
     "text_tfidf_topk" -> (tfidfTopk(_, _)),
     "text_langid" -> langId _,
     "text_quality" -> quality _,
@@ -821,6 +909,7 @@ object Text {
     "text_bpe_learn" -> bpeLearn _)
 
   val oracles: Map[String, String] = Map(
+    "text_length_outliers" -> lengthOutliersSql,
     "text_tfidf_topk" -> tfidfTopkSql,
     "text_langid" -> langIdSql,
     "text_quality" -> qualitySql,

@@ -747,7 +747,107 @@ object Streams {
     graft.operators.Sketch.topkEstimate(sketch, cand, Seq("source"), 10)
   }
 
+  // --------------------------------------------------------------- D8
+  /** Bottom-k KMV state: ascending, ≤K longs, plus a fold version.
+    * Unlike D7's monotone counters, KMV EVICTS (a later batch's small
+    * hash pushes an earlier member out), so the sink's history is not
+    * max-mergeable — `ver` identifies each key's LATEST snapshot, and
+    * only that row set feeds the finisher. */
+  case class KmvState(hs: Array[Long], ver: Long)
+
+  case class KmvCell(event_type: String, sub: Int, ver: Long, h: Long)
+
+  private val KmvSubShards = 32
+
+  /** Streaming KMV distinct maintenance (D8) — C47's bottom-k sketch
+    * kept as live `flatMapGroupsWithState` state: the operational live
+    * distinct counter (HLL's register array cannot compose into set
+    * operations; this state can, which is why the KMV form is the one
+    * worth keeping online). Correctness rests on the bottom-k
+    * SEMILATTICE law C47's spec proves — bottomK(A ∪ B) =
+    * bottomK(bottomK(A) ∪ bottomK(B)) — which is idempotent as well as
+    * commutative/associative, so the state after any stream prefix IS
+    * the batch sketch of that prefix regardless of batch boundaries,
+    * duplicate arrivals, arrival order, or subshard layout
+    * (StreamsSpec proves streamed ≡ [[graft.operators.Sketch.kmvDistinct]]
+    * over a multi-batch out-of-order feed with cross-batch eviction).
+    *
+    * State is ≤K+1 longs per key forever. The hot-key discipline is
+    * D7's: key by (event_type, item-hash mod [[KmvSubShards]]) and
+    * re-merge subshards in the finisher — free and exact by the same
+    * semilattice law. [[localCombine]] collapses duplicate
+    * (type, user) arrivals per input partition before the state
+    * shuffle (KMV is duplicate-insensitive, so the counts it carries
+    * are simply ignored). Hashes are
+    * [[graft.operators.Sketch.kmvHashLocal]], the byte-parity JVM twin
+    * of the entry's md5-conv Column form. */
+  def kmvStreaming(users: Dataset[Tok]): Dataset[KmvCell] = {
+    import users.sparkSession.implicits._
+    val K = graft.operators.Sketch.KmvK
+    users.mapPartitions(localCombine(_))
+      .groupByKey(t =>
+        (t.source, java.lang.Math.floorMod(t.item.hashCode, KmvSubShards)))
+      .flatMapGroupsWithState[KmvState, KmvCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, Int), in: Iterator[TokC], state: GroupState[KmvState]) =>
+          val set = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(s => set ++= s.hs)
+          in.foreach { t =>
+            val h = graft.operators.Sketch.kmvHashLocal(t.item)
+            if (set.size < K || h < set.max) {
+              set += h
+              if (set.size > K) set -= set.max
+            }
+          }
+          val ver = state.getOption.map(_.ver + 1).getOrElse(1L)
+          val hs = set.toArray // ascending
+          state.update(KmvState(hs, ver))
+          hs.iterator.map(h => KmvCell(key._1, key._2, ver, h))
+      }
+  }
+
+  /** D8 entry: the events feed replayed through the streaming KMV
+    * (split=false, the D6/D7 gate shape), latest snapshot per
+    * (type, subshard) re-merged by union→bottom-k, then C47's batch
+    * finisher. With the whole feed folded the state IS the batch
+    * sketch, so the output equals `agg_kmv_distinct` and the oracle is
+    * kmvDistinctSql VERBATIM — the batch/streaming pair proven equal
+    * cross-engine. */
+  def streamKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "events")
+      .option("split", false)
+      .load()
+      .select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .map { case (t, u) => Tok(t, u.toString) }
+    val sinkName = s"graft_d8_${System.nanoTime()}"
+    val q = withStatePartitions(spark, 32) {
+      kmvStreaming(feed)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    // latest snapshot per key via a window over the (tiny,
+    // types×subshards×K-bounded) cell frame — a groupBy+self-join of
+    // the memory table trips conflicting-reference resolution
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("sub"))
+    val hs = spark.table(sinkName)
+      .withColumn("mv", max(col("ver")).over(w))
+      .filter(col("ver") === col("mv"))
+      .select(col("event_type"), col("h"))
+    graft.operators.Sketch.kmvFinish(
+      hs.groupBy(col("event_type"))
+        .agg(slice(sort_array(collect_set(col("h"))), 1,
+          graft.operators.Sketch.KmvK).as("sk")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_kmv_distinct" -> streamKmvDistinct _,
     "stream_window_agg" -> windowAgg _,
     "stream_sessionize" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
@@ -757,6 +857,7 @@ object Streams {
     "stream_topk_sketch" -> streamTopkSketch _)
 
   val oracles: Map[String, String] = Map(
+    "stream_kmv_distinct" -> graft.operators.Sketch.kmvDistinctSql,
     "stream_window_agg" -> windowAggSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_dedup" -> streamDedupSql,

@@ -541,4 +541,49 @@ class TextSpec extends SparkSpec {
       assert(bad.count() === 0, "score must be non-increasing in rank")
     } finally out.unpersist()
   }
+
+  test("stat outliers: hand-computed fixture, sigma=0 and n=1 groups flag nothing") {
+    import spark.implicits._
+    // source a: 24 tens and one thousand — the extreme point's
+    // z² = dev²/varN2 ≈ 24, far past 9; every ten sits at z² ≈ 0.04.
+    // source b: constant (σ = 0). source c: singleton (n = 1).
+    val rows = (1L to 24L).map(i => (i, "a", 10L)) ++
+      Seq((25L, "a", 1000L), (26L, "b", 7L), (27L, "b", 7L), (28L, "c", 99L))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val out = Text.statOutliers(df, "source", "n_chars", 3.0)
+      .select(col("doc_id"), col("outlier"), col("mean_milli"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    val flagged = out.filter(_._2).map(_._1).toSet
+    assert(flagged === Set(25L))
+    // exact-integer mean audit: source a mean = 1240/25 = 49.6
+    assert(out.find(_._1 === 1L).get._3 === 49600L)
+    assert(out.find(_._1 === 28L).get._3 === 99000L)
+  }
+
+  test("length outliers: flagged set is exactly the planted rows; driver-side differential") {
+    val planted = Text.plantLengthOutliers(
+      graft.Tables(spark, dir, "documents"))
+    val res = Text.statOutliers(planted, "source", "n_chars", 3.0)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("outlier"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // differential: recompute the cross-multiplied k·σ test with the
+    // same exactly-rounded double operations driver-side
+    val stats = res.groupBy(_._2).map { case (src, rs) =>
+      src -> (rs.length.toLong, rs.map(_._3).sum, rs.map(x => x._3 * x._3).sum)
+    }
+    res.foreach { case (id, src, x, got) =>
+      val (n, sm, q) = stats(src)
+      val dev = n.toDouble * x.toDouble - sm.toDouble
+      val want = dev * dev >
+        9.0 * (n.toDouble * q.toDouble - sm.toDouble * sm.toDouble)
+      assert(got === want, s"doc $id")
+    }
+    // the corpus's per-source n_chars is near-uniform (max |z| ≈ √3),
+    // so the 3σ flags are exactly the ×20 plants — the fixture doing
+    // its job of keeping the driver gate non-vacuous
+    val off = graft.Tables(spark, dir, "documents")
+      .agg(max(col("doc_id"))).head.getLong(0) + 1
+    val flagged = res.filter(_._4).map(_._1).toSet
+    assert(flagged.nonEmpty && flagged === res.map(_._1).filter(_ >= off).toSet)
+  }
 }

@@ -464,6 +464,69 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("D8: streaming KMV equals the batch sketch; later batches evict across batches") {
+    import spark.implicits._
+    import graft.streaming.Streams.Tok
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tok]
+    val name = s"d8_test_${System.nanoTime()}"
+    val q = Streams.kmvStreaming(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    // >K distinct per (type, subshard) so the sketch saturates and
+    // batch 2's smaller hashes must EVICT batch-1 members; overlapping
+    // id ranges exercise duplicate-arrival idempotence
+    val b1 = (0L until 2000L).map(i => Tok("click", i.toString)) ++
+      (0L until 300L).map(i => Tok("view", (i * 7).toString))
+    val b2 = (1500L until 3500L).map(i => Tok("click", i.toString)) ++
+      (0L until 300L).map(i => Tok("view", (i * 3).toString))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = spark.table(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("sub"))
+    val hs = cells.withColumn("mv", max(col("ver")).over(w))
+      .filter(col("ver") === col("mv"))
+      .select(col("event_type"), col("h"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    val streamed = rows(graft.operators.Sketch.kmvFinish(
+      hs.groupBy(col("event_type"))
+        .agg(slice(sort_array(collect_set(col("h"))), 1,
+          graft.operators.Sketch.KmvK).as("sk"))))
+    val direct = rows(graft.operators.Sketch.kmvDistinct(
+      (b1 ++ b2).map(t => (t.source, t.item)).toDF("event_type", "user_id")))
+    assert(streamed === direct)
+    // the click sketch saturated (3500 distinct >> K)
+    assert(streamed.find(_._1 === "click").get._2 ===
+      graft.operators.Sketch.KmvK.toLong)
+    // direct eviction evidence: some batch-1 member of a subshard that
+    // re-emitted in batch 2 is gone from its ver=2 snapshot
+    def snap(v: Int) = cells
+      .filter(col("ver") === v && col("event_type") === "click")
+      .select(col("sub"), col("h")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val v1 = snap(1); val v2 = snap(2)
+    val resub = v2.map(_._1)
+    assert((v1.filter(p => resub(p._1)) -- v2).nonEmpty,
+      "expected cross-batch eviction in at least one subshard")
+  }
+
+  test("D8: kmvHashLocal is byte-identical to the md5-conv Column form") {
+    import spark.implicits._
+    val items = Seq("0", "42", "-7", "999999999999", "", "ünïcode", "a,b|c")
+    val fromCol = items.toDF("s")
+      .select(conv(substring(md5(concat(lit("kmv:"), col("s"))), 1, 12),
+        16, 10).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fromCol === items.map(graft.operators.Sketch.kmvHashLocal))
+  }
+
   test("D7 map-side combiner conserves per-key counts under any flush cap") {
     import graft.streaming.Streams.Tok
     val toks = Seq(Tok("a", "x"), Tok("a", "y"), Tok("a", "x"), Tok("b", "x"),
