@@ -545,6 +545,107 @@ object Dedup {
 
   val ngramJaccardSql: String = jaccardPairsSql(0.5)
 
+  // --------------------------------------------------------------- C4d
+  /** Containment threshold (ppm): flag a pair when the SMALLER side is
+    * ≥90% contained in the other. */
+  private val ContainPpm = 900000L
+  private[operators] val SubsetPlantMod = 150
+
+  /** ENTRY-LAYER FIXTURE for `dedup_ngram_containment`: every
+    * [[SubsetPlantMod]]-th doc gets a TRUNCATED copy (its first
+    * max(3, ⌊tokens/2⌋) tokens) at `doc_id + max+1` — a strict
+    * near-SUBSET whose shingles all appear in the original, so its
+    * containment is exactly 10⁶ ppm while its JACCARD is ≈ ½ and
+    * below C4's 0.5 gate: precisely the pair class the symmetric
+    * measure misses, guaranteed present at every SF. */
+  private[graft] def plantSubsets(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    val off = base
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0) + 1L
+    base.unionAll(base.filter(col("doc_id") % SubsetPlantMod === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select((col("doc_id") + off).as("doc_id"),
+        array_join(slice(col("toks"), lit(1),
+          greatest(lit(3), expr("size(toks) div 2").cast("int"))), " ")
+          .as("text")))
+  }
+
+  /** Exact n-gram CONTAINMENT pairs (C4d) — the ASYMMETRIC complement
+    * of C4's Jaccard: C(A→B) = |A∩B| / |A| (Broder 1997's containment;
+    * the measure Lee et al. 2022-style curation uses for
+    * subset/boilerplate structure). A page-inside-page+boilerplate
+    * pair sits at containment ≈ 1 but Jaccard ≈ |A|/|B| — invisible to
+    * every symmetric gate in C2/C4. Emits each pair with shared-gram
+    * count, both set sizes, and BOTH directed containments as exact
+    * integer ppm (c·10⁶ div n — floor division both engines), kept
+    * when either direction reaches [[ContainPpm]].
+    *
+    * Plan shape is C4's verbatim (xxhash64 gram keys, df≥2 hot-gram
+    * semi-join prefilter, ReuseExchange self-join, size join, eager
+    * localCheckpoint releasing the shingle cache): the same exact
+    * ground-truth primitive with a different final measure, and the
+    * same 100 TB regime — run standalone it IS worst-case quadratic by
+    * definition; production runs it on LSH candidates (C2's banding,
+    * or C4b's prefix filter applied to the smaller side, whose
+    * prefix-size bound tightens as the containment threshold rises). */
+  def ngramContainment(documents: DataFrame): DataFrame = {
+    val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val grams = sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+      val hotGrams = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df")).filter(col("df") >= 2).select(col("gram"))
+      val pruned = grams.join(hotGrams, Seq("gram"), "left_semi")
+      val shared = pruned.as("a")
+        .join(pruned.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          col("sa.n").as("na"), col("sb.n").as("nb"),
+          expr("shared * 1000000 div na").as("ca_ppm"),
+          expr("shared * 1000000 div nb").as("cb_ppm"))
+        .filter(greatest(col("ca_ppm"), col("cb_ppm")) >= ContainPpm)
+        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    } finally sh.unpersist()
+  }
+
+  def ngramContainment(spark: SparkSession, dir: String): DataFrame =
+    ngramContainment(plantSubsets(docs(spark, dir)))
+
+  val ngramContainmentSql: String =
+    s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+       |pl AS (SELECT doc_id, text FROM d0
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM d0),
+       |    array_to_string(toks[1:greatest(3, len(toks) // 2)], ' ')
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d0)
+       |  WHERE doc_id % $SubsetPlantMod = 0),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM pl)
+       |  WHERE len(toks) >= 3),
+       |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
+       |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |shared AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, c AS shared, sa.n AS na, sb.n AS nb,
+       |  (c * 1000000) // sa.n AS ca_ppm, (c * 1000000) // sb.n AS cb_ppm
+       |FROM shared JOIN sz sa ON doc_a = sa.doc_id
+       |  JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE greatest((c * 1000000) // sa.n, (c * 1000000) // sb.n)
+       |  >= $ContainPpm
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---------------------------------------------------------------- C2
   private val MinhashK = 64
   private val MinhashBands = 16
@@ -1461,6 +1562,9 @@ object Dedup {
     // gate, not just its two component plans
     "dedup_ngram_auto" ->
       ((s: SparkSession, d: String) => ngramJaccardAuto(docs(s, d), 0.8)),
+    // asymmetric containment (C4d): planted truncated-copy fixture in
+    // the entry layer — the near-SUBSET pair class Jaccard misses
+    "dedup_ngram_containment" -> (ngramContainment(_, _)),
     "dedup_minhash_lsh" -> minhashLsh _,
     "dedup_simhash" -> simhash _,
     "dedup_simhash_pairs" -> simhashPairs _,
@@ -1486,6 +1590,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_ngram_prefix" -> minhashLshSql,
     "dedup_ngram_auto" -> minhashLshSql,
+    "dedup_ngram_containment" -> ngramContainmentSql,
     "dedup_minhash_lsh" -> minhashLshSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

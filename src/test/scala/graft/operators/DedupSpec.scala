@@ -166,6 +166,44 @@ class DedupSpec extends SparkSpec {
     assert(res === Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("containment: subset pairs invisible to Jaccard; hand fixture; direction laws") {
+    import spark.implicits._
+    // hand fixture: B's shingles are a strict subset of A's (full
+    // containment, Jaccard 0.5); D sits exactly ON the 0.9 gate against
+    // C (9 of C's 10 shingles); E is unrelated
+    val a = "t1 t2 t3 t4 t5 t6"            // shingles: 4
+    val b = "t1 t2 t3 t4"                  // 2, both in A
+    val c = (1 to 12).map("c" + _).mkString(" ")       // 10 shingles
+    val d = (1 to 11).map("c" + _).mkString(" ")       // 9, all in C
+    val e = "x1 x2 x3 x4 x5"
+    val fx = Seq((1L, a), (2L, b), (3L, c), (4L, d), (5L, e)).toDF("doc_id", "text")
+    val out = Dedup.ngramContainment(fx).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)))
+    assert(out.toSet === Set(
+      (1L, 2L, 2L, 500000L, 1000000L),  // B fully inside A
+      (3L, 4L, 9L, 900000L, 1000000L))) // D on the 0.9 boundary (kept)
+    // the planted truncated copy on the real corpus: containment flags
+    // (orig, orig+off) at cb = 1e6 while C4's Jaccard gate does not
+    val base = graft.Tables(spark, dir, "documents")
+    val off = base.agg(max(col("doc_id"))).head.getLong(0) + 1
+    val planted = Dedup.ngramContainment(Dedup.plantSubsets(base)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val plantPair = planted.find(p => p._1 === 0L && p._2 === off)
+    assert(plantPair.nonEmpty, "planted subset pair must surface")
+    assert(plantPair.get._7 === 1000000L, "truncation is FULLY contained")
+    val jacc = Dedup.ngramJaccard(Dedup.plantSubsets(base)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jacc.contains((0L, off)),
+      "the subset pair must be invisible to the symmetric 0.5 Jaccard gate")
+    // direction laws on the corpus output
+    planted.foreach { case (da, db, sh, na, nb, ca, cb) =>
+      assert(sh <= math.min(na, nb), s"($da,$db) shared exceeds a side")
+      assert(ca <= 1000000L && cb <= 1000000L, s"($da,$db) ppm out of range")
+      assert(math.max(ca, cb) >= 900000L, s"($da,$db) below the gate")
+    }
+  }
+
   test("semantic dedup: brute-force differential on the planted corpus, twins drop, keep-first") {
     // replay the WHOLE algorithm driver-side (assignment argmin + the
     // within-cluster earlier-member cosine rule) and compare
