@@ -1039,11 +1039,15 @@ object Dedup {
     * sequential variant is chain-dependent and neither distributable
     * nor SQL-expressible). Output: (vec_id, cid, kept) for every row.
     *
-    * Plan shape: assignment is a broadcast codebook probe — the k-row
-    * codebook crosses the corpus (the ann_* broadcast semantics; the
-    * ONLY nested-loop in the plan, build side k rows), per-row distance
-    * = cn − 2·dot (the row's own norm is assignment-invariant and
-    * dropped), argmin via a map-side-collapsing min(struct(d, cid)).
+    * Plan shape: assignment is a PURE PROJECTION — the k-row codebook
+    * collects bounded and rides into every task inside the native
+    * codegen [[org.apache.spark.sql.graft.NearestCentroid]] expression
+    * (one tight k×d loop per row; per-row distance = cn − 2·dot, the
+    * row's own norm being assignment-invariant; ties (d, cid)). No
+    * join, no aggregate: the broadcast-probe crossJoin + min(struct)
+    * form it replaced materialized k×n vector-carrying rows into a
+    * struct-min SortAggregate — 324s at sf10 (measured) vs
+    * projection cost here.
     * The within-cluster verify joins the assigned frame to itself ON
     * cid — both sides the same object, so ReuseExchange materializes
     * the one corpus shuffle once — with the cosine predicate INSIDE the
@@ -1062,21 +1066,26 @@ object Dedup {
     * ties break (d, cid). No quantization needed — both engines
     * compute the same doubles, whatever they are. */
   def semanticDedup(embeddings: DataFrame, codebook: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, NearestCentroid}
     val emb = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("e"))
-    val cents = codebook.select(col("cid"), col("ce"),
-      dot(col("ce"), col("ce")).as("cn"))
-    val assigned = emb.crossJoin(broadcast(cents))
+    // bounded collect: the codebook is k ≈ n/SemClusterTarget rows (the
+    // C34/C42 bounded-scalar pattern); it rides into every task as an
+    // expression constant. A broadcast-probe crossJoin + min(struct)
+    // argmin computed the same assignment but materialized k×n
+    // VECTOR-CARRYING rows into a struct-min SortAggregate — 324s at
+    // sf10 vs projection-speed here (see NearestCentroid's scaladoc).
+    val cb = codebook.select(col("cid").cast("long"), col("ce"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val assigned = emb
       .select(col("vec_id"), col("e"),
-        struct((col("cn") - lit(2.0) * dot(col("e"), col("ce"))).as("d"),
-          col("cid").as("cid")).as("dc"))
-      .groupBy(col("vec_id"))
-      .agg(min(col("dc")).as("m"), first(col("e")).as("e"))
-      .select(col("vec_id"), col("m.cid").as("cid"), col("e"))
+        Bridge.column(NearestCentroid(Bridge.expression(col("e")),
+          cb.map(_._1), cb.map(_._2))).as("cid"))
       // explicit null guards (no-ops under the input contract): the
       // left-outer self-join below pushes isnotnull(vec_id)/isnotnull(cid)
       // into its BUILD side only, which would de-canonicalize the two
-      // sides and re-run the codebook probe per side — stating the same
+      // sides and re-run the assignment scan per side — stating the same
       // filters on the shared frame keeps both subtrees identical so
       // ReuseExchange fires (PlanAuditSpec pins this)
       .filter(col("vec_id").isNotNull && col("cid").isNotNull)

@@ -19,15 +19,9 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivfpq", "ann_ivfpq_residual", "ann_ivfpq_perlist", "ann_recall_curve",
     "ann_mips_ivf")
 
-  // dedup_semantic's broadcast codebook probe is the ann_* class (a
-  // k-row build side crossing the corpus IS the assignment semantics);
-  // unlike ann_* it legitimately shuffle-joins on the cluster id, so it
-  // gets its own plan test below instead of joining the exempt sweep.
-  private val codebookProbe = Set("dedup_semantic")
-
   test("no entry plans a cartesian product or nested-loop join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!exempt(name) && !codebookProbe(name)) {
+      if (!exempt(name)) {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
         assert(!p.contains("CartesianProduct"),
           s"$name plans a cartesian product:\n$p")
@@ -51,22 +45,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("dedup_semantic: the only nested-loop is the broadcast codebook probe, run once") {
+  test("dedup_semantic: projection-only assignment, self-join reuses one exchange") {
     val df = SparkEntry.queries("dedup_semantic")(spark, dir)
     df.collect() // finalize the adaptive plan so ReuseExchange is visible
-    // the adaptive plan string appends the pre-AQE "Initial Plan" (which
-    // legitimately prints the probe subtree once per consumer) — audit
-    // only what actually ran
+    // audit only what actually ran (the adaptive plan string appends
+    // the pre-AQE "Initial Plan")
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(!p.contains("CartesianProduct"), s"dedup_semantic cartesian:\n$p")
-    // the assigned frame feeds three consumers (both self-join sides +
-    // the output); the FINAL plan must evaluate the codebook probe once
-    // and reuse the exchange above it — three live BNLJ instances would
-    // mean the corpus is scanned and scored three times
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
-    assert(bnlj == 1, s"dedup_semantic expected 1 live codebook BNLJ, got $bnlj:\n$p")
-    assert(p.contains("ReusedExchange"),
-      s"dedup_semantic self-join sides must reuse the assignment exchange:\n$p")
+    // assignment is the NearestCentroid projection — any join-shaped
+    // assignment (the 324s-at-sf10 broadcast-probe + struct-min
+    // SortAggregate draft) shows up as a BNLJ here
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"dedup_semantic assignment must be a projection:\n$p")
+    assert(p.contains("graft_nearest_centroid"),
+      s"dedup_semantic must assign via the codegen kernel:\n$p")
+    // the self-join must be hash-based: at gate scale the build side
+    // broadcasts (the assignment is recomputed per side — a cheap
+    // scan+kernel projection now that no aggregate sits between scan
+    // and join); at shuffle scale the two identical sides reuse one
+    // cid exchange (the explicit null guards keep them canonical)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ReusedExchange"),
+      s"dedup_semantic self-join must broadcast or reuse one exchange:\n$p")
   }
 
   test("text_pii plans zero exchanges (pure per-row projection)") {
