@@ -1078,6 +1078,9 @@ object Dedup {
     val cb = codebook.select(col("cid").cast("long"), col("ce"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
+    require(cb.nonEmpty, "semanticDedup: empty codebook — the seed " +
+      s"convention needs vec_ids [$SemSeed, $SemSeed+k) present; pass " +
+      "a trained codebook to the 2-arg overload otherwise")
     val assigned = emb
       .select(col("vec_id"), col("e"),
         Bridge.column(NearestCentroid(Bridge.expression(col("e")),

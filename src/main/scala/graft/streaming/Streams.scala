@@ -846,7 +846,95 @@ object Streams {
           graft.operators.Sketch.KmvK).as("sk")))
   }
 
+  // --------------------------------------------------------------- D9
+  /** 64 log-histogram buckets (bit lengths of non-negative longs),
+    * fixed state per key forever. */
+  case class QHistState(cells: Array[Long])
+
+  case class QHistCell(g: String, sub: Int, bucket: Int, cnt: Long)
+
+  private val QSubShards = 32
+
+  /** JVM twin of Sketch's `length(bin(v))` bucket Column (0 for 0) —
+    * parity spec-pinned on power-of-two edges. Negative values fail
+    * fast, the batch raise_error discipline. */
+  private[streaming] def logBucketLocal(v: Long): Int = {
+    require(v >= 0,
+      s"stream quantile sketch: negative value $v — scale to non-negative first")
+    if (v == 0L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(v)
+  }
+
+  /** Streaming log-histogram quantile maintenance (D9) — C29's sketch
+    * as LIVE flatMapGroupsWithState state, completing the streaming
+    * sketch TRIO (D8 = distinct via the KMV semilattice, D7 =
+    * frequencies via the CMS count monoid, D9 = quantiles via the SAME
+    * count monoid over bit-length buckets): per-bucket counts add, so
+    * the summed state after any stream prefix IS the batch
+    * [[graft.operators.Sketch.logHistSketch]] of that prefix under any
+    * batch boundaries, arrival order, or subshard layout (StreamsSpec
+    * proves streamed ≡ batch over a multi-batch out-of-order feed).
+    * State is a FIXED 64 longs per key. Values map to buckets BEFORE
+    * the state shuffle, so [[localCombine]] collapses each partition
+    * to per-(group, bucket) counts — at most 64 rows per group per
+    * partition cross the wire whatever the value volume (the item is
+    * the bucket ordinal in string form: the Tok reuse costs one
+    * toInt per combined row, not per occurrence). */
+  def quantileSketchStreaming(toks: Dataset[Tok]): Dataset[QHistCell] = {
+    import toks.sparkSession.implicits._
+    toks.mapPartitions(localCombine(_))
+      .groupByKey(t =>
+        (t.source, java.lang.Math.floorMod(t.item.hashCode, QSubShards)))
+      .flatMapGroupsWithState[QHistState, QHistCell](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (String, Int), in: Iterator[TokC], state: GroupState[QHistState]) =>
+          val cells = state.getOption.map(_.cells.clone())
+            .getOrElse(new Array[Long](64))
+          in.foreach(t => cells(t.item.toInt) += t.cnt)
+          state.update(QHistState(cells))
+          (0 until 64).iterator.filter(cells(_) != 0L)
+            .map(b => QHistCell(key._1, key._2, b, cells(b)))
+      }
+  }
+
+  /** D9 entry: order cents (the exact-decimal Olap money discipline,
+    * applied IN Catalyst before rows reach the JVM fold) replayed
+    * through the streaming log-histogram (split=false, the D6/D7/D8
+    * gate shape), monotone max-snapshot per subshard, per-cell SUM
+    * re-merge (the C29b monoid law, operationally), then C29's batch
+    * finisher. With the whole feed folded the state IS the batch
+    * sketch, so the output equals `agg_quantile_sketch` and the oracle
+    * is quantileOrderValuesSql VERBATIM. */
+  def streamQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "orders")
+      .option("split", false)
+      .load()
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .as[(String, Long)]
+      .map { case (g, v) => Tok(g, logBucketLocal(v).toString) }
+    val sinkName = s"graft_d9_${System.nanoTime()}"
+    val q = withStatePartitions(spark, 32) {
+      quantileSketchStreaming(feed)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    val sketch = spark.table(sinkName)
+      .groupBy(col("g"), col("sub"), col("bucket"))
+      .agg(max(col("cnt")).as("c"))
+      .groupBy(col("g").as("o_orderpriority"), col("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+    graft.operators.Sketch.logHistQuantile(sketch,
+      Seq("o_orderpriority"), Seq(50, 90, 99))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quantile_sketch" -> streamQuantileSketch _,
     "stream_kmv_distinct" -> streamKmvDistinct _,
     "stream_window_agg" -> windowAgg _,
     "stream_sessionize" -> sessionizeBatch _,
@@ -857,6 +945,7 @@ object Streams {
     "stream_topk_sketch" -> streamTopkSketch _)
 
   val oracles: Map[String, String] = Map(
+    "stream_quantile_sketch" -> graft.operators.Sketch.quantileOrderValuesSql,
     "stream_kmv_distinct" -> graft.operators.Sketch.kmvDistinctSql,
     "stream_window_agg" -> windowAggSql,
     "stream_sessionize" -> sessionizeSql,

@@ -204,6 +204,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  private def dd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+  }
+
+  /** Driver-side replay of the whole semantic-dedup algorithm
+    * (assignment argmin + within-cluster earlier-member cosine rule)
+    * over an arbitrary codebook — shared by the seed-convention
+    * differential and the trained-codebook composition test. */
+  private def expectedSemantic(rows: Seq[(Long, Array[Double])],
+      cents: Seq[(Long, Array[Double])]): Set[(Long, Long, Boolean)] = {
+    val assign = rows.map { case (id, e) =>
+      val (_, cid) = cents.map { case (c, ce) =>
+        (dd(ce, ce) - 2.0 * dd(e, ce), c) }.min
+      (id, cid, e)
+    }
+    assign.map { case (id, cid, e) =>
+      val hit = assign.exists { case (id2, cid2, e2) =>
+        cid2 == cid && id2 < id &&
+          dd(e, e2) / (math.sqrt(dd(e, e)) * math.sqrt(dd(e2, e2))) >= 0.8
+      }
+      (id, cid, !hit)
+    }.toSet
+  }
+
   test("semantic dedup: brute-force differential on the planted corpus, twins drop, keep-first") {
     // replay the WHOLE algorithm driver-side (assignment argmin + the
     // within-cluster earlier-member cosine rule) and compare
@@ -214,25 +239,9 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val rows = planted.collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
-    def dd(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
-    }
     val k = math.max(8L, (rows.length + 511) / 512)
     val cents = rows.filter { case (id, _) => id >= 10L && id < 10L + k }
-    val assign = rows.map { case (id, e) =>
-      val (_, cid) = cents.map { case (c, ce) =>
-        (dd(ce, ce) - 2.0 * dd(e, ce), c) }.min
-      (id, cid, e)
-    }
-    val expected = assign.map { case (id, cid, e) =>
-      val hit = assign.exists { case (id2, cid2, e2) =>
-        cid2 == cid && id2 < id &&
-          dd(e, e2) / (math.sqrt(dd(e, e)) * math.sqrt(dd(e2, e2))) >= 0.8
-      }
-      (id, cid, !hit)
-    }
-    assert(res.toSet === expected.toSet)
+    assert(res.toSet === expectedSemantic(rows, cents))
     // non-vacuous: every planted EXACT twin is in its original's
     // cluster (identical vector => identical argmin) and drops
     val off = Tables(spark, dir, "embeddings")
@@ -245,6 +254,39 @@ class DedupSpec extends SparkSpec {
     res.groupBy(_._2).values.foreach { members =>
       assert(members.minBy(_._1)._3, "cluster-min vec_id must be kept")
     }
+  }
+
+  test("semantic dedup composes with a TRAINED codebook (the C38 -> C48 production path)") {
+    import spark.implicits._
+    // one driver-side Lloyd step over the seed codebook stands in for
+    // the C38 trainer's output: centroids are now cluster MEANS, not
+    // corpus rows, with their own cid space — the codebook overload
+    // must accept any (cid, ce) frame and the result must match the
+    // driver-side replay under that codebook
+    val emb = Tables(spark, dir, "embeddings")
+    val rows = emb.select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val seeds = rows.filter { case (id, _) => id >= 10L && id < 18L }
+    val assign0 = rows.map { case (id, e) =>
+      seeds.map { case (c, ce) => (dd(ce, ce) - 2.0 * dd(e, ce), c) }.min._2 -> e
+    }
+    val trained = assign0.groupBy(_._1).toSeq.map { case (c, members) =>
+      val dim = members.head._2.length
+      val m = new Array[Double](dim)
+      members.foreach { case (_, e) =>
+        var i = 0; while (i < dim) { m(i) += e(i); i += 1 } }
+      var i = 0
+      while (i < dim) { m(i) /= members.length; i += 1 }
+      (c * 1000L + 7L) -> m // fresh cid space: codebook ids need not be vec_ids
+    }.sortBy(_._1)
+    val codebook = trained.map { case (c, m) => (c, m.toSeq) }
+      .toDF("cid", "ce")
+    val res = Dedup.semanticDedup(emb, codebook).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(res === expectedSemantic(rows, trained))
+    // every vector assigned to a trained cid, none to a vec_id
+    assert(res.forall(_._2 % 1000L === 7L))
   }
 
   test("semantic dedup is layout-invariant and the codebook overload binds") {

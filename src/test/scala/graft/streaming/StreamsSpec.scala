@@ -527,6 +527,56 @@ class StreamsSpec extends SparkSpec {
     assert(fromCol === items.map(graft.operators.Sketch.kmvHashLocal))
   }
 
+  test("D9: streaming log-histogram equals the batch sketch across out-of-order batches") {
+    import spark.implicits._
+    import graft.streaming.Streams.Tok
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Tok]
+    val name = s"d9_test_${System.nanoTime()}"
+    val q = Streams.quantileSketchStreaming(input.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    // values spanning buckets incl. 0 and a repeat in a later batch
+    // (cross-batch carry); buckets computed by the JVM twin exactly as
+    // the entry's map stage does
+    val b1v = Seq("a" -> 0L, "a" -> 1L, "a" -> 7L, "b" -> 100L, "a" -> 7L)
+    val b2v = Seq("a" -> 6L, "b" -> 100L, "a" -> 1L, "b" -> 255L, "a" -> 1023L)
+    def toks(vs: Seq[(String, Long)]) =
+      vs.map { case (g, v) => Tok(g, Streams.logBucketLocal(v).toString) }
+    try {
+      input.addData(toks(b1v): _*)
+      q.processAllAvailable()
+      input.addData(toks(b2v): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table(name)
+      .groupBy(col("g"), col("sub"), col("bucket"))
+      .agg(max(col("cnt")).as("c"))
+      .groupBy(col("g"), col("bucket"))
+      .agg(sum(col("c")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val direct = graft.operators.Sketch
+      .logHistSketch((b1v ++ b2v).toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed === direct)
+    // cross-batch carry pinned explicitly: value 1 (bucket 1) arrived
+    // once per batch for 'a' — the final snapshot must hold BOTH
+    assert(streamed.contains(("a", 1, 2L)),
+      "bucket(1) must carry both batches' counts")
+  }
+
+  test("D9: logBucketLocal matches the length(bin(v)) Column idiom; negatives fail fast") {
+    import spark.implicits._
+    val edges = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 255L, 256L, 1023L,
+      (1L << 62) - 1, 1L << 62, Long.MaxValue)
+    val fromCol = edges.toDF("v")
+      .select(when(col("v") === 0, lit(0))
+        .otherwise(length(bin(col("v")))).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(fromCol === edges.map(Streams.logBucketLocal))
+    intercept[IllegalArgumentException](Streams.logBucketLocal(-1L))
+  }
+
   test("D7 map-side combiner conserves per-key counts under any flush cap") {
     import graft.streaming.Streams.Tok
     val toks = Seq(Tok("a", "x"), Tok("a", "y"), Tok("a", "x"), Tok("b", "x"),
