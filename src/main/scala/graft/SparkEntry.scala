@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Ann, ArrowOps, AsofJoin, Dedup, Events, Functions, Layout, Multimodal, Olap, Pipeline, Sketch, Text}
+import graft.operators.{Ann, ArrowOps, AsofJoin, Dedup, Events, Functions, Graph, Layout, Multimodal, Olap, Pipeline, Sketch, Text}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
     Olap.queries ++ Text.queries ++ Dedup.queries ++ Ann.queries ++
       Functions.queries ++ ArrowOps.queries ++ Streams.queries ++
       Multimodal.queries ++ Pipeline.queries ++ AsofJoin.queries ++
-      Sketch.queries ++ Layout.queries ++ Events.queries
+      Sketch.queries ++ Layout.queries ++ Events.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
     Olap.oracles ++ Text.oracles ++ Dedup.oracles ++ Ann.oracles ++
       Functions.oracles ++ ArrowOps.oracles ++ Streams.oracles ++
       Multimodal.oracles ++ Pipeline.oracles ++ AsofJoin.oracles ++
-      Sketch.oracles ++ Layout.oracles ++ Events.oracles
+      Sketch.oracles ++ Layout.oracles ++ Events.oracles ++ Graph.oracles
 }
