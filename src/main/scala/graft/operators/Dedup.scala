@@ -561,7 +561,7 @@ object Dedup {
   private[graft] def plantSubsets(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("text"))
     val off = base
-      .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0) + 1L
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0) + 1L
     base.unionAll(base.filter(col("doc_id") % SubsetPlantMod === 0)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select((col("doc_id") + off).as("doc_id"),
@@ -895,7 +895,7 @@ object Dedup {
     val base = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("embedding"))
     val plantOffset = base
-      .agg(coalesce(max(col("vec_id")), lit(-1L))).head.getLong(0) + 1L
+      .agg(coalesce(max(col("vec_id")), lit(-1L))).head().getLong(0) + 1L
     base.unionAll(
       base.filter(col("vec_id") % PlantMod === 0)
         .select((col("vec_id") + plantOffset).as("vec_id"),
@@ -1018,7 +1018,7 @@ object Dedup {
     val base = embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("embedding"))
     val off = base
-      .agg(coalesce(max(col("vec_id")), lit(-1L))).head.getLong(0) + 1L
+      .agg(coalesce(max(col("vec_id")), lit(-1L))).head().getLong(0) + 1L
     base
       .unionAll(base.filter(col("vec_id") % SemTwinMod === 0)
         .select((col("vec_id") + off).as("vec_id"), col("embedding")))

@@ -822,7 +822,7 @@ object Text {
   private[graft] def plantLengthOutliers(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), col("source"), col("n_chars"))
     val off = base
-      .agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0) + 1L
+      .agg(coalesce(max(col("doc_id")), lit(-1L))).head().getLong(0) + 1L
     base.unionAll(base.filter(col("doc_id") % OutlierPlantMod === 0)
       .select((col("doc_id") + off).as("doc_id"), col("source"),
         (col("n_chars") * 20).as("n_chars")))
