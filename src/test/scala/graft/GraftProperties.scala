@@ -332,4 +332,48 @@ object GraftProperties extends Properties("graft") {
       val r = FilterSql.parseWhere(s)
       r.isDefined || r.isEmpty
     }
+
+  // ----------------------------------------------------- NearestCentroid
+  private val ncDim = 8
+  private val ncVec = Gen.listOfN(ncDim, Gen.chooseNum(-4.0, 4.0)).map(_.toArray)
+
+  /** The C48 assignment kernel must equal the argmin it replaced —
+    * distance `dot(c,c) − 2·dot(e,c)` via the same sequential folds,
+    * ties to the smaller cid — for ANY codebook order, including
+    * duplicated centroids (which force exact distance ties). */
+  property("nearestcentroid: equals the (distance, cid) argmin reference") =
+    forAll(ncVec, Gen.resize(6, Gen.nonEmptyListOf(ncVec)),
+        Gen.choose(0, 5)) { (e, cbRaw, dupAt) =>
+      // duplicate one centroid under a different cid to force a tie
+      val cb = cbRaw ++ List(cbRaw(dupAt % cbRaw.length))
+      val cids = cb.indices.map(i => (i * 7 + 3).toLong).toArray
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val ref = cb.zip(cids)
+        .map { case (c, id) => (dot(c, c) - 2.0 * dot(e, c), id) }
+        .minBy(identity)._2
+      val cns = cb.map(c => dot(c, c)).toArray
+      val got = org.apache.spark.sql.graft.NearestCentroid.assign(
+        ArrayData.toArrayData(e), cids, cb.toArray, cns)
+      got != null && got.longValue() == ref
+    }
+
+  property("nearestcentroid: mismatched-length centroids are skipped; all-skipped is null") =
+    forAll(ncVec, Gen.resize(4, Gen.nonEmptyListOf(ncVec))) { (e, cb) =>
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      // a short centroid wedged in front must never win
+      val bad = e.take(ncDim - 1)
+      val all = (bad :: cb).toArray
+      val cids = all.indices.map(_.toLong).toArray
+      val cns = all.map(c => dot(c, c))
+      val got = org.apache.spark.sql.graft.NearestCentroid.assign(
+        ArrayData.toArrayData(e), cids, all, cns)
+      val refOk = cb.zipWithIndex
+        .map { case (c, i) => (dot(c, c) - 2.0 * dot(e, c), (i + 1).toLong) }
+        .minBy(identity)._2
+      val onlyBad = org.apache.spark.sql.graft.NearestCentroid.assign(
+        ArrayData.toArrayData(e), Array(0L), Array(bad), Array(dot(bad, bad)))
+      got != null && got.longValue() == refOk && onlyBad == null
+    }
 }
