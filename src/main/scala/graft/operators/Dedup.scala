@@ -592,6 +592,10 @@ object Dedup {
     val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // xxhash64 gram keys match the C4 pattern; the accepted (and
+      // astronomically small) risk is a 64-bit collision inflating
+      // `shared` vs the raw-string oracle join. Birthday-bound corpora
+      // would join on the gram string (or a wider hash) in both engines.
       val grams = sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
         .select(col("doc_id"), xxhash64(col("gram")).as("gram"))
       val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))

@@ -849,10 +849,13 @@ object Text {
     * emitted as the exact-integer audit of each group's center. */
   def statOutliers(df: DataFrame, key: String, value: String,
       k: Double): DataFrame = {
+    // Square a LONG-cast column: int*int would wrap at 32 bits before
+    // the long sum ever saw it (the oracle side errors instead).
+    val vLong = col(value).cast("long")
     val stats = df.groupBy(col(key)).agg(
       count(lit(1)).as("src_n"),
-      sum(col(value)).as("sm"),
-      sum(col(value) * col(value)).as("q"))
+      sum(vLong).as("sm"),
+      sum(vLong * vLong).as("q"))
     val nd = col("src_n").cast("double")
     val xd = col(value).cast("double")
     val smd = col("sm").cast("double")

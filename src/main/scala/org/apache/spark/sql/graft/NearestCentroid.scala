@@ -69,6 +69,23 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_nearest_centroid"
+
+  // Case-class equality over Array fields is reference equality, which
+  // would make two structurally equal kernels (e.g. built from separate
+  // collect() calls) never canonicalize together — silently defeating
+  // subexpression elimination and exchange reuse. Compare contents.
+  override def equals(other: Any): Boolean = other match {
+    case nc: NearestCentroid =>
+      nc.child == child &&
+        java.util.Arrays.equals(nc.cids, cids) &&
+        java.util.Arrays.deepEquals(
+          nc.cents.asInstanceOf[Array[AnyRef]],
+          cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + java.util.Arrays.hashCode(cids)) +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
 }
 
 object NearestCentroid {
