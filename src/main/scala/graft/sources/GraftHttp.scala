@@ -128,8 +128,58 @@ class GraftHttpServer(dir: String,
   }
   @volatile private var server: HttpServer = _
 
+  // in-flight (id, nonce) stream refcounts — the producer-side admin
+  // view a real server keeps of its running statements; entries land
+  // before the first frame and leave in the stream's finally. A
+  // refcount, not a set: one plan's N splits stream concurrently
+  // under ONE (id, nonce) and the handle must outlive the first
+  // split that finishes.
+  private val streaming =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Long), AtomicInteger]()
+  // bounded ledger of statements this server has STARTED streaming —
+  // the admin view that stays visible after a small result has already
+  // been flushed into the socket (the live gauge's window can be
+  // sub-millisecond for results that fit the kernel buffer, but the
+  // CLIENT is still draining and the poll monitor still interrupts it)
+  private val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+  private def streamOpened(id: Long, nonce: Long): Unit = {
+    if (streaming.computeIfAbsent((id, nonce), _ => new AtomicInteger(0))
+        .incrementAndGet() == 1) {
+      seen.add((id, nonce))
+      while (seen.size() > 64) seen.poll()
+    }
+  }
+  private def streamClosed(id: Long, nonce: Long): Unit =
+    streaming.computeIfPresent((id, nonce),
+      (_, c) => if (c.decrementAndGet() <= 0) null else c)
+
   /** In-flight /v1/query streams (gauge — the cancel spec's observable). */
   def activeScans: Int = active.get()
+  /** The (query id, nonce) handles currently streaming — what a
+    * producer-side admin cancels (r15: the poll-monitor entry's
+    * kill-switch observable). */
+  def activeStreams: Seq[(Long, Long)] = {
+    val it = streaming.keySet().iterator()
+    val b = Seq.newBuilder[(Long, Long)]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  /** Statements that have STARTED streaming (bounded ledger, newest
+    * last) — the admin's kill-list even when the live gauge's window
+    * has already closed. */
+  def seenStatements: Seq[(Long, Long)] = {
+    val it = seen.iterator()
+    val b = Seq.newBuilder[(Long, Long)]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+  /** Producer-side cancel of a running statement — what an admin (or
+    * the producer's own resource governor) does; consumers learn of it
+    * through the client-side [[CancelPollMonitor]]. */
+  def cancelStatement(id: Long, nonce: Long): Unit = {
+    cancels.incrementAndGet()
+    cancelledIds.put((id, nonce), System.currentTimeMillis() + CancelTtlMillis)
+  }
   /** Streams terminated early by client disconnect or /v1/cancel. */
   def abortedScans: Int = aborted.get()
   /** /v1/cancel requests received (the task-close propagation observable). */
@@ -247,10 +297,19 @@ class GraftHttpServer(dir: String,
     val p = params(ex.getRequestURI.getRawQuery)
     p.get("id").flatMap(_.toLongOption) match {
       case Some(id) =>
-        cancels.incrementAndGet()
         val nonce = p.get("nonce").flatMap(_.toLongOption).getOrElse(0L)
-        cancelledIds.put((id, nonce), System.currentTimeMillis() + CancelTtlMillis)
-        respond(ex, 200, "cancelled")
+        if (p.contains("check")) {
+          // r15 cancel-STATE probe — what CancelPollMonitor polls
+          // (the consumer-side twin of cancel_monitor.cpp's loop).
+          // Read-only: never registers a cancel, never bumps the
+          // cancels counter.
+          respond(ex, 200,
+            s"""{"cancelled":${isCancelled(id, nonce)}}""",
+            "application/json")
+        } else {
+          cancelStatement(id, nonce)
+          respond(ex, 200, "cancelled")
+        }
       case None => respond(ex, 400, "graft-http: cancel requires id")
     }
   }
@@ -397,6 +456,7 @@ class GraftHttpServer(dir: String,
       }
 
     active.incrementAndGet()
+    if (queryId >= 0) streamOpened(queryId, nonce)
     ex.getResponseHeaders.set("Content-Type", ArrowContentType)
     ex.sendResponseHeaders(200, 0) // chunked — length unknown, stream live
     val out = ex.getResponseBody
@@ -420,6 +480,7 @@ class GraftHttpServer(dir: String,
         throw e
     } finally {
       ipc.close()
+      if (queryId >= 0) streamClosed(queryId, nonce)
       active.decrementAndGet()
     }
   }
@@ -547,45 +608,77 @@ class HttpEndpoint(baseUrl: String, token: Option[String],
                   else Seq(base)) ++ split.altEndpoints).distinct
     def openHost(at: String): (HttpURLConnection, Iterator[Array[Byte]]) = {
       val conn = checked(openAt(at, path, ArrowContentType))
-      (conn, ArrowBridge.batchesFromStream(
+      // strict framing (r15): EOF without the end-of-stream marker is
+      // an ERROR — a producer dying mid-stream must never read as a
+      // short-but-valid result (silent truncation at scale)
+      (conn, ArrowBridge.strictBatchesFromStream(
         java.nio.channels.Channels.newChannel(conn.getInputStream)))
     }
     var hostIdx = 0
     var current: (HttpURLConnection, Iterator[Array[Byte]]) = null
+    // producer-cancel poll (r15, cancel_monitor.cpp parity): register
+    // this stream's (url, token, id, nonce) with the per-JVM monitor;
+    // the poll follows failover via handle.url, and onCancel breaks a
+    // BLOCKED read by dropping the live connection — checkCancelled
+    // below turns the flag into the task-failing exception at the
+    // next frame boundary either way
+    val handle = CancelPollMonitor.register(
+      hosts.head, token, split.queryId, split.nonce)
+    def checkCancelled(): Unit =
+      if (handle.isCancelled)
+        throw new java.io.IOException(
+          s"graft-http: query ${split.queryId} cancelled by producer")
     /** Open hosts(hostIdx), advancing past dead ones; rethrows the
       * failure only when no host is left. */
     def openNext(): Unit = {
       current = null
       while (current == null) {
-        try current = openHost(hosts(hostIdx))
-        catch {
+        try {
+          current = openHost(hosts(hostIdx))
+          handle.url = hosts(hostIdx)
+        } catch {
           case e: java.io.IOException =>
             if (hostIdx >= hosts.length - 1) throw e
             hostIdx += 1
         }
       }
     }
-    openNext()
+    try openNext()
+    catch { case e: Throwable => CancelPollMonitor.unregister(handle); throw e }
+    handle.onCancel = () =>
+      Option(current).foreach(c =>
+        try c._1.disconnect() catch { case _: Exception => })
     var delivered = false
     val it = new Iterator[Array[Byte]] {
       private def guard[A](body: => A): A =
         try body
         catch {
           case e: java.io.IOException =>
+            // a producer cancel is terminal — never a failover retry.
+            // The async poll may not have ticked yet when the stream
+            // dies, so a failure additionally asks the producer
+            // directly (one RTT) before being treated as a transport
+            // fault — cancelled scans always fail ATTRIBUTED.
+            checkCancelled()
+            if (CancelPollMonitor.checkNow(handle)) checkCancelled()
             if (delivered || hostIdx >= hosts.length - 1) throw e
             try current._1.disconnect() catch { case _: Exception => }
             hostIdx += 1
             openNext()
             body
         }
-      override def hasNext: Boolean = guard(current._2.hasNext)
+      override def hasNext: Boolean = { checkCancelled(); guard(current._2.hasNext) }
       override def next(): Array[Byte] = {
+        checkCancelled()
         val b = guard(current._2.next())
         delivered = true
         b
       }
     }
-    IpcStream(it, () => Option(current).foreach(_._1.disconnect()))
+    IpcStream(it, () => {
+      CancelPollMonitor.unregister(handle)
+      Option(current).foreach(_._1.disconnect())
+    })
   }
 
   override def scan(split: SplitInfo, query: QuerySpec): IpcStream =
@@ -668,13 +761,17 @@ object GraftHttpServers {
 
   /** Start (once) and return the base URL of the shared server for
     * `dir`. */
-  def shared(dir: String): String = synchronized {
+  def shared(dir: String): String = sharedServer(dir).url
+
+  /** The shared server INSTANCE — the producer-side admin view
+    * (activeStreams / cancelStatement) the cancel-poll entry drives. */
+  def sharedServer(dir: String): GraftHttpServer = synchronized {
     var s = servers.get(dir)
     if (s == null) {
       s = new GraftHttpServer(dir).start()
       servers.put(dir, s)
     }
-    s.url
+    s
   }
 
   /** Live servers in the registry (spec hook for the LRU bound). */

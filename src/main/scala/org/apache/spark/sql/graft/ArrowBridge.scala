@@ -72,6 +72,88 @@ object ArrowBridge {
   def batchesFromStream(in: java.nio.channels.ReadableByteChannel): Iterator[Array[Byte]] =
     ArrowConverters.getBatchesFromStream(in)
 
+  /** [[batchesFromStream]] with TERMINATION enforcement (r15): Spark's
+    * splitter treats a bare EOF exactly like the 8-byte end-of-stream
+    * marker, so a producer that dies (or cancels) between two messages
+    * looks like a short-but-valid stream — at 100 TB that is a
+    * silently truncated scan, the worst failure mode there is. This
+    * splitter parses the standard IPC framing itself (continuation
+    * token, metadata length, flatbuffer `Message` for the body length)
+    * and throws if the stream ends without the explicit EOS marker,
+    * so truncation is ALWAYS an error, never an answer. Message
+    * boundaries and the encapsulated byte form are exactly
+    * [[writeIpcStream]]'s (the standard, so any producer works);
+    * non-record-batch messages (the leading schema) are skipped like
+    * Spark's splitter skips them. */
+  def strictBatchesFromStream(
+      in: java.nio.channels.ReadableByteChannel): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private var pending: Array[Byte] = _
+      private var eos = false
+
+      /** Read exactly n bytes, or: clean EOF with zero bytes read and
+        * `allowEof` → null; anything else → truncation error. */
+      private def readFully(n: Int, allowEof: Boolean): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(n)
+        while (buf.hasRemaining) {
+          val r = in.read(buf)
+          if (r < 0) {
+            if (allowEof && buf.position() == 0) return null
+            throw new java.io.IOException(
+              "graft-http: Arrow IPC stream truncated (EOF without " +
+                "end-of-stream marker) — producer died or cancelled")
+          }
+        }
+        buf.array()
+      }
+      private def intLE(b: Array[Byte], off: Int): Int =
+        (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+      private def advance(): Unit =
+        while (pending == null && !eos) {
+          val head = readFully(4, allowEof = true)
+          if (head == null)
+            // EOF at a clean message boundary but WITHOUT the marker:
+            // the exact case Spark's splitter silently accepts
+            throw new java.io.IOException(
+              "graft-http: Arrow IPC stream truncated (EOF without " +
+                "end-of-stream marker) — producer died or cancelled")
+          val first = intLE(head, 0)
+          val (prefix, metaLen) =
+            if (first == -1) { // IPC_CONTINUATION_TOKEN
+              val lenB = readFully(4, allowEof = false)
+              (head ++ lenB, intLE(lenB, 0))
+            } else (head, first) // legacy framing (no continuation)
+          if (metaLen == 0) eos = true
+          else {
+            val meta = readFully(metaLen, allowEof = false)
+            val msg = org.apache.arrow.flatbuf.Message.getRootAsMessage(
+              java.nio.ByteBuffer.wrap(meta)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN))
+            val bodyLen = msg.bodyLength()
+            require(bodyLen <= Int.MaxValue - 8,
+              s"IPC message body too large: $bodyLen")
+            val body =
+              if (bodyLen > 0) readFully(bodyLen.toInt, allowEof = false)
+              else Array.empty[Byte]
+            if (msg.headerType() ==
+                org.apache.arrow.flatbuf.MessageHeader.RecordBatch)
+              pending = prefix ++ meta ++ body
+            // else: schema/dictionary message — skip, like Spark does
+          }
+        }
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): Array[Byte] = {
+        advance()
+        if (pending == null) throw new NoSuchElementException("end of stream")
+        val b = pending
+        pending = null
+        b
+      }
+    }
+
   /** Parquet MessageType → Spark schema, matching spark.read.parquet —
     * except that TIMESTAMP(NANOS) columns (which Spark's native reader
     * rejects outright with PARQUET_TYPE_ILLEGAL, while the reference

@@ -460,6 +460,97 @@ class GraftHttpSpec extends SparkSpec {
     assert(p.exceptAll(streamed).count() === 0)
   }
 
+  // ---------------------------------------------------------- r15:
+  // producer-cancel POLL monitor (cancel_monitor.cpp parity) + strict
+  // IPC termination
+
+  test("cancel-state check route is read-only and reports live state (r15)") {
+    def check(id: Long, nonce: Long): String = {
+      val c = new URI(s"${bigServer.url}/v1/cancel?check=&id=$id&nonce=$nonce")
+        .toURL.openConnection().asInstanceOf[HttpURLConnection]
+      c.setRequestProperty("Authorization", s"Bearer $token")
+      val body = new String(c.getInputStream.readAllBytes())
+      c.disconnect(); body
+    }
+    val before = bigServer.cancelsReceived
+    assert(check(987654L, 1L) === """{"cancelled":false}""")
+    assert(bigServer.cancelsReceived === before,
+      "a state CHECK must never register a cancel")
+    bigServer.cancelStatement(987654L, 1L)
+    assert(check(987654L, 1L) === """{"cancelled":true}""")
+    assert(check(987654L, 2L) === """{"cancelled":false}""",
+      "cancel state is (id, nonce)-scoped")
+  }
+
+  test("poll monitor flags a producer cancel and drains when idle (r15)") {
+    val oldInterval = CancelPollMonitor.pollIntervalMillis
+    CancelPollMonitor.pollIntervalMillis = 25L
+    try {
+      assert(CancelPollMonitor.registered === 0)
+      @volatile var interrupted = false
+      val h = CancelPollMonitor.register(
+        bigServer.url, Some(token), 555001L, 42L)
+      h.onCancel = () => interrupted = true
+      assert(CancelPollMonitor.monitorRunning,
+        "registering the first stream must start the monitor thread")
+      assert(!h.isCancelled)
+      // the PRODUCER cancels — the consumer learns of it by poll alone
+      bigServer.cancelStatement(555001L, 42L)
+      val deadline = System.currentTimeMillis() + 5000
+      while (!h.isCancelled && System.currentTimeMillis() < deadline)
+        Thread.sleep(10)
+      assert(h.isCancelled, "poll must flag the handle within the cadence")
+      assert(interrupted, "poll must fire the owner's interrupt hook")
+      // flagging auto-unregisters (reference erases on cancel); an idle
+      // registry lets the thread exit — the reference's lifecycle
+      val drainBy = System.currentTimeMillis() + 5000
+      while ((CancelPollMonitor.registered > 0 ||
+              CancelPollMonitor.monitorRunning) &&
+             System.currentTimeMillis() < drainBy)
+        Thread.sleep(10)
+      assert(CancelPollMonitor.registered === 0)
+      assert(!CancelPollMonitor.monitorRunning,
+        "an idle monitor must exit its thread")
+    } finally CancelPollMonitor.pollIntervalMillis = oldInterval
+  }
+
+  test("a producer cancel terminates the consuming Spark job, poll-driven (r15)") {
+    val out = graft.operators.ArrowOps.httpCancelPoll(spark, dir).collect()(0)
+    assert(out.getBoolean(0), "cancel_issued")
+    assert(out.getBoolean(1), "job_cancelled — attributed cancel error")
+    assert(out.getBoolean(2), "poll_detected — client poll saw the cancel")
+    assert(out.getBoolean(3), "stream_closed — server gauge drained")
+    assert(out.getBoolean(4), "monitor_drained — client registry drained")
+  }
+
+  test("strict IPC splitter: EOF without the EOS marker is an error (r15)") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val rows = (1L to 20000L).iterator.map(v =>
+      org.apache.spark.sql.catalyst.InternalRow(v))
+    val bos = new java.io.ByteArrayOutputStream()
+    ArrowBridge.writeIpcStream(schema,
+      ArrowBridge.toIpc(rows, schema), bos)
+    val full = bos.toByteArray
+    def channel(bytes: Array[Byte]) = java.nio.channels.Channels.newChannel(
+      new java.io.ByteArrayInputStream(bytes))
+    // complete stream: strict splitter ≡ Spark's splitter
+    val strict = ArrowBridge.strictBatchesFromStream(channel(full)).toSeq
+    val loose = ArrowBridge.batchesFromStream(channel(full)).toSeq
+    assert(strict.size === loose.size && strict.size >= 2)
+    assert(strict.zip(loose).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) })
+    // truncated at a clean message boundary (EOS marker cut): Spark's
+    // splitter accepts silently; the strict one must throw
+    val cut = full.dropRight(8)
+    assert(ArrowBridge.batchesFromStream(channel(cut)).size === strict.size,
+      "precondition: the loose splitter cannot see the truncation")
+    val e = intercept[java.io.IOException] {
+      ArrowBridge.strictBatchesFromStream(channel(cut)).size
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
+
   override def afterAll(): Unit = {
     try { server.stop(); bigServer.stop(); GraftHttpServers.stopAll() }
     finally super.afterAll()
