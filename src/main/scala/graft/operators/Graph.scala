@@ -105,9 +105,176 @@ object Graph {
        |LIMIT $PrTopK""".stripMargin
   }
 
+  // --------------------------------------------------------------- C51
+  /** Fixed-point scale of the converged ranks (per-10k units). */
+  private[operators] val PrcScale = 10000L
+  private[operators] val PrcTeleport = 1500L
+  private[operators] val PrcDamp = 8500L
+  /** Iteration cap — measured convergence is 56/88/60 rounds at
+    * sf0.001/0.01/0.1; the oracle unrolls exactly this many stages and
+    * both engines fall back to the frame AT the cap if a pathological
+    * weight table never freezes (then the gate compares cap-frames —
+    * still deterministic, never divergent). */
+  private[operators] val PrcCap = 128
+
+  /** One Kleene round of the weighted damped update over the collected
+    * nation graph — shared by [[pagerankConverged]] and the stability
+    * spec. Every operation is non-negative integer floor arithmetic
+    * (`/` on non-negative longs ≡ `div` ≡ DuckDB `//`). */
+  private[graft] def prcStep(
+      edges: Array[(Long, Long, Long)], tw: Map[Long, Long],
+      r: Map[Long, Long]): Map[Long, Long] = {
+    val contrib = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    edges.foreach { case (u, v, w) =>
+      contrib(v) += r(u) * w / tw(u)
+    }
+    r.keys.map(n =>
+      n -> (PrcTeleport + PrcDamp * contrib(n) / PrcScale)).toMap
+  }
+
+  /** CONVERGENCE-TESTED weighted PageRank (C51) — C50 run to an EXACT
+    * integer fixed point instead of a pinned round count, on the
+    * nation-level trade graph (the domain-PageRank shape: web-scale
+    * pipelines aggregate page-level links to a bounded entity graph —
+    * domains, hosts, sources — and rank THAT; the corpus-scale work is
+    * the edge-weight aggregation, here `count(DISTINCT (custkey,
+    * suppkey))` trading pairs per nation pair through
+    * lineitem⋈orders⋈customer⋈supplier, one distinct + one count,
+    * both map-side combinable).
+    *
+    * Why not "iterate C50 until frames stop changing": the floor-div
+    * damped update is NOT a contraction on ℤ — measured at sf0.001,
+    * C50's update settles into a persistent limit cycle (160 nodes
+    * oscillating with amplitude up to 123 ppm, stable from round ~70
+    * through 300), so exact frame-equality NEVER fires (§8). The fix is
+    * order-theoretic, not numeric: the update is MONOTONE (all
+    * coefficients non-negative, floor preserves ≤), so Kleene iteration
+    * from the teleport floor r₀ = [[PrcTeleport]] — which satisfies
+    * r₀ ≤ f(r₀) — produces a pointwise-NONDECREASING, integer,
+    * mass-bounded trajectory that must reach the LEAST fixed point of f
+    * exactly, in finitely many rounds (measured: 56/88/60 at the three
+    * test SFs). No epsilon, no oscillation, engine-exact.
+    *
+    * Per-edge contribution is `(r(u)·w) div W(u)` (not `w·(r div W)`,
+    * which floors to zero the moment total weight exceeds rank — at
+    * sf0.1 that form converges instantly to the all-teleport frame).
+    * Long-safety: ranks are mass-bounded by [[PrcScale]]·|V| ≤ 5·10⁵
+    * and w ≤ distinct trading pairs ≤ lineitem rows, so r·w stays
+    * below 2⁶³ past sf10⁴.
+    *
+    * Scale shape: ONE corpus pass builds the weighted graph (the 100 TB
+    * cost); the iteration runs on the collected graph — bounded
+    * STRUCTURALLY (25 nations is a schema constant: ≤ 2·25² weighted
+    * edges, ≤ 50 nodes), the C38 bounded-collect discipline. For entity
+    * graphs too large to collect (page-level), the loop body is C50's
+    * two-exchange superstep with a per-round changed-count action —
+    * same Kleene argument, distributed frames. Output: all 50 nodes
+    * with their exact least-fixed-point rank and the measured
+    * convergence round, (rank desc, type, name)-ordered. */
+  def pagerankConverged(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val ew0 = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey"), col("s_nationkey"),
+        col("o_custkey"), col("l_suppkey"))
+      .distinct()
+      .select((col("c_nationkey").cast("long") * 2).as("u"),
+        (col("s_nationkey").cast("long") * 2 + 1).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    // bounded collect: ≤ 25² nation-pair rows (schema constant)
+    val half = ew0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = half ++ half.map { case (u, v, w) => (v, u, w) }
+    val tw = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    var rank: Map[Long, Long] = tw.keys.map(_ -> PrcTeleport).toMap
+    var iters = PrcCap
+    var t = 0
+    while (t < PrcCap && iters == PrcCap) {
+      t += 1
+      val next = prcStep(edges, tw, rank)
+      if (next == rank) iters = t
+      rank = next
+    }
+    val ranks = rank.toSeq.map { case (n, r) =>
+      (n, if (n % 2 == 0) "customer" else "supplier", n / 2, r)
+    }.toDF("node", "node_type", "nkey", "rank_e4")
+    ranks
+      .join(broadcast(nation.select(
+          col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))),
+        col("nkey") === col("n_nationkey"))
+      .select(col("node_type"), col("n_name"), col("rank_e4"),
+        lit(iters.toLong).as("iters"))
+      .orderBy(col("rank_e4").desc, col("node_type"), col("n_name"))
+  }
+
+  def pagerankConverged(spark: SparkSession, dir: String): DataFrame =
+    pagerankConverged(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"))
+
+  /** The oracle unrolls ALL [[PrcCap]] stages and picks the convergence
+    * round IN SQL (min t with frame t ≡ frame t−1, cap fallback), so
+    * one static query replays the data-dependent iteration count at any
+    * SF — the adaptive twist on C38's unrolled-CTE discipline. */
+  val pagerankConvergedSql: String = {
+    val stages = (1 to PrcCap).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT ew.v AS node,
+         |  $PrcTeleport + ($PrcDamp * CAST(sum((p.r * ew.w) // wt.tw)
+         |    AS BIGINT)) // $PrcScale AS r
+         |  FROM ew JOIN r${k - 1} p ON ew.u = p.node
+         |    JOIN wt ON ew.u = wt.node
+         |  GROUP BY ew.v)""".stripMargin
+    }.mkString(",\n")
+    val checks = (1 to PrcCap).map { k =>
+      s"""SELECT $k AS t, (SELECT count(*) FROM
+         |  (SELECT * FROM r$k EXCEPT SELECT * FROM r${k - 1}) x) AS ch"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    val frames = (1 to PrcCap).map(k =>
+      s"SELECT $k AS t, node, r FROM r$k").mkString("\nUNION ALL\n")
+    s"""WITH ew0 AS MATERIALIZED (
+       |  SELECT c_nationkey * 2 AS u, s_nationkey * 2 + 1 AS v,
+       |    count(*) AS w
+       |  FROM (SELECT DISTINCT c_nationkey, s_nationkey, o_custkey,
+       |          l_suppkey
+       |        FROM lineitem
+       |          JOIN orders ON l_orderkey = o_orderkey
+       |          JOIN customer ON o_custkey = c_custkey
+       |          JOIN supplier ON l_suppkey = s_suppkey) p
+       |  GROUP BY 1, 2),
+       |ew AS MATERIALIZED (
+       |  SELECT u, v, w FROM ew0 UNION ALL SELECT v, u, w FROM ew0),
+       |wt AS MATERIALIZED (
+       |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS tw FROM ew GROUP BY 1),
+       |r0 AS (SELECT node, CAST($PrcTeleport AS BIGINT) AS r FROM wt),
+       |$stages,
+       |chs AS ($checks),
+       |conv AS (SELECT CAST(coalesce(min(CASE WHEN ch = 0 THEN t END),
+       |  $PrcCap) AS BIGINT) AS it FROM chs),
+       |allf AS ($frames)
+       |SELECT CASE WHEN f.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  n.n_name, f.r AS rank_e4, conv.it AS iters
+       |FROM allf f
+       |CROSS JOIN conv
+       |JOIN nation n ON f.node // 2 = n.n_nationkey
+       |WHERE f.t = conv.it
+       |ORDER BY rank_e4 DESC, node_type, n_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (pagerank(_, _)))
+    "graph_pagerank" -> (pagerank(_, _)),
+    "graph_pagerank_converged" -> (pagerankConverged(_, _)))
 
   val oracles: Map[String, String] = Map(
-    "graph_pagerank" -> pagerankSql)
+    "graph_pagerank" -> pagerankSql,
+    "graph_pagerank_converged" -> pagerankConvergedSql)
 }

@@ -1281,7 +1281,222 @@ object Pipeline {
        |GROUP BY t.source, t.n_total, t.k
        |ORDER BY t.source""".stripMargin
 
+  // --------------------------------------------------------------- C52
+  /** Trainer rounds — fixed and unrolled, the C38/C50 discipline
+    * (production iterates to a validation plateau; measured here,
+    * held-out accuracy peaks at rounds 2-3 and overfits past 4). */
+  private[operators] val TrainRounds = 3
+  /** Held-out split: md5(doc_id) mod 5 = 0 (≈20%) never trains. */
+  private[operators] val TrainHoldMod = 5L
+  /** Update scale: error centroids are ×10⁶ class-normalized. */
+  private[operators] val TrainRate = 1000000L
+
+  /** Learned quality-model TRAINING (C52) — completes the trainer trio
+    * (C37 learns the tokenizer, C38 learns the ANN codebook, C52 learns
+    * the quality scorer C32 runs with stand-in weights): a linear
+    * classifier over the SAME hashed feature space as
+    * [[Text.qualityModel]] (words + word bigrams, md5-hashed into
+    * [[Text.ModelBuckets]] buckets, binary presence — bounded updates
+    * where raw counts let long docs swamp a round), labels from the C14
+    * heuristic gate (y = +1 ⇔ the doc survives [[kept]] — the
+    * distill-the-pipeline trick: a cheap linear model imitates the full
+    * gate, then scores corpora the gate's joins can't reach). Docs with
+    * md5(doc_id) mod [[TrainHoldMod]] = 0 are held out and never train.
+    *
+    * The round is a class-normalized batch update, not the classic
+    * unit-rate batch perceptron — that one was measured ORBITING here
+    * (train errors cycling 121→280→121 forever at both test SFs, §8):
+    * with ~70% negative labels, w₀ = Σ y·x starts all-negative and a
+    * ±unit update of every misclassified doc overshoots back and forth.
+    * Instead each round (1) collects the misclassified docs under the
+    * CURRENT (w, θ), (2) adds the CLASS-NORMALIZED error-centroid
+    * contrast Δw_b = (Σ_{err,y=+1} x_b)·10⁶ div max(n⁺,1) −
+    * (Σ_{err,y=−1} x_b)·10⁶ div max(n⁻,1) — so each round moves w by a
+    * bounded, imbalance-corrected step — and (3) re-optimizes the
+    * decision threshold θ EXACTLY by empirical risk: candidate
+    * thresholds are the distinct achieved train scores (plus min−1),
+    * the error count of each is two prefix sums over the score-sorted
+    * frame, argmin breaks ties low. Every operation is integer floor
+    * arithmetic on non-negative operands, so DuckDB replays the learned
+    * (weights, θ) bit-for-bit; measured at sf0.01, held-out accuracy
+    * 62/93 vs majority 58/93 and stand-in 34/93 (at the sf0.001 toy
+    * corpus 407 train docs vs 4096 buckets cannot beat a 70% majority —
+    * the accuracy spec pins the driver's sf0.01). Irreducible label
+    * noise is structural: the gate's exact-dup leg drops copies whose
+    * text features are IDENTICAL to a kept doc.
+    *
+    * Scale shape: one corpus-linear explode into the map-side-combined
+    * (doc, bucket) presence frame (the C41 shape); per round two
+    * broadcast joins of the ≤4096-row weight table (scores for the
+    * update, scores for the threshold), one per-bucket delta aggregate,
+    * and three BOUNDED collects (1-row error counts, ≤4096-row delta,
+    * 1-row θ — the C38 per-round discipline, which also avoids the 2^k
+    * plan growth of chaining each round's frame into the next: a round
+    * referencing the previous weight FRAME twice doubles the unresolved
+    * plan per round, measured OOMing Catalyst's treeString at 8 rounds,
+    * §8). The θ-argmin frame is DISTINCT-train-score-sized; production
+    * quantizes scores first to bound it, same machinery. */
+  def qualityTrain(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = documents
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("feats",
+        concat(col("toks"),
+          when(size(col("toks")) >= 2,
+            zip_with(
+              slice(col("toks"), lit(1), size(col("toks")) - 1),
+              slice(col("toks"), lit(2), size(col("toks")) - 1),
+              (a, b) => concat_ws(" ", a, b)))
+            .otherwise(array().cast("array<string>"))))
+    val fb = t.select(col("doc_id"), explode(col("feats")).as("g"))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)" +
+          s" % ${Text.ModelBuckets}").as("bucket"))
+      .distinct()
+      .withColumn("cnt", lit(1L))
+    val lab = documents.select(col("doc_id"))
+      .join(kept(documents).select(col("doc_id"), lit(1L).as("k")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("k").isNull, -1L).otherwise(1L).as("y"))
+    // persisted: tr replays through every per-round scoring pass, and
+    // computing it means re-running the kept() gate (langid + dedup
+    // joins) — measured 21s → 12s at sf0.1 from these two pins
+    val tr = lab.filter(
+      expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
+        s" 16, 10) AS BIGINT) % $TrainHoldMod != 0")).persist()
+    val tf = fb.join(tr, "doc_id").persist() // doc_id, bucket, cnt, y
+    try {
+      var w = Map.empty[Long, Long]
+      var theta = 0L
+      def trainScores(): DataFrame = {
+        val wdf = broadcast(w.toSeq.toDF("bucket", "wt"))
+        val s = tf.join(wdf, "bucket").groupBy(col("doc_id"))
+          .agg(sum(col("wt") * col("cnt")).cast("long").as("s"))
+        tr.join(s, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("y"),
+            coalesce(col("s"), lit(0L)).as("s"))
+      }
+      for (_ <- 1 to TrainRounds) {
+        val e = trainScores().filter(
+          (col("y") === 1L && col("s") <= theta) ||
+            (col("y") === -1L && col("s") > theta))
+          .select(col("doc_id"), col("y"))
+        val n = e.agg(
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).cast("long"),
+          sum(when(col("y") === -1L, 1L).otherwise(0L)).cast("long"))
+          .head() // bounded: 1 row of error counts
+        def nz(i: Int) = if (n.isNullAt(i)) 0L else math.max(n.getLong(i), 1L)
+        val (nep, nen) = (nz(0), nz(1))
+        val dlt = tf.join(e.select(col("doc_id")), "doc_id")
+          .groupBy(col("bucket"))
+          .agg((sum(when(col("y") === 1L, col("cnt")).otherwise(0L))
+              * TrainRate).cast("long").as("p"),
+            (sum(when(col("y") === -1L, col("cnt")).otherwise(0L))
+              * TrainRate).cast("long").as("q"))
+          .select(col("bucket"),
+            (expr(s"p div $nep") - expr(s"q div $nen")).as("dw"))
+          .collect() // bounded: ≤ ModelBuckets rows
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = (w.keySet ++ dlt.keySet).iterator
+          .map(b => b -> (w.getOrElse(b, 0L) + dlt.getOrElse(b, 0L))).toMap
+        // exact threshold: argmin over candidate θ ∈ distinct scores
+        val ts = trainScores()
+        val agg = ts.groupBy(col("s")).agg(
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
+          sum(when(col("y") === -1L, 1L).otherwise(0L)).as("q"))
+        val cw = Window.orderBy(col("s"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val cand = agg
+          .select(col("s").as("th"),
+            (sum(col("p")).over(cw) + sum(col("q")).over(tot)
+              - sum(col("q")).over(cw)).as("err"))
+          .unionAll(ts.agg((min(col("s")) - 1).as("th"),
+            sum(when(col("y") === -1L, 1L).otherwise(0L)).as("err")))
+        theta = cand.orderBy(col("err"), col("th")).limit(1)
+          .head().getLong(0) // bounded: the 1-row argmin
+      }
+      (w.toSeq.filter(_._2 != 0L).sortBy(_._1) :+ (-1L -> theta))
+        .toDF("bucket", "weight")
+        .orderBy(col("bucket"))
+    } finally { tf.unpersist(false); tr.unpersist(false) }
+  }
+
+  def qualityTrain(spark: SparkSession, dir: String): DataFrame =
+    qualityTrain(Tables(spark, dir, "documents"))
+
+  val qualityTrainSql: String = {
+    def scoresCte(name: String, wtab: String) =
+      s"""$name AS (SELECT tr.doc_id, tr.y, coalesce(s.s, 0) AS s
+         |  FROM tr LEFT JOIN
+         |    (SELECT tf.doc_id, CAST(sum(w.wt * tf.cnt) AS BIGINT) AS s
+         |     FROM tf JOIN $wtab w USING (bucket) GROUP BY 1) s
+         |  USING (doc_id))""".stripMargin
+    val rounds = (1 to TrainRounds).map { k =>
+      val thPrev = if (k == 1) "0" else s"(SELECT th FROM b${k - 1})"
+      val wPrev = s"w${k - 1}"
+      s"""${scoresCte(s"s$k", wPrev)},
+         |e$k AS (SELECT doc_id, y FROM s$k
+         |  WHERE (y = 1 AND s <= $thPrev) OR (y = -1 AND s > $thPrev)),
+         |n$k AS (SELECT
+         |    greatest(count(*) FILTER (y = 1), 1) AS nep,
+         |    greatest(count(*) FILTER (y = -1), 1) AS nen FROM e$k),
+         |d$k AS (SELECT tf.bucket,
+         |    (CAST(sum(CASE WHEN tf.y = 1 THEN tf.cnt ELSE 0 END)
+         |       AS BIGINT) * $TrainRate) // n$k.nep
+         |  - (CAST(sum(CASE WHEN tf.y = -1 THEN tf.cnt ELSE 0 END)
+         |       AS BIGINT) * $TrainRate) // n$k.nen AS dw
+         |  FROM tf JOIN e$k USING (doc_id) CROSS JOIN n$k
+         |  GROUP BY tf.bucket, n$k.nep, n$k.nen),
+         |w$k AS MATERIALIZED (SELECT
+         |    coalesce(a.bucket, b.bucket) AS bucket,
+         |    coalesce(a.wt, 0) + coalesce(b.dw, 0) AS wt
+         |  FROM $wPrev a FULL OUTER JOIN d$k b ON a.bucket = b.bucket),
+         |${scoresCte(s"t$k", s"w$k")},
+         |a$k AS (SELECT s, count(*) FILTER (y = 1) AS p,
+         |    count(*) FILTER (y = -1) AS q FROM t$k GROUP BY s),
+         |c$k AS (SELECT s, sum(p) OVER (ORDER BY s) AS cp,
+         |    sum(q) OVER (ORDER BY s) AS cq FROM a$k),
+         |cand$k AS (SELECT s AS th,
+         |    cp + (SELECT sum(q) FROM a$k) - cq AS err FROM c$k
+         |  UNION ALL SELECT (SELECT min(s) - 1 FROM t$k),
+         |    (SELECT count(*) FILTER (y = -1) FROM t$k)),
+         |b$k AS MATERIALIZED (SELECT CAST(th AS BIGINT) AS th
+         |  FROM cand$k ORDER BY err, th LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$curateCtes,
+       |fe AS (SELECT doc_id, unnest(list_concat(toks, list_transform(
+       |    generate_series(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i + 1]))) AS g
+       |  FROM t),
+       |fb AS (SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(g), 1, 15))::BIGINT % ${Text.ModelBuckets}
+       |      AS bucket,
+       |    CAST(1 AS BIGINT) AS cnt
+       |  FROM fe),
+       |lab AS (SELECT d.doc_id,
+       |    CASE WHEN s.doc_id IS NULL THEN -1 ELSE 1 END AS y
+       |  FROM documents d LEFT JOIN survivors s USING (doc_id)),
+       |tr AS (SELECT doc_id, y FROM lab
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |    % $TrainHoldMod <> 0),
+       |tf AS MATERIALIZED (SELECT fb.doc_id, fb.bucket, fb.cnt, tr.y
+       |  FROM fb JOIN tr USING (doc_id)),
+       |w0 AS (SELECT bucket, CAST(0 AS BIGINT) AS wt
+       |  FROM (SELECT DISTINCT bucket FROM tf)),
+       |$rounds
+       |SELECT bucket, wt AS weight FROM w$TrainRounds WHERE wt <> 0
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), (SELECT th FROM b$TrainRounds)
+       |ORDER BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_train" -> qualityTrain _,
     "pipeline_split_leakage_safe" -> (splitLeakageSafeStats(_, _)),
     "pipeline_split_train_val" -> (splitTrainValStats(_, _)),
     "pipeline_curate" -> curate _,
@@ -1301,6 +1516,7 @@ object Pipeline {
     "pipeline_sample_stratified" -> (sampleStratified(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "text_quality_train" -> qualityTrainSql,
     "pipeline_split_leakage_safe" -> splitLeakageSafeSql,
     "pipeline_split_train_val" -> splitTrainValSql,
     "pipeline_curate" -> curateSql,

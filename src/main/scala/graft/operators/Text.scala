@@ -556,7 +556,7 @@ object Text {
   /** Hashed-feature buckets of the linear model (fastText's default is
     * 2M bucket slots; 4096 keeps the stand-in oracle readable — the
     * plumbing is bucket-count-agnostic). */
-  private val ModelBuckets = 4096L
+  private[operators] val ModelBuckets = 4096L
   /** Deterministic stand-in weight per bucket: Knuth multiplicative
     * hash of the bucket id folded into [−1000, 1000]. */
   private val WeightMul = 2654435761L

@@ -376,4 +376,42 @@ object GraftProperties extends Properties("graft") {
         ArrayData.toArrayData(e), Array(0L), Array(bad), Array(dot(bad, bad)))
       got != null && got.longValue() == refOk && onlyBad == null
     }
+
+  // --------------------------------------------- Graph.prcStep (C51)
+  // Random weighted digraph: node ids 0..n-1, every node gets at least
+  // one out-edge so total weight is defined everywhere.
+  private val prcGraph: Gen[Array[(Long, Long, Long)]] = for {
+    n <- Gen.choose(2, 7)
+    edges <- Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L), Gen.choose(1L, 50L)))
+    selfCover = (0L until n.toLong).map(u => (u, (u + 1) % n, 1L))
+  } yield (edges ++ selfCover)
+    .groupBy(e => (e._1, e._2))
+    .map { case ((u, v), es) => (u, v, es.map(_._3).sum) }.toArray
+
+  /** The C51 convergence argument as a law: the floored damped update
+    * is monotone, so Kleene iteration from the teleport floor is
+    * pointwise NONDECREASING and reaches an EXACT fixed point (the §8
+    * finding is that iteration from other seeds need not — C50's
+    * 10⁶-seeded form limit-cycles on the corpus). */
+  property("pagerank: Kleene iteration from the teleport floor is monotone and reaches a stable fixed point") =
+    forAll(prcGraph) { edges =>
+      val tw = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var r = nodes.map(_ -> 1500L).toMap
+      var monotone = true
+      var fixed = false
+      var t = 0
+      // Σr grows by ≥1 every non-converged round and is bounded by
+      // 10⁴·|V|, so this terminates; the bound here is generous slack
+      while (!fixed && t < 200000) {
+        t += 1
+        val next = graft.operators.Graph.prcStep(edges, tw, r)
+        monotone &&= nodes.forall(n => next(n) >= r(n))
+        fixed = next == r
+        r = next
+      }
+      monotone && fixed &&
+        graft.operators.Graph.prcStep(edges, tw, r) == r
+    }
 }

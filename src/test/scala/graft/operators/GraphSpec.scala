@@ -57,4 +57,67 @@ class GraphSpec extends SparkSpec {
       Tables(spark, dir, "lineitem").repartition(5)).collect().toSeq
     assert(base === shuffled)
   }
+
+  // ------------------------------------------------------------- C51
+  test("pagerankConverged: exact fixed point reached before the cap, stable under one more step") {
+    val rows = Graph.pagerankConverged(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val iters = rows.head._4
+    assert(rows.forall(_._4 === iters), "iters is a frame constant")
+    assert(iters > 1 && iters < Graph.PrcCap,
+      s"must genuinely converge before the cap (got $iters)")
+    // every rank carries at least the teleport mass; order is total
+    assert(rows.forall(_._3 >= 1500L))
+    val keys = rows.map(r => (-r._3, r._1, r._2)).toList
+    assert(keys === keys.sorted)
+    // STABILITY: recompute the graph independently and check the
+    // output frame maps to itself under one more Kleene step
+    val t = graft.Tables
+    val ew0 = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey"), col("s_nationkey"), col("o_custkey"), col("l_suppkey"))
+      .distinct()
+      .select((col("c_nationkey").cast("long") * 2).as("u"),
+        (col("s_nationkey").cast("long") * 2 + 1).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = ew0 ++ ew0.map { case (u, v, w) => (v, u, w) }
+    val tw = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    val names = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val frame = rows.map { case (tp, name, r, _) =>
+      val nk = names.collectFirst { case (k, v) if v == name => k }.get
+      (if (tp == "customer") nk * 2 else nk * 2 + 1) -> r
+    }.toMap
+    assert(Graph.prcStep(edges, tw, frame) === frame,
+      "the gated frame must be an exact fixed point")
+  }
+
+  test("pagerankConverged: two-node hand fixture converges to the scalar fixed point") {
+    import spark.implicits._
+    // one customer (nation 0) trades with one supplier (nation 1):
+    // both nodes see the symmetric single-edge update
+    // r' = 1500 + 8500·r // 10⁴, whose least fixed point from 1500 is
+    // the first r with 8500·r // 10⁴ = r − 1500
+    val orders = Seq((10L, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1L)).toDF("l_orderkey", "l_suppkey")
+    val customer = Seq((1L, 0L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((1L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((0L, "ALPHA"), (1L, "BETA")).toDF("n_nationkey", "n_name")
+    val rows = Graph.pagerankConverged(lineitem, orders, customer, supplier, nation)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 2)
+    val r = rows.head._3
+    assert(rows.forall(_._3 === r), "symmetric nodes rank equally")
+    assert(8500L * r / 10000L === r - 1500L, "scalar fixed-point equation")
+    assert(8500L * (r - 1) / 10000L !== r - 1 - 1500L,
+      "least such point: the value below is not fixed")
+  }
 }

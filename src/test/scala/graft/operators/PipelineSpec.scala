@@ -519,4 +519,62 @@ class PipelineSpec extends SparkSpec {
     // the rate rule must actually exercise distinct fractions
     assert(out.map(r => r.getLong(2) * 4 / r.getLong(1)).distinct.length > 1)
   }
+
+  // --------------------------------------------------------------- C52
+  test("qualityTrain: learned model generalizes — held-out accuracy beats majority and the stand-in (sf0.01)") {
+    // sf0.01 (the driver's gate SF): the sf0.001 toy corpus has 407
+    // train docs against 4096 buckets and a 70% majority class the
+    // model measurably cannot beat — see the C52 scaladoc
+    val dir01 = sf("sf0.01")
+    val docs = graft.Tables(spark, dir01, "documents")
+    val out = Pipeline.qualityTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val theta = out.filter(_._1 == -1L) match {
+      case Array((_, th)) => th
+      case other => fail(s"exactly one θ row expected, got ${other.length}")
+    }
+    val w = out.filter(_._1 >= 0L)
+    assert(w.nonEmpty && w.forall(_._2 != 0L))
+    assert(w.map(_._1).distinct.length === w.length)
+    // features + labels recomputed independently of the trainer
+    import spark.implicits._
+    val fb = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("feats", concat(col("toks"),
+        when(size(col("toks")) >= 2, zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), explode(col("feats")).as("g"))
+      .select(col("doc_id"),
+        expr(s"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % ${Text.ModelBuckets}").as("bucket"))
+      .distinct()
+      .withColumn("cnt", lit(1L))
+    val lab = docs.select(col("doc_id"))
+      .join(Pipeline.kept(docs).select(col("doc_id"), lit(1L).as("k")), Seq("doc_id"), "left")
+      .select(col("doc_id"), when(col("k").isNull, -1L).otherwise(1L).as("y"))
+    val hold = lab.filter(
+      expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % ${Pipeline.TrainHoldMod} = 0"))
+    def acc(weights: org.apache.spark.sql.DataFrame, th: Long): (Long, Long) = {
+      val scored = fb.join(broadcast(weights), "bucket")
+        .groupBy(col("doc_id")).agg(sum(col("wt") * col("cnt")).as("s"))
+      val ev = hold.join(scored, Seq("doc_id"), "left")
+        .select(col("y"), coalesce(col("s"), lit(0L)).as("s"))
+        .withColumn("pred", when(col("s") > th, 1L).otherwise(-1L))
+      (ev.filter(col("pred") === col("y")).count(), ev.count())
+    }
+    val (learnedOk, n) = acc(w.toSeq.toDF("bucket", "wt"), theta)
+    val standin = spark.range(Text.ModelBuckets)
+      .select(col("id").as("bucket"),
+        expr("(id * 2654435761) % 2001 - 1000").as("wt"))
+    val (standinOk, _) = acc(standin, 0L)
+    val pos = hold.filter(col("y") === 1L).count()
+    val majorityOk = math.max(pos, n - pos)
+    info(s"held-out n=$n learned=$learnedOk standin=$standinOk majority=$majorityOk")
+    assert(n > 0)
+    assert(learnedOk > majorityOk,
+      s"learned ($learnedOk/$n) must beat the majority class ($majorityOk/$n)")
+    assert(learnedOk > standinOk,
+      s"learned ($learnedOk/$n) must beat the C32 stand-in ($standinOk/$n)")
+  }
 }
