@@ -1170,7 +1170,200 @@ object Ann {
        |ORDER BY iter, cid""".stripMargin
   }
 
+  // --------------------------------------------------------------- C53
+  /** Graph-ANN knobs: neighbors per node per bucketing, target build
+    * block size, beam width, search hops. The SUB-BUCKET COUNT is
+    * corpus-adaptive — greatest(1, n div [[GraphBlockTarget]]·IvfK⁻¹…
+    * see [[graphBeam]]) — so blocks hold ~[[GraphBlockTarget]] vectors
+    * at any SF: fixed sub-buckets starve small corpora (15-vector
+    * blocks read 0.30 recall at sf0.001) and quadratically bloat the
+    * build at big ones. */
+  private val GraphDeg = 6
+  private val GraphBlockTarget = 2048L // corpus rows per sub-bucket round
+  private val BeamWidth = 16
+  private val BeamHops = 3
+
+  /** md5-derived build bucket (engine-neutral, salt `s`, `sub`
+    * buckets). */
+  private def gbCol(salt: String, sub: Long): Column =
+    expr(s"CAST(conv(substring(md5(concat('$salt:'," +
+      s" CAST(vec_id AS STRING))), 1, 15), 16, 10) AS BIGINT)" +
+      s" % $sub")
+
+  /** Graph-based ANN (C53) — the NSW/HNSW retrieval FAMILY, in the
+    * form that distributes (an honest Spark re-expression, not a port:
+    * HNSW's sequential insert-and-link build has no sound parallel
+    * decomposition, but what the family actually consists of is (1) a
+    * navigable neighborhood GRAPH and (2) greedy BEAM search over it —
+    * both expressible as bounded fan-out joins):
+    *
+    *  - BUILD: the corpus is cut into (IVF cell × corpus-adaptive md5
+    *    sub-bucket) blocks TWICE under different salts, and each node
+    *    links to its [[GraphDeg]] nearest neighbors (cosine) within
+    *    each block — Σ|block|² work with blocks held near
+    *    [[GraphBlockTarget]]/IvfK vectors at any SF, never corpus²,
+    *    and the two independent bucketings give every node edges into
+    *    two DIFFERENT blocks, the small-world cross links beam search
+    *    needs to escape its entry block (single-bucketing recall is
+    *    capped by one block's contents; at SFs small enough for one
+    *    sub-bucket the blocks ARE the IVF cells and the cells carry
+    *    the locality). Production replaces the blocked exact pass with
+    *    NN-descent rounds — same graph shape, same search.
+    *  - SEARCH: per query, entry points are the min-id members of its
+    *    [[IvfProbe]] nearest cells; [[BeamHops]] rounds of expand
+    *    (frontier ∪ its graph neighbors, dedup) → score (exact cosine)
+    *    → keep top-[[BeamWidth]] — the frontier can only improve
+    *    (expansion contains it), and every step is deterministic
+    *    (ties by vec_id), so the whole search unrolls into the oracle
+    *    as [[BeamHops]] static CTE stages. Final: top-[[K]] of the
+    *    last frontier, query excluded.
+    *
+    * Scale shape: edges are n·2·[[GraphDeg]] rows built once; each hop
+    * is one broadcast-frontier join into the edge frame plus one
+    * corpus-embedding lookup join — frontier is queries×beam rows,
+    * never corpus-sized. */
+  def graphBeam(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val cents = ivfCents(c)
+    val assigned = ivfAssign(c, cents) // (vec_id, e, cid)
+    // corpus-adaptive sub-bucket count (1-row bounded collect; the
+    // oracle computes the identical scalar from count(*))
+    val sub = math.max(1L, c.count() / GraphBlockTarget)
+    def halfEdges(salt: String): DataFrame = {
+      val bk = assigned.withColumn("gb", gbCol(salt, sub))
+      val lhs = bk.select(col("cid"), col("gb"), col("vec_id"), col("e"))
+      val rhs = bk.select(col("cid"), col("gb"),
+        col("vec_id").as("nbr"), col("e").as("ne"))
+      val ew = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nbr"))
+      lhs.join(rhs, Seq("cid", "gb"))
+        .filter(col("vec_id") =!= col("nbr"))
+        .select(col("vec_id"), col("nbr"),
+          cosine(col("e"), col("ne")).as("cos"))
+        .withColumn("rn", row_number().over(ew))
+        .filter(col("rn") <= GraphDeg)
+        .select(col("vec_id"), col("nbr"))
+    }
+    val edges = halfEdges("gb1").unionAll(halfEdges("gb2"))
+    val q = c.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
+    val nearCells = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"), l2(col("qe"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("q_id"), col("cid"))
+    val cellMin = assigned.groupBy(col("cid"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    val emb = assigned.select(col("vec_id"), col("e"))
+    val fw = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    // search-side frames are queries×beam rows — broadcast them
+    // EXPLICITLY: the static plan has no stats for derived frames, so
+    // without hints these joins plan SortMergeJoins that AQE would
+    // only fix at runtime (PlanAuditSpec pins the static shape)
+    def score(frontier: DataFrame): DataFrame = emb
+      .join(broadcast(frontier), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qe"), col("e")).as("cos"))
+    var frontier: DataFrame = broadcast(nearCells).join(cellMin, "cid")
+      .select(col("q_id"), col("vec_id"))
+    for (_ <- 1 to BeamHops) {
+      val expand = edges.join(broadcast(frontier), "vec_id")
+        .select(col("q_id"), col("nbr").as("vec_id"))
+        .unionAll(frontier)
+        .distinct()
+      frontier = score(expand)
+        .withColumn("rn", row_number().over(fw))
+        .filter(col("rn") <= BeamWidth)
+        .select(col("q_id"), col("vec_id"))
+    }
+    score(frontier)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("nn_rank", row_number().over(fw).cast("long"))
+      .filter(col("nn_rank") <= K)
+      .select(col("q_id"), col("nn_rank"), col("vec_id"),
+        col("cos").as("cosine"))
+      .orderBy(col("q_id"), col("nn_rank"))
+  }
+
+  def graphBeam(spark: SparkSession, dir: String): DataFrame =
+    graphBeam(Tables(spark, dir, "embeddings"))
+
+  val graphBeamSql: String = {
+    val l2Sql = (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, $Dim)," +
+        s" i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    val cosSql = (a: String, b: String) =>
+      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a))" +
+        s" * sqrt(list_inner_product($b, $b)))"
+    def edgesFor(salt: String, name: String) =
+      s"""${name}_b AS (SELECT vec_id, e, cid,
+         |    ('0x' || substr(md5('$salt:' || CAST(vec_id AS VARCHAR)),
+         |      1, 15))::BIGINT % (SELECT s FROM sdef) AS gb
+         |  FROM assigned),
+         |$name AS (SELECT vec_id, nbr FROM (
+         |  SELECT a.vec_id, b.vec_id AS nbr,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${cosSql("a.e", "b.e")} DESC, b.vec_id) AS rn
+         |  FROM ${name}_b a JOIN ${name}_b b
+         |    ON a.cid = b.cid AND a.gb = b.gb AND a.vec_id <> b.vec_id)
+         |  WHERE rn <= $GraphDeg)""".stripMargin
+    val hops = (1 to BeamHops).map { h =>
+      s"""x$h AS (SELECT f.q_id, ed.nbr AS vec_id
+         |  FROM f${h - 1} f JOIN edges ed ON f.vec_id = ed.vec_id
+         |  UNION SELECT q_id, vec_id FROM f${h - 1}),
+         |s$h AS (SELECT x.q_id, x.vec_id,
+         |    ${cosSql("q.qe", "v.e")} AS cos
+         |  FROM x$h x JOIN v ON x.vec_id = v.vec_id
+         |  JOIN q ON x.q_id = q.q_id),
+         |f$h AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, vec_id) AS rn FROM s$h)
+         |  WHERE rn <= $BeamWidth)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sdef AS (SELECT greatest(1, count(*) // $GraphBlockTarget) AS s
+       |         FROM v),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
+       |ad AS (SELECT v.vec_id, v.e, c.cid, ${l2Sql("v.e", "c.ce")} AS d
+       |       FROM v CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, e, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
+       |${edgesFor("gb1", "e1")},
+       |${edgesFor("gb2", "e2")},
+       |edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+       |q AS (SELECT vec_id AS q_id, e AS qe FROM v
+       |      WHERE vec_id < $NumQueries),
+       |qd AS (SELECT q.q_id, c.cid, ${l2Sql("q.qe", "c.ce")} AS d
+       |       FROM q CROSS JOIN cents c),
+       |nearcells AS (SELECT q_id, cid FROM (
+       |  SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY d, cid) AS rn FROM qd) WHERE rn <= $IvfProbe),
+       |cellmin AS (SELECT cid, min(vec_id) AS vec_id
+       |            FROM assigned GROUP BY cid),
+       |f0 AS (SELECT nc.q_id, cm.vec_id
+       |       FROM nearcells nc JOIN cellmin cm USING (cid)),
+       |$hops
+       |SELECT q_id, CAST(nn_rank AS BIGINT) AS nn_rank, vec_id,
+       |  cos AS cosine
+       |FROM (SELECT s.q_id, s.vec_id, s.cos,
+       |    row_number() OVER (PARTITION BY s.q_id
+       |      ORDER BY s.cos DESC, s.vec_id) AS nn_rank
+       |  FROM (SELECT f.q_id, f.vec_id, ${cosSql("q.qe", "v.e")} AS cos
+       |        FROM f$BeamHops f JOIN v ON f.vec_id = v.vec_id
+       |        JOIN q ON f.q_id = q.q_id
+       |        WHERE f.vec_id <> f.q_id) s)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_graph_beam" -> (graphBeam(_, _)),
     "ann_mips_ivf" -> (mipsIvf(_, _)),
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
@@ -1183,6 +1376,7 @@ object Ann {
     "ann_kmeans_train" -> kmeansTrain _)
 
   val oracles: Map[String, String] = Map(
+    "ann_graph_beam" -> graphBeamSql,
     "ann_mips_ivf" -> mipsIvfSql,
     "ann_bruteforce" -> bruteforceSql,
     "ann_lsh" -> lshSql,

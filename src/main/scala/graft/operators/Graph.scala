@@ -118,19 +118,91 @@ object Graph {
   private[operators] val PrcCap = 128
 
   /** One Kleene round of the weighted damped update over the collected
-    * nation graph — shared by [[pagerankConverged]] and the stability
-    * spec. Every operation is non-negative integer floor arithmetic
-    * (`/` on non-negative longs ≡ `div` ≡ DuckDB `//`). */
-  private[graft] def prcStep(
+    * nation graph, with an arbitrary non-negative TELEPORT vector —
+    * shared by [[pagerankConverged]] (uniform teleport),
+    * [[pagerankPersonalized]] (seed-concentrated), and the stability
+    * specs. Every operation is non-negative integer floor arithmetic
+    * (`/` on non-negative longs ≡ `div` ≡ DuckDB `//`); the map is
+    * monotone in r for ANY fixed teleport, so Kleene iteration from
+    * r₀ = teleport (which satisfies r₀ ≤ f(r₀)) converges exactly. */
+  private[graft] def prcStepSeeded(
       edges: Array[(Long, Long, Long)], tw: Map[Long, Long],
-      r: Map[Long, Long]): Map[Long, Long] = {
+      teleport: Map[Long, Long], r: Map[Long, Long]): Map[Long, Long] = {
     val contrib = scala.collection.mutable.Map.empty[Long, Long]
       .withDefaultValue(0L)
     edges.foreach { case (u, v, w) =>
       contrib(v) += r(u) * w / tw(u)
     }
     r.keys.map(n =>
-      n -> (PrcTeleport + PrcDamp * contrib(n) / PrcScale)).toMap
+      n -> (teleport.getOrElse(n, 0L) + PrcDamp * contrib(n) / PrcScale))
+      .toMap
+  }
+
+  /** [[prcStepSeeded]] with the uniform [[PrcTeleport]] vector. */
+  private[graft] def prcStep(
+      edges: Array[(Long, Long, Long)], tw: Map[Long, Long],
+      r: Map[Long, Long]): Map[Long, Long] =
+    prcStepSeeded(edges, tw,
+      r.keys.map(_ -> PrcTeleport).toMap, r)
+
+  /** Corpus-scale weighted nation trade graph, collected (bounded
+    * STRUCTURALLY: 25 nations ⇒ ≤2·25² weighted edges — the C38
+    * bounded-collect discipline): symmetrized edges + per-node total
+    * weight. Shared by C51/C54. */
+  private def nationGraph(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame)
+      : (Array[(Long, Long, Long)], Map[Long, Long]) = {
+    val ew0 = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey"), col("s_nationkey"),
+        col("o_custkey"), col("l_suppkey"))
+      .distinct()
+      .select((col("c_nationkey").cast("long") * 2).as("u"),
+        (col("s_nationkey").cast("long") * 2 + 1).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val half = ew0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = half ++ half.map { case (u, v, w) => (v, u, w) }
+    val tw = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
+    (edges, tw)
+  }
+
+  /** The shared Kleene loop: iterate [[prcStepSeeded]] from
+    * r₀ = teleport until the exact fixed point (or [[PrcCap]]),
+    * returning (final frame, rounds). */
+  private def kleene(edges: Array[(Long, Long, Long)],
+      tw: Map[Long, Long], teleport: Map[Long, Long])
+      : (Map[Long, Long], Long) = {
+    var rank = tw.keys.map(n => n -> teleport.getOrElse(n, 0L)).toMap
+    var iters = PrcCap.toLong
+    var t = 0
+    while (t < PrcCap && iters == PrcCap.toLong) {
+      t += 1
+      val next = prcStepSeeded(edges, tw, teleport, rank)
+      if (next == rank) iters = t.toLong
+      rank = next
+    }
+    (rank, iters)
+  }
+
+  /** (node frame → gated output) tail shared by C51/C54. */
+  private def rankFrame(spark: SparkSession, nation: DataFrame,
+      rank: Map[Long, Long], iters: Long): DataFrame = {
+    import spark.implicits._
+    val ranks = rank.toSeq.map { case (n, r) =>
+      (n, if (n % 2 == 0) "customer" else "supplier", n / 2, r)
+    }.toDF("node", "node_type", "nkey", "rank_e4")
+    ranks
+      .join(broadcast(nation.select(
+          col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))),
+        col("nkey") === col("n_nationkey"))
+      .select(col("node_type"), col("n_name"), col("rank_e4"),
+        lit(iters).as("iters"))
+      .orderBy(col("rank_e4").desc, col("node_type"), col("n_name"))
   }
 
   /** CONVERGENCE-TESTED weighted PageRank (C51) — C50 run to an EXACT
@@ -175,44 +247,10 @@ object Graph {
   def pagerankConverged(lineitem: DataFrame, orders: DataFrame,
       customer: DataFrame, supplier: DataFrame,
       nation: DataFrame): DataFrame = {
-    val spark = lineitem.sparkSession
-    import spark.implicits._
-    val ew0 = lineitem.select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(customer.select(col("c_custkey"), col("c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(supplier.select(col("s_suppkey"), col("s_nationkey")),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("c_nationkey"), col("s_nationkey"),
-        col("o_custkey"), col("l_suppkey"))
-      .distinct()
-      .select((col("c_nationkey").cast("long") * 2).as("u"),
-        (col("s_nationkey").cast("long") * 2 + 1).as("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-    // bounded collect: ≤ 25² nation-pair rows (schema constant)
-    val half = ew0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val edges = half ++ half.map { case (u, v, w) => (v, u, w) }
-    val tw = edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._3).sum }
-    var rank: Map[Long, Long] = tw.keys.map(_ -> PrcTeleport).toMap
-    var iters = PrcCap
-    var t = 0
-    while (t < PrcCap && iters == PrcCap) {
-      t += 1
-      val next = prcStep(edges, tw, rank)
-      if (next == rank) iters = t
-      rank = next
-    }
-    val ranks = rank.toSeq.map { case (n, r) =>
-      (n, if (n % 2 == 0) "customer" else "supplier", n / 2, r)
-    }.toDF("node", "node_type", "nkey", "rank_e4")
-    ranks
-      .join(broadcast(nation.select(
-          col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))),
-        col("nkey") === col("n_nationkey"))
-      .select(col("node_type"), col("n_name"), col("rank_e4"),
-        lit(iters.toLong).as("iters"))
-      .orderBy(col("rank_e4").desc, col("node_type"), col("n_name"))
+    val (edges, tw) = nationGraph(lineitem, orders, customer, supplier)
+    val (rank, iters) =
+      kleene(edges, tw, tw.keys.map(_ -> PrcTeleport).toMap)
+    rankFrame(lineitem.sparkSession, nation, rank, iters)
   }
 
   def pagerankConverged(spark: SparkSession, dir: String): DataFrame =
@@ -220,14 +258,47 @@ object Graph {
       Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
       Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"))
 
+  // --------------------------------------------------------------- C54
+  /** PERSONALIZED PageRank (C54; Haveliwala 2002 — the
+    * recommendation-graph form of C51): the same weighted nation graph
+    * and the same monotone Kleene iteration, but the teleport mass is
+    * CONCENTRATED on one seed node — the customer-side nation with the
+    * largest total trade weight (ties by node id; chosen IN the data,
+    * replayed by the oracle) — at [[PrcTeleport]]·|V| so total
+    * teleport mass matches C51's. Ranks then measure proximity TO THE
+    * SEED along weighted trade paths: "which nations does the heaviest
+    * customer market actually reach" — the query a recommender runs
+    * per user/segment. Kleene from r₀ = teleport still applies
+    * verbatim (r₀ ≤ f(r₀) for ANY non-negative teleport; the
+    * ScalaCheck law quantifies over random teleport vectors); measured
+    * convergence 58/59 rounds at sf0.001/0.01, same [[PrcCap]] and the
+    * same adaptive conv-in-SQL oracle. */
+  def pagerankPersonalized(lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val (edges, tw) = nationGraph(lineitem, orders, customer, supplier)
+    val seed = tw.filter(_._1 % 2 == 0).toSeq
+      .minBy { case (n, w) => (-w, n) }._1
+    val seedMass = PrcTeleport * tw.size
+    val (rank, iters) = kleene(edges, tw, Map(seed -> seedMass))
+    rankFrame(lineitem.sparkSession, nation, rank, iters)
+  }
+
+  def pagerankPersonalized(spark: SparkSession, dir: String): DataFrame =
+    pagerankPersonalized(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
+      Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"))
+
   /** The oracle unrolls ALL [[PrcCap]] stages and picks the convergence
     * round IN SQL (min t with frame t ≡ frame t−1, cap fallback), so
     * one static query replays the data-dependent iteration count at any
-    * SF — the adaptive twist on C38's unrolled-CTE discipline. */
-  val pagerankConvergedSql: String = {
+    * SF — the adaptive twist on C38's unrolled-CTE discipline. The
+    * teleport expression is a parameter so C51 (uniform) and C54
+    * (seed-concentrated) share one builder. */
+  private def prcConvSql(extraCtes: String, tele: String => String): String = {
     val stages = (1 to PrcCap).map { k =>
       s"""r$k AS MATERIALIZED (SELECT ew.v AS node,
-         |  $PrcTeleport + ($PrcDamp * CAST(sum((p.r * ew.w) // wt.tw)
+         |  ${tele("ew.v")} + ($PrcDamp * CAST(sum((p.r * ew.w) // wt.tw)
          |    AS BIGINT)) // $PrcScale AS r
          |  FROM ew JOIN r${k - 1} p ON ew.u = p.node
          |    JOIN wt ON ew.u = wt.node
@@ -254,7 +325,8 @@ object Graph {
        |  SELECT u, v, w FROM ew0 UNION ALL SELECT v, u, w FROM ew0),
        |wt AS MATERIALIZED (
        |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS tw FROM ew GROUP BY 1),
-       |r0 AS (SELECT node, CAST($PrcTeleport AS BIGINT) AS r FROM wt),
+       |$extraCtes
+       |r0 AS (SELECT node, CAST(${tele("node")} AS BIGINT) AS r FROM wt),
        |$stages,
        |chs AS ($checks),
        |conv AS (SELECT CAST(coalesce(min(CASE WHEN ch = 0 THEN t END),
@@ -270,11 +342,24 @@ object Graph {
        |ORDER BY rank_e4 DESC, node_type, n_name""".stripMargin
   }
 
+  val pagerankConvergedSql: String =
+    prcConvSql("", _ => PrcTeleport.toString)
+
+  val pagerankPersonalizedSql: String = prcConvSql(
+    s"""seed AS MATERIALIZED (SELECT node FROM wt WHERE node % 2 = 0
+       |  ORDER BY tw DESC, node LIMIT 1),
+       |sm AS MATERIALIZED (SELECT CAST($PrcTeleport * count(*) AS BIGINT)
+       |  AS m FROM wt),""".stripMargin,
+    v => s"(CASE WHEN $v = (SELECT node FROM seed)" +
+      s" THEN (SELECT m FROM sm) ELSE 0 END)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank(_, _)),
-    "graph_pagerank_converged" -> (pagerankConverged(_, _)))
+    "graph_pagerank_converged" -> (pagerankConverged(_, _)),
+    "graph_pagerank_personalized" -> (pagerankPersonalized(_, _)))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
-    "graph_pagerank_converged" -> pagerankConvergedSql)
+    "graph_pagerank_converged" -> pagerankConvergedSql,
+    "graph_pagerank_personalized" -> pagerankPersonalizedSql)
 }

@@ -746,6 +746,218 @@ object Text {
        |ORDER BY rank""".stripMargin
   }
 
+  // -------------------------------------------------------------- C37b
+  /** Batched-BPE knobs: rounds, candidate pool per round, and the cap
+    * on merges applied per round. */
+  private[operators] val BpeBatchRounds = 16
+  private[operators] val BpeBatchTopC = 256
+  private[operators] val BpeBatchCap = 64
+
+  /** Greedy conflict-free batch selection over a ranked candidate
+    * list (count DESC, lft, rgt): a pair is accepted iff neither of
+    * its symbols appears in an ALREADY-ACCEPTED pair and the cap is
+    * not reached. Accepted pairs are pairwise symbol-disjoint, so
+    * applying them simultaneously is unambiguous and order-free.
+    * Shared by the operator and its specs. */
+  private[graft] def bpeGreedySelect(
+      cand: Seq[(String, String, Long)], cap: Int)
+      : Seq[(String, String, Long)] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    cand.foreach { case (l, r, c) =>
+      if (out.size < cap && !used(l) && !used(r)) {
+        out += ((l, r, c)); used += l; used += r
+      }
+    }
+    out.toSeq
+  }
+
+  /** BATCHED BPE merge-table learning (C37b) — [[bpeLearn]] scaled
+    * past toy merge counts: the SentencePiece-style trick of applying
+    * MANY compatible merges per round, so driver round-trips grow with
+    * merge DEPTH (conflict-graph layers), not merge COUNT. C37 is one
+    * argmax collect per merge — correct, but a production 32k-merge
+    * table would be 32k Spark jobs; C37b learns up to
+    * [[BpeBatchCap]]·[[BpeBatchRounds]] merges in [[BpeBatchRounds]]
+    * rounds. The word filter is `[a-z0-9]+` where C37's is `[a-z]+`
+    * (identical vocabularies on the native SFs — the corpus has
+    * exactly 31 pure-letter words — but the digit-suffixed token
+    * copies of the SCALED corpora stay learnable): measured, the
+    * batched learner reaches 262 merges by round 15 at sf1, and at
+    * sf0.01 it EXHAUSTS the 31-word corpus's entire merge table (89
+    * merges, candidate pool empty) by round 12 — the depth-vs-count
+    * claim by exhaustion, where C37's one-per-round form would need 89
+    * driver rounds. Empty late rounds emit nothing and cost one
+    * vocabulary pass each.
+    *
+    * A round: (1) pair counts over the vocabulary frame (C37's
+    * aggregation), (2) the top-[[BpeBatchTopC]] candidates by
+    * (count DESC, lft, rgt) — a BOUNDED collect, like C37's argmax but
+    * C rows — (3) GREEDY conflict-free selection
+    * ([[bpeGreedySelect]]): accepted pairs are pairwise
+    * SYMBOL-DISJOINT, which is what makes the batch sound — no symbol
+    * appears in two applied merges, so their replace-fixpoints cannot
+    * interact (an applied merge neither consumes another's symbols nor
+    * creates an instance of a disjoint pattern; the boundary delimiter
+    * a replacement consumes is restored by its own rep) and
+    * application is ORDER-INVARIANT (spec + ScalaCheck law), (4) all
+    * accepted merges applied in one vocabulary pass (each with C37's
+    * replace×3 fixpoint semantics), (5) one token-count collect. The
+    * greedy selection is deterministic over a totally-ordered bounded
+    * list, and the ORACLE replays it exactly with one recursive CTE
+    * per round folding (used-symbols, selected-ranks) over the ranked
+    * candidates — the selection is the one inherently sequential step,
+    * and it is candidate-pool-sized, never corpus-sized.
+    *
+    * Output: one row per learned merge — (round, global rank in
+    * application order, pair, count at selection, corpus token count
+    * after the round). Scale shape: corpus-linear word count ONCE,
+    * then per round one vocabulary-bounded aggregation + two bounded
+    * collects; the vocabulary frame is LOCALCHECKPOINTED each round so
+    * pass k's PLAN holds only its own ≤cap merges — caching the data
+    * alone (persist) leaves the quadratic-growing logical plan for AQE
+    * to re-stringify on every job (the C52/§8 lineage discipline,
+    * measured as minutes of driver CPU inside explainString). */
+  def bpeLearnBatched(documents: DataFrame): DataFrame = {
+    import documents.sparkSession.implicits._
+    val wc = documents
+      .select(explode(split(lower(col("text")), "[ \t\n\r]+")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", concat(lit(BD),
+        regexp_replace(col("w"), "(.)", "$1" + BD)))
+      .select(col("cnt"), col("s"))
+      .persist()
+    var cur = wc
+    try {
+      val out = Seq.newBuilder[(Long, Long, String, String, Long, Long)]
+      var rank = 0L
+      for (k <- 1 to BpeBatchRounds) {
+        val cand = cur
+          .withColumn("parts", filter(split(col("s"), BD),
+            x => length(x) > 0))
+          .select(col("cnt"), explode(zip_with(
+            slice(col("parts"), lit(1), size(col("parts")) - 1),
+            slice(col("parts"), lit(2), size(col("parts")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l").as("lft"), col("p.r").as("rgt"))
+          .agg(sum(col("cnt")).as("c"))
+          .orderBy(col("c").desc, col("lft"), col("rgt"))
+          .limit(BpeBatchTopC)
+          .collect() // bounded: the candidate pool, ≤ BpeBatchTopC rows
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        val accepted = bpeGreedySelect(cand, BpeBatchCap)
+        var sc = col("s")
+        accepted.foreach { case (l, r, _) =>
+          val pat = lit(BD + l + BD + r + BD)
+          val rep = lit(BD + l + r + BD)
+          sc = replace(replace(replace(sc, pat, rep), pat, rep), pat, rep)
+        }
+        // localCheckpoint, not persist: persist caches DATA but keeps
+        // the chained LOGICAL plan, and with ~60 replace nodes added
+        // per round AQE re-stringifies the quadratic-growing plan on
+        // every job — measured minutes of driver CPU inside
+        // explainString by round ~12 at sf1. The checkpoint truncates
+        // the plan to an RDD scan, so round k's plan holds only ITS
+        // merges (§8).
+        val next = cur.select(col("cnt"), sc.as("s")).localCheckpoint(true)
+        val toks = next.agg(sum(col("cnt") *
+            (length(col("s")) - length(replace(col("s"), lit(BD), lit("")))
+              - 1)).cast("long")).collect()(0).getLong(0) // bounded: 1 row
+        if (cur ne wc) cur.unpersist(false)
+        cur = next
+        accepted.foreach { case (l, r, c) =>
+          rank += 1
+          out += ((k.toLong, rank, l, r, c, toks))
+        }
+      }
+      out.result()
+        .toDF("round", "rank", "lft", "rgt", "pair_cnt", "corpus_tokens")
+        .orderBy(col("rank"))
+    } finally {
+      wc.unpersist(false)
+      if (cur ne wc) cur.unpersist(false)
+    }
+  }
+
+  def bpeLearnBatched(spark: SparkSession, dir: String): DataFrame =
+    bpeLearnBatched(docs(spark, dir))
+
+  /** The oracle's one sequential step — greedy selection — is a
+    * recursive CTE per round folding (used symbols, selected ranks)
+    * over the ≤[[BpeBatchTopC]]-row candidate list; merge application
+    * is a seed-prepended list_reduce of the selected (pat, rep)
+    * strings, replace×3 each, in rank order. */
+  val bpeLearnBatchedSql: String = {
+    val rep3 = "replace(replace(replace(acc, split_part(mm, chr(1), 1)," +
+      " split_part(mm, chr(1), 2)), split_part(mm, chr(1), 1)," +
+      " split_part(mm, chr(1), 2)), split_part(mm, chr(1), 1)," +
+      " split_part(mm, chr(1), 2))"
+    val stages = (1 to BpeBatchRounds).map { k =>
+      val prev = s"s${k - 1}"
+      val ok = s"(NOT list_contains(g.used, r.lft))" +
+        s" AND (NOT list_contains(g.used, r.rgt))" +
+        s" AND len(g.sel) < $BpeBatchCap"
+      s"""p$k AS (SELECT parts[i] AS lft, parts[i+1] AS rgt,
+         |    CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, list_filter(string_split(s, chr(31)),
+         |          x -> x <> '') AS parts FROM $prev) t,
+         |    unnest(generate_series(1, len(parts) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |r$k AS MATERIALIZED (SELECT lft, rgt, c,
+         |    CAST(row_number() OVER (ORDER BY c DESC, lft, rgt)
+         |      AS BIGINT) AS rnk
+         |  FROM (SELECT * FROM p$k ORDER BY c DESC, lft, rgt
+         |        LIMIT $BpeBatchTopC) q),
+         |g$k AS (
+         |  SELECT 0 AS i, CAST([] AS VARCHAR[]) AS used,
+         |    CAST([] AS BIGINT[]) AS sel
+         |  UNION ALL
+         |  SELECT g.i + 1,
+         |    CASE WHEN $ok
+         |      THEN list_concat(g.used, [r.lft, r.rgt]) ELSE g.used END,
+         |    CASE WHEN $ok
+         |      THEN list_append(g.sel, r.rnk) ELSE g.sel END
+         |  FROM g$k g JOIN r$k r ON r.rnk = g.i + 1),
+         |sel$k AS MATERIALIZED (SELECT r.rnk, r.lft, r.rgt, r.c
+         |  FROM r$k r JOIN (SELECT unnest(sel) AS rnk FROM g$k
+         |    WHERE i = (SELECT count(*) FROM r$k)) u USING (rnk)),
+         |m$k AS (SELECT coalesce(list(
+         |    chr(31)||lft||chr(31)||rgt||chr(31) || chr(1) ||
+         |    chr(31)||lft||rgt||chr(31) ORDER BY rnk),
+         |    CAST([] AS VARCHAR[])) AS ms FROM sel$k),
+         |s$k AS MATERIALIZED (SELECT cnt,
+         |    list_reduce(list_concat([$prev.s], m.ms),
+         |      (acc, mm) -> $rep3) AS s
+         |  FROM $prev CROSS JOIN m$k m),
+         |t$k AS (SELECT CAST(sum(cnt * (length(s)
+         |    - length(replace(s, chr(31), '')) - 1)) AS BIGINT) AS ct
+         |  FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BpeBatchRounds).map { k =>
+      s"SELECT $k AS round, rnk, lft, rgt, c FROM sel$k"
+    }.mkString("\nUNION ALL\n")
+    val toks = (1 to BpeBatchRounds).map { k =>
+      s"SELECT $k AS round, (SELECT ct FROM t$k) AS ct"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE w0 AS (SELECT
+       |    unnest(string_split_regex(lower(text), '[ \\t\\n\\r]+')) AS w
+       |  FROM documents),
+       |wcb AS (SELECT w, count(*) AS cnt FROM w0
+       |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT cnt,
+       |    chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g') AS s
+       |  FROM wcb),
+       |$stages,
+       |allsel AS ($unions),
+       |tokr AS ($toks)
+       |SELECT CAST(a.round AS BIGINT) AS round,
+       |  row_number() OVER (ORDER BY a.round, a.rnk) AS rank,
+       |  a.lft, a.rgt, a.c AS pair_cnt, tokr.ct AS corpus_tokens
+       |FROM allsel a JOIN tokr ON a.round = tokr.round
+       |ORDER BY rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- C41
   /** Terms kept per document. */
   private val TfidfTopK = 3
@@ -909,7 +1121,8 @@ object Text {
     "text_bigram_lm" -> (bigramLm(_, _)),
     "text_tokens_bpe" -> tokensBpe _,
     "text_quality_model" -> qualityModel _,
-    "text_bpe_learn" -> bpeLearn _)
+    "text_bpe_learn" -> bpeLearn _,
+    "text_bpe_learn_batched" -> bpeLearnBatched _)
 
   val oracles: Map[String, String] = Map(
     "text_length_outliers" -> lengthOutliersSql,
@@ -925,5 +1138,6 @@ object Text {
     "text_bigram_lm" -> bigramLmSql,
     "text_tokens_bpe" -> tokensBpeSql,
     "text_quality_model" -> qualityModelSql,
-    "text_bpe_learn" -> bpeLearnSql)
+    "text_bpe_learn" -> bpeLearnSql,
+    "text_bpe_learn_batched" -> bpeLearnBatchedSql)
 }

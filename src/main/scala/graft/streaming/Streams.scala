@@ -846,6 +846,164 @@ object Streams {
           graft.operators.Sketch.KmvK).as("sk")))
   }
 
+  // -------------------------------------------------------------- D8b
+  /** Event-time idle window before a key's sketch state is evicted. */
+  private[streaming] val KmvTtlWindowMs = 7L * 24 * 3600 * 1000
+
+  case class KmvTtlIn(event_type: String, user_id: Long,
+                      ts: java.sql.Timestamp)
+  /** hs ascending ≤K; lastMs = newest event time folded; timerMs = the
+    * armed idle timer (so re-arming can delete the old one). */
+  case class KmvTtlState(hs: Array[Long], lastMs: Long, timerMs: Long)
+  /** ver orders snapshots; h = −1 is the EVICTION tombstone so the
+    * latest snapshot of an idle-expired key reads as empty. */
+  case class KmvTtlCell(event_type: String, ver: Long, h: Long)
+
+  /** D8's fold as a `transformWithState` StatefulProcessor with
+    * EVENT-TIME TTL — the capability the r14 TWS probe identified as
+    * the reason to migrate (TTL'd/timer-driven state; plain semantics
+    * migration is churn): at 100 TB-stream scale the key space must be
+    * bounded by RECENCY, not history, so each key arms an idle timer
+    * at (latest event time + [[KmvTtlWindowMs]]) and, when the
+    * WATERMARK passes it with no newer arrival, the sketch state is
+    * CLEARED — a returning key restarts from empty. Eviction is
+    * watermark-driven, hence deterministic for a given batch sequence
+    * (the spec's controlled MemoryStream) — never wall-clock.
+    *
+    * Robustness detail: input rows and expired timers can land in the
+    * same micro-batch, and their processing order is an engine detail
+    * — so the expiry handler re-checks staleness against the state
+    * (the armed-timer id must match AND the watermark must genuinely
+    * exceed lastMs + window); a late firing of a superseded timer is a
+    * no-op. `ver` lives in its own ValueState that eviction does NOT
+    * clear, so snapshot ordering stays monotone across a restart.
+    *
+    * The TTL variant keys by event_type alone (no D8 subshards): a
+    * per-subshard timer would evict shards of one key at different
+    * watermark readings, making the surviving window
+    * hash-layout-dependent — the D8 form keeps subsharding for hot
+    * keys; this form keeps the eviction semantics clean. */
+  final class KmvTtlProcessor(windowMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, KmvTtlIn, KmvTtlCell] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var sketch: ValueState[KmvTtlState] = _
+    @transient private var ver: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      sketch = getHandle.getValueState[KmvTtlState]("sketch",
+        E.product[KmvTtlState], TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver", E.scalaLong, TTLConfig.NONE)
+    }
+
+    private def bumpVer(): Long = {
+      val v = (if (ver.exists()) ver.get() else 0L) + 1L
+      ver.update(v); v
+    }
+
+    override def handleInputRows(key: String, in: Iterator[KmvTtlIn],
+        timerValues: TimerValues): Iterator[KmvTtlCell] = {
+      val K = graft.operators.Sketch.KmvK
+      val set = scala.collection.mutable.TreeSet.empty[Long]
+      val prev = if (sketch.exists()) Some(sketch.get()) else None
+      prev.foreach(s => set ++= s.hs)
+      var lastMs = prev.map(_.lastMs).getOrElse(Long.MinValue)
+      in.foreach { e =>
+        val h = graft.operators.Sketch.kmvHashLocal(e.user_id.toString)
+        if (set.size < K || h < set.max) {
+          set += h
+          if (set.size > K) set -= set.max
+        }
+        if (e.ts.getTime > lastMs) lastMs = e.ts.getTime
+      }
+      prev.foreach(s => getHandle.deleteTimer(s.timerMs))
+      val t = lastMs + windowMs
+      getHandle.registerTimer(t)
+      sketch.update(KmvTtlState(set.toArray, lastMs, t))
+      val v = bumpVer()
+      set.iterator.map(h => KmvTtlCell(key, v, h))
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[KmvTtlCell] = {
+      if (sketch.exists()) {
+        val s = sketch.get()
+        if (s.timerMs == expiredTimerInfo.getExpiryTimeInMs &&
+            timerValues.getCurrentWatermarkInMs >= s.lastMs + windowMs) {
+          sketch.clear()
+          return Iterator(KmvTtlCell(key, bumpVer(), -1L))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Start a TWS query: state-partition sizing AND the RocksDB state
+    * store provider (transformWithState requires it), both restored
+    * after `start()` captures them — same lock as
+    * [[withStatePartitions]] (shared session conf). */
+  private def withTwsConfs[A](spark: SparkSession, n: Int)(start: => A): A =
+    statePartitionsLock.synchronized {
+      val pKey = "spark.sql.shuffle.partitions"
+      val rKey = "spark.sql.streaming.stateStore.providerClass"
+      val pPrev = spark.conf.get(pKey)
+      val rPrev = spark.conf.getOption(rKey)
+      spark.conf.set(pKey, n.toString)
+      spark.conf.set(rKey, "org.apache.spark.sql.execution.streaming" +
+        ".state.RocksDBStateStoreProvider")
+      try start finally {
+        spark.conf.set(pKey, pPrev)
+        rPrev match {
+          case Some(v) => spark.conf.set(rKey, v)
+          case None => spark.conf.unset(rKey)
+        }
+      }
+    }
+
+  /** D8b entry: the events feed replayed through the TTL'd TWS sketch
+    * (split=false — one in-order micro-batch, the D6/D7/D8 gate
+    * shape; within one batch no watermark passes, so nothing evicts
+    * and the folded state IS the batch sketch — the entry gates the
+    * full TWS/timer/RocksDB plumbing against C47's kmvDistinctSql
+    * verbatim, while EVICTION semantics are spec-gated on a controlled
+    * multi-batch MemoryStream in TransformWithStateSpec, the D5
+    * precedent). */
+  def streamKmvTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "events")
+      .option("split", false)
+      .load()
+      .select(col("event_type"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[KmvTtlIn]
+    val sinkName = s"graft_d8b_${System.nanoTime()}"
+    val q = withTwsConfs(spark, 32) {
+      feed.groupByKey(_.event_type)
+        .transformWithState(new KmvTtlProcessor(KmvTtlWindowMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    val hs = spark.table(sinkName)
+      .withColumn("mv", max(col("ver")).over(w))
+      .filter(col("ver") === col("mv") && col("h") >= 0)
+      .select(col("event_type"), col("h"))
+    graft.operators.Sketch.kmvFinish(
+      hs.groupBy(col("event_type"))
+        .agg(slice(sort_array(collect_set(col("h"))), 1,
+          graft.operators.Sketch.KmvK).as("sk")))
+  }
+
   // --------------------------------------------------------------- D9
   /** 64 log-histogram buckets (bit lengths of non-negative longs),
     * fixed state per key forever. */
@@ -936,6 +1094,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_quantile_sketch" -> streamQuantileSketch _,
     "stream_kmv_distinct" -> streamKmvDistinct _,
+    "stream_kmv_ttl" -> streamKmvTtl _,
     "stream_window_agg" -> windowAgg _,
     "stream_sessionize" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
@@ -947,6 +1106,7 @@ object Streams {
   val oracles: Map[String, String] = Map(
     "stream_quantile_sketch" -> graft.operators.Sketch.quantileOrderValuesSql,
     "stream_kmv_distinct" -> graft.operators.Sketch.kmvDistinctSql,
+    "stream_kmv_ttl" -> graft.operators.Sketch.kmvDistinctSql,
     "stream_window_agg" -> windowAggSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_dedup" -> streamDedupSql,

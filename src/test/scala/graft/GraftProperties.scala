@@ -377,6 +377,48 @@ object GraftProperties extends Properties("graft") {
       got != null && got.longValue() == refOk && onlyBad == null
     }
 
+  // ------------------------------------------ Text.bpeGreedySelect (C37b)
+  private val bpeSym = Gen.oneOf("a", "b", "c", "d", "e", "f", "ab", "cd")
+  private val bpeCand: Gen[List[(String, String, Long)]] =
+    Gen.resize(24, Gen.listOf(Gen.zip(bpeSym, bpeSym, Gen.choose(1L, 99L))))
+
+  property("bpe batch: greedy selection is symbol-disjoint, capped, and maximal") =
+    forAll(bpeCand, Gen.choose(1, 8)) { (cand, cap) =>
+      val sel = graft.operators.Text.bpeGreedySelect(cand, cap)
+      // pairwise symbol-disjoint across DISTINCT selected pairs (a
+      // self-pair (x, x) is fine alone; no other pair may touch x)
+      val disjoint = sel.combinations(2).forall { case Seq(p, q) =>
+        Set(p._1, p._2).intersect(Set(q._1, q._2)).isEmpty
+      }
+      val capped = sel.size <= cap
+      // maximality: if the cap never bound, every rejected candidate
+      // conflicts with some selected pair (else greedy would take it)
+      val maximal = sel.size == cap || cand.forall { c =>
+        sel.contains(c) || sel.exists(p =>
+          Set(p._1, p._2).intersect(Set(c._1, c._2)).nonEmpty)
+      }
+      disjoint && capped && maximal
+    }
+
+  property("bpe batch: disjoint merges commute under the replace-x3 application") =
+    forAll(Gen.resize(12, Gen.nonEmptyListOf(
+      Gen.resize(6, Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd', 'e', 'f')))
+        .map(_.mkString)))) { words =>
+      val BD = ""
+      def seg(w: String) = BD + w.flatMap(ch => s"$ch$BD")
+      val segs = words.map(seg)
+      // two structurally disjoint merges over the 6-letter alphabet
+      val merges = Seq(("a", "b"), ("c", "d"))
+      def apply3(s: String, m: (String, String)) = {
+        val pat = BD + m._1 + BD + m._2 + BD
+        val rep = BD + m._1 + m._2 + BD
+        s.replace(pat, rep).replace(pat, rep).replace(pat, rep)
+      }
+      val fwd = segs.map(s => merges.foldLeft(s)(apply3))
+      val rev = segs.map(s => merges.reverse.foldLeft(s)(apply3))
+      fwd == rev
+    }
+
   // --------------------------------------------- Graph.prcStep (C51)
   // Random weighted digraph: node ids 0..n-1, every node gets at least
   // one out-edge so total weight is defined everywhere.
@@ -389,29 +431,39 @@ object GraftProperties extends Properties("graft") {
     .groupBy(e => (e._1, e._2))
     .map { case ((u, v), es) => (u, v, es.map(_._3).sum) }.toArray
 
-  /** The C51 convergence argument as a law: the floored damped update
-    * is monotone, so Kleene iteration from the teleport floor is
-    * pointwise NONDECREASING and reaches an EXACT fixed point (the §8
-    * finding is that iteration from other seeds need not — C50's
+  /** The C51/C54 convergence argument as a law, quantified over
+    * ARBITRARY non-negative teleport vectors (C51 = uniform, C54 =
+    * seed-concentrated): the floored damped update is monotone, so
+    * Kleene iteration from r₀ = teleport (which satisfies r₀ ≤ f(r₀))
+    * is pointwise NONDECREASING and reaches an EXACT fixed point (the
+    * §8 finding is that iteration from OTHER seeds need not — C50's
     * 10⁶-seeded form limit-cycles on the corpus). */
-  property("pagerank: Kleene iteration from the teleport floor is monotone and reaches a stable fixed point") =
-    forAll(prcGraph) { edges =>
-      val tw = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
-      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
-      var r = nodes.map(_ -> 1500L).toMap
-      var monotone = true
-      var fixed = false
-      var t = 0
-      // Σr grows by ≥1 every non-converged round and is bounded by
-      // 10⁴·|V|, so this terminates; the bound here is generous slack
-      while (!fixed && t < 200000) {
-        t += 1
-        val next = graft.operators.Graph.prcStep(edges, tw, r)
-        monotone &&= nodes.forall(n => next(n) >= r(n))
-        fixed = next == r
-        r = next
-      }
-      monotone && fixed &&
-        graft.operators.Graph.prcStep(edges, tw, r) == r
+  property("pagerank: Kleene iteration from any teleport vector is monotone and reaches a stable fixed point") =
+    forAll(prcGraph, Gen.choose(0, 2), Gen.choose(0L, 75000L)) {
+      (edges, mode, mass) =>
+        val tw = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+        val teleport: Map[Long, Long] = mode match {
+          case 0 => nodes.map(_ -> 1500L).toMap          // C51 uniform
+          case 1 => Map(nodes.head -> (1500L * nodes.length)) // C54 seed
+          case _ => nodes.zipWithIndex.map { case (n, i) => // arbitrary
+            n -> (mass * (i + 1) % 40009L)
+          }.toMap
+        }
+        var r = nodes.map(n => n -> teleport.getOrElse(n, 0L)).toMap
+        var monotone = true
+        var fixed = false
+        var t = 0
+        // Σr grows by ≥1 every non-converged round and is mass-bounded,
+        // so this terminates; the bound here is generous slack
+        while (!fixed && t < 400000) {
+          t += 1
+          val next = graft.operators.Graph.prcStepSeeded(edges, tw, teleport, r)
+          monotone &&= nodes.forall(n => next(n) >= r(n))
+          fixed = next == r
+          r = next
+        }
+        monotone && fixed &&
+          graft.operators.Graph.prcStepSeeded(edges, tw, teleport, r) == r
     }
 }

@@ -17,7 +17,7 @@ class PlanAuditSpec extends SparkSpec {
   private val dir = sf("sf0.001")
   private val exempt = Set("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
     "ann_ivfpq", "ann_ivfpq_residual", "ann_ivfpq_perlist", "ann_recall_curve",
-    "ann_mips_ivf")
+    "ann_mips_ivf", "ann_graph_beam")
 
   test("no entry plans a cartesian product or nested-loop join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -38,11 +38,31 @@ class PlanAuditSpec extends SparkSpec {
     // in an ANN plan means a fact-scale exchange that the broadcast
     // design exists to avoid, and a CartesianProduct means a
     // non-broadcast cross (both sides fact-scale)
-    exempt.toSeq.sorted.foreach { name =>
+    // ann_graph_beam is carved out of the SMJ sweep: its kNN-graph
+    // BUILD is a blocked corpus×corpus EQUI self-join on (cid, gb) —
+    // at scale that join legitimately shuffles (Σ|block|² is the
+    // design, not an accident); its own test below pins the rest
+    exempt.toSeq.sorted.filterNot(_ == "ann_graph_beam").foreach { name =>
       val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("SortMergeJoin"), s"$name shuffle-joins:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
     }
+  }
+
+  test("ann_graph_beam: no cartesian; search-side joins broadcast; only the build self-join may shuffle") {
+    val p = SparkEntry.queries("ann_graph_beam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"graph_beam cartesian:\n$p")
+    // every SortMergeJoin (if the optimizer picks one over
+    // shuffled-hash) must be the blocked build join keyed on (cid, gb)
+    // — never a frontier or embedding-lookup join, which the operator
+    // broadcasts explicitly
+    val smjKeys = "SortMergeJoin \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(smjKeys.forall(k => k.contains("cid") && k.contains("gb")),
+      s"a non-build join shuffled (keys: $smjKeys):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"search-side joins must broadcast:\n$p")
   }
 
   test("dedup_semantic: projection-only assignment, self-join reuses one exchange") {

@@ -100,6 +100,29 @@ class GraphSpec extends SparkSpec {
       "the gated frame must be an exact fixed point")
   }
 
+  // ------------------------------------------------------------- C54
+  test("pagerankPersonalized: seed dominates, mass concentrates near it, exact convergence") {
+    val conv = Graph.pagerankConverged(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pers = Graph.pagerankPersonalized(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(pers.map(r => (r._1, r._2)).toSet === conv.map(r => (r._1, r._2)).toSet,
+      "same node set as the uniform form")
+    val iters = pers.head._4
+    assert(iters > 1 && iters < Graph.PrcCap, s"genuine convergence (got $iters)")
+    // the seed (a customer-side nation) holds the top rank — all
+    // teleport mass enters there
+    assert(pers.head._1 === "customer", "top-ranked node must be the seed")
+    assert(pers.head._3 > pers(1)._3, "seed rank strictly dominates")
+    // personalization reorders: the rank ordering differs from uniform
+    assert(pers.map(r => (r._1, r._2)).toSeq !== conv.map(r => (r._1, r._2)).toSeq,
+      "seed concentration must change the ordering")
+    // every rank is non-negative and supplier ranks are reachable mass
+    assert(pers.forall(_._3 >= 0))
+    assert(pers.filter(_._1 == "supplier").forall(_._3 > 0),
+      "suppliers trade with the seed's market — reachable, positive rank")
+  }
+
   test("pagerankConverged: two-node hand fixture converges to the scalar fixed point") {
     import spark.implicits._
     // one customer (nation 0) trades with one supplier (nation 1):

@@ -84,4 +84,63 @@ class LayoutSpec extends SparkSpec {
     val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
     assert(Layout.zorder(empty).count() === 0)
   }
+
+  // -------------------------------------------------------------- C42b
+  test("zorderWrite: the written corpus is a complete, correctly-bucketed permutation") {
+    val dir = sf("sf0.001")
+    val events = graft.Tables(spark, dir, "events")
+    val outDir = sys.props("java.io.tmpdir") + "/graft_zorder_write_spec"
+    val out = Layout.zorderWrite(events, outDir).cache()
+    try {
+      // conservation: every input row lands in exactly one bucket file
+      assert(out.agg(sum("n_events")).head().getLong(0) === events.count())
+      // the digest of the WRITTEN files equals the digest of the input
+      val rawDigest = events.agg(
+        sum(expr("CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT) % 1000003")).cast("long")).head().getLong(0)
+      assert(out.agg(sum("digest")).head().getLong(0) === rawDigest)
+      // physical layout: one directory per z-bucket, ≤256 of them
+      val dirs = new java.io.File(outDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("zbucket="))
+      assert(dirs.nonEmpty && dirs.length <= 256)
+      assert(dirs.length === out.count())
+      // hyper-rectangle law on the WRITTEN buckets, in rank space:
+      // the top 4 bits of each dim are fixed ⇒ rank span ≤ 2^12 − 1
+      val g = events.select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s"))
+        .agg(min("user_id"), max("user_id"), min("s"), max("s")).head()
+      val (mnu, ru) = (g.getLong(0), math.max(g.getLong(1) - g.getLong(0), 1L))
+      val (mns, rs) = (g.getLong(2), math.max(g.getLong(3) - g.getLong(2), 1L))
+      val bad = out.filter(
+        (col("max_user") - lit(mnu)) * 65535 / lit(ru) -
+          (col("min_user") - lit(mnu)) * 65535 / lit(ru) > 4095 ||
+        (col("max_s") - lit(mns)) * 65535 / lit(rs) -
+          (col("min_s") - lit(mns)) * 65535 / lit(rs) > 4095)
+      assert(bad.count() === 0, "a written bucket exceeds its z-cell")
+    } finally out.unpersist()
+  }
+
+  // -------------------------------------------------------------- C42c
+  test("zorderSkip: the z layout prunes BOTH dims; the time layout cannot prune user predicates") {
+    // sf0.01: all 256 buckets of both layouts are populated, so the
+    // ratios are the structural ones (sparser SFs under-populate and
+    // soften the timesort side)
+    val rows = Layout.zorderSkip(spark, sf("sf0.01")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def scanned(layout: String, boxes: Range) =
+      rows.filter(r => r._1 == layout && boxes.contains(r._2.toInt))
+        .map(_._4).sum
+    def total(layout: String, boxes: Range) =
+      rows.filter(r => r._1 == layout && boxes.contains(r._2.toInt))
+        .map(_._3).sum
+    // user stripes (boxes 0-3): timesort scans EVERY file, z scans 1/4
+    assert(scanned("timesort", 0 until 4) === total("timesort", 0 until 4))
+    assert(scanned("zorder", 0 until 4) * 4 <= total("zorder", 0 until 4))
+    // time stripes (4-7): both layouts prune to 1/4
+    assert(scanned("timesort", 4 until 8) * 4 <= total("timesort", 4 until 8))
+    assert(scanned("zorder", 4 until 8) * 4 <= total("zorder", 4 until 8))
+    // quartile cells (8-23): z prunes both dims — at least 3× fewer
+    // files than the time layout's time-only pruning
+    assert(scanned("zorder", 8 until 24) * 3 < scanned("timesort", 8 until 24))
+  }
 }

@@ -486,6 +486,95 @@ class TextSpec extends SparkSpec {
     assert(a === b)
   }
 
+  // -------------------------------------------------- C37b batched bpe
+  /** Independent batched learner with the operator's exact semantics:
+    * rank → greedy conflict-free selection → replace×3 per accepted
+    * merge. `reverse = true` applies each round's accepted merges in
+    * REVERSE rank order — the disjointness law says the result must
+    * not change. */
+  private def refBpeLearnBatched(texts: Seq[String], rounds: Int,
+      topC: Int, cap: Int, reverse: Boolean = false)
+      : Seq[(Long, Long, String, String, Long, Long)] = {
+    val wc = texts.flatMap(_.toLowerCase.split("[ \t\n\r]+"))
+      .filter(_.matches("^[a-z0-9]+$"))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    var segs: Seq[(Long, String)] = wc.toSeq.map { case (w, c) =>
+      (c, BpeD + w.flatMap(ch => s"$ch$BpeD"))
+    }
+    val out = Seq.newBuilder[(Long, Long, String, String, Long, Long)]
+    var rank = 0L
+    for (k <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      segs.foreach { case (c, s) =>
+        s.split(BpeD).filter(_.nonEmpty).sliding(2).foreach {
+          case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      val cand = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x, y) }.take(topC)
+        .map { case ((x, y), n) => (x, y, n) }
+      val accepted = Text.bpeGreedySelect(cand, cap)
+      val applyOrder = if (reverse) accepted.reverse else accepted
+      applyOrder.foreach { case (a, b, _) =>
+        val pat = BpeD + a + BpeD + b + BpeD
+        val rep = BpeD + a + b + BpeD
+        segs = segs.map { case (cnt, s) =>
+          (cnt, s.replace(pat, rep).replace(pat, rep).replace(pat, rep))
+        }
+      }
+      val toks = segs.map { case (cnt, s) =>
+        cnt * (s.count(_ == BpeD.head) - 1)
+      }.sum
+      accepted.foreach { case (a, b, c) =>
+        rank += 1
+        out += ((k.toLong, rank, a, b, c, toks))
+      }
+    }
+    out.result()
+  }
+
+  test("bpe learn batched: corpus differential vs the independent learner; rounds are symbol-disjoint") {
+    val texts = graft.Tables(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val want = refBpeLearnBatched(texts, Text.BpeBatchRounds,
+      Text.BpeBatchTopC, Text.BpeBatchCap)
+    val got = Text.bpeLearnBatched(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(_._2)
+    assert(got === want)
+    assert(got.length > Text.BpeLearnRanks,
+      "the batch must learn more merges than C37's one-per-round")
+    // within a round, accepted pairs are PAIRWISE symbol-disjoint —
+    // the property that makes simultaneous application sound (a
+    // self-pair (x, x) is fine alone; no other pair may touch x)
+    got.groupBy(_._1).foreach { case (round, ms) =>
+      ms.combinations(2).foreach { case Seq(p, q) =>
+        assert(Set(p._3, p._4).intersect(Set(q._3, q._4)).isEmpty,
+          s"round $round: merges $p and $q share a symbol")
+      }
+    }
+    // token counts strictly decrease round over round
+    val perRound = got.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.head._6)
+    assert(perRound.sliding(2).forall {
+      case Seq(x, y) => x > y; case _ => true
+    })
+    // the 31-word corpus EXHAUSTS before the round budget: trailing
+    // rounds find an empty candidate pool and emit nothing — the
+    // depth-vs-count demonstration (C37 would need one round per merge)
+    assert(got.map(_._1).max < Text.BpeBatchRounds,
+      "expected the merge table to exhaust before the last round")
+  }
+
+  test("bpe learn batched: application order within a round is irrelevant (disjointness law)") {
+    val texts = graft.Tables(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0)).toSeq.take(120)
+    val fwd = refBpeLearnBatched(texts, 4, Text.BpeBatchTopC, Text.BpeBatchCap)
+    val rev = refBpeLearnBatched(texts, 4, Text.BpeBatchTopC, Text.BpeBatchCap,
+      reverse = true)
+    assert(fwd === rev)
+  }
+
   // ------------------------------------------------- C41 tf-idf top-k
   test("tfidf: known tf/df/scores, rare term outranks a stopword") {
     import spark.implicits._

@@ -137,6 +137,86 @@ class TransformWithStateSpec extends SparkSpec {
     // live state supersedes the seed where newer
     assert(out.exists(r => r.click_id == 12 && r.purchase_id.contains(11L)))
   }
+  // ------------------------------------------------------- D8b TTL KMV
+  import java.sql.Timestamp
+  import graft.streaming.Streams.{KmvTtlCell, KmvTtlIn}
+
+  private def tsAt(t0: LocalDateTime, plusMin: Long): Timestamp =
+    Timestamp.valueOf(t0.plusMinutes(plusMin))
+
+  /** Drive the TTL processor over explicit micro-batches; returns the
+    * full emitted cell history. */
+  private def runTtl(batches: Seq[Seq[KmvTtlIn]], windowMs: Long): Seq[KmvTtlCell] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[KmvTtlIn]
+      val name = s"tws_ttl_${System.nanoTime()}"
+      val q = input.toDS()
+        .withWatermark("ts", "0 seconds")
+        .groupByKey(_.event_type)
+        .transformWithState(new Streams.KmvTtlProcessor(windowMs),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[KmvTtlCell].collect().toSeq
+      } finally q.stop()
+    }
+  }
+
+  /** Latest-version surviving hash set per key — the entry's read. */
+  private def survivors(cells: Seq[KmvTtlCell]): Map[String, Set[Long]] =
+    cells.groupBy(_.event_type).map { case (k, cs) =>
+      val latest = cs.map(_.ver).max
+      k -> cs.filter(c => c.ver == latest && c.h >= 0).map(_.h).toSet
+    }
+
+  test("TTL KMV: an idle key's state is evicted at the event-time watermark and restarts") {
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    val w = 10L * 60 * 1000 // 10 minutes
+    def in(tp: String, uid: Long, m: Long) = KmvTtlIn(tp, uid, tsAt(t0, m))
+    val cells = runTtl(Seq(
+      // batch 1: A has 5 users, B one — both sketches live
+      Seq(in("A", 1, 0), in("A", 2, 0), in("A", 3, 0), in("A", 4, 0),
+        in("A", 5, 0), in("B", 100, 0)),
+      // batch 2: only B, 30 min later — advances the watermark past
+      // A's idle timer (t0 + 10 min)
+      Seq(in("B", 101, 30)),
+      // batch 3: only B again — A's timer fires against the advanced
+      // watermark, state cleared, tombstone emitted
+      Seq(in("B", 102, 40)),
+      // batch 4: A returns — the sketch RESTARTS from empty
+      Seq(in("A", 6, 45), in("A", 7, 45))), w)
+    // the eviction tombstone was emitted for A
+    assert(cells.exists(c => c.event_type == "A" && c.h == -1L),
+      "expected an eviction tombstone for the idle key")
+    val sv = survivors(cells)
+    def kmv(uids: Long*) =
+      uids.map(u => graft.operators.Sketch.kmvHashLocal(u.toString)).toSet
+    // streamed ≡ batch ON THE SURVIVING WINDOW: A restarted at batch 4;
+    // B never idled past the window, so its full history survives
+    assert(sv("A") === kmv(6, 7))
+    assert(sv("B") === kmv(100, 101, 102))
+  }
+
+  test("TTL KMV: without an over-window gap, streamed equals the full batch sketch") {
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    val w = 60L * 60 * 1000 // 1 hour — gaps below never expire
+    def in(tp: String, uid: Long, m: Long) = KmvTtlIn(tp, uid, tsAt(t0, m))
+    val cells = runTtl(Seq(
+      Seq(in("A", 1, 0), in("B", 9, 5)),
+      Seq(in("A", 2, 20), in("A", 1, 25)), // duplicate arrival folds away
+      Seq(in("B", 8, 50), in("A", 3, 55))), w)
+    assert(!cells.exists(_.h == -1L), "nothing may evict below the window")
+    val sv = survivors(cells)
+    def kmv(uids: Long*) =
+      uids.map(u => graft.operators.Sketch.kmvHashLocal(u.toString)).toSet
+    assert(sv("A") === kmv(1, 2, 3))
+    assert(sv("B") === kmv(8, 9))
+  }
 }
 
 /** Top-level (serialization-clean) home for the probe's processor. */
