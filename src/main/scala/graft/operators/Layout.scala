@@ -169,9 +169,14 @@ object Layout {
       .orderBy(col("zbucket"))
   }
 
+  // output dir unique per invocation (nanoTime, the memory-sink
+  // convention): a fixed shared path lets two concurrent driver runs
+  // (parallel verify sweeps at different SFs) overwrite each other
+  // between the write and the read-back aggregate
   def zorderWrite(spark: SparkSession, dir: String): DataFrame =
     zorderWrite(Tables(spark, dir, "events"),
-      sys.props("java.io.tmpdir") + "/graft_zorder_write")
+      sys.props("java.io.tmpdir") +
+        s"/graft_zorder_write_${System.nanoTime()}")
 
   val zorderWriteSql: String =
     s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS s FROM events),

@@ -1290,6 +1290,59 @@ object Pipeline {
   private[operators] val TrainHoldMod = 5L
   /** Update scale: error centroids are ×10⁶ class-normalized. */
   private[operators] val TrainRate = 1000000L
+  /** Score-range buckets for the θ argmin's histogram+refine pass. */
+  private[operators] val ThetaBuckets = 1024L
+
+  /** Exact θ-candidate frame (th, err) over a scores frame
+    * (doc_id, y, s) — the C29c histogram+refine SHAPE in place of a
+    * global ordered window: `Window.orderBy(s)` with no partitionBy
+    * plans a SinglePartition sort whose input is O(distinct train
+    * scores) — the one task the whole cluster waits on at 100× train
+    * scale (the r15 verdict's scale-killer). The error curve
+    * err(θ) = |{y=+1 : s ≤ θ}| + |{y=−1 : s > θ}| decomposes into a
+    * cross-bucket PREFIX plus a WITHIN-bucket cumulative: distinct
+    * scores are cut into ≤[[ThetaBuckets]] contiguous equal-width
+    * ranges, the per-bucket (P, Q) histogram is a bounded collect
+    * whose running sums ride back as a broadcast literal, and the
+    * within-bucket cumulative is a window PARTITIONED by bucket —
+    * distributed, never global (PlanAuditSpec pins
+    * no-SinglePartition on this frame, the C39 precedent). Every
+    * candidate's error is still computed EXACTLY, so the argmin —
+    * and therefore the gated artifact and its unchanged oracle — is
+    * identical to the serial form. */
+  private[graft] def thetaCandidates(ts: DataFrame): DataFrame = {
+    val spark = ts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val agg = ts.groupBy(col("s")).agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).as("q"))
+    val st = ts.agg(min(col("s")), max(col("s")),
+      sum(when(col("y") === -1L, 1L).otherwise(0L)).cast("long"))
+      .head() // bounded: 1 row of score stats
+    def lz(i: Int) = if (st.isNullAt(i)) 0L else st.getLong(i)
+    val (smin, smax, totQ) = (lz(0), lz(1), lz(2))
+    val width = math.max(1L, (smax - smin) / ThetaBuckets + 1L)
+    // (s - smin) ≥ 0, so div is plain truncation on both engines
+    val bucketed = agg.withColumn("b", expr(s"(s - ($smin)) div $width"))
+    val hist = bucketed.groupBy(col("b"))
+      .agg(sum(col("p")).as("hp"), sum(col("q")).as("hq"))
+      .collect() // bounded: ≤ ThetaBuckets rows
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (cp, cq) = (0L, 0L)
+    val prefix = hist.map { case (b, hp, hq) =>
+      val row = (b, cp, cq); cp += hp; cq += hq; row
+    }.toSeq
+    val pdf = broadcast(prefix.toDF("b", "cp0", "cq0"))
+    val iw = Window.partitionBy(col("b")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bucketed.join(pdf, "b")
+      .select(col("s").as("th"),
+        (col("cp0") + sum(col("p")).over(iw) + lit(totQ)
+          - col("cq0") - sum(col("q")).over(iw)).as("err"))
+      .unionAll(Seq((smin - 1, totQ)).toDF("th", "err"))
+  }
 
   /** Learned quality-model TRAINING (C52) — completes the trainer trio
     * (C37 learns the tokenizer, C38 learns the ANN codebook, C52 learns
@@ -1329,17 +1382,18 @@ object Pipeline {
     * (doc, bucket) presence frame (the C41 shape); per round two
     * broadcast joins of the ≤4096-row weight table (scores for the
     * update, scores for the threshold), one per-bucket delta aggregate,
-    * and three BOUNDED collects (1-row error counts, ≤4096-row delta,
-    * 1-row θ — the C38 per-round discipline, which also avoids the 2^k
-    * plan growth of chaining each round's frame into the next: a round
+    * and BOUNDED collects only (1-row error counts, ≤4096-row delta,
+    * 1-row score stats, ≤[[ThetaBuckets]]-row θ histogram, 1-row θ —
+    * the C38 per-round discipline, which also avoids the 2^k plan
+    * growth of chaining each round's frame into the next: a round
     * referencing the previous weight FRAME twice doubles the unresolved
     * plan per round, measured OOMing Catalyst's treeString at 8 rounds,
-    * §8). The θ-argmin frame is DISTINCT-train-score-sized; production
-    * quantizes scores first to bound it, same machinery. */
+    * §8). The θ argmin runs over [[thetaCandidates]]'s
+    * histogram+refine frame — exact, but never a global sort
+    * (PlanAuditSpec pins no-SinglePartition on its plan). */
   def qualityTrain(documents: DataFrame): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val t = documents
       .withColumn("toks", split(col("text"), " "))
       .withColumn("feats",
@@ -1402,23 +1456,15 @@ object Pipeline {
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         w = (w.keySet ++ dlt.keySet).iterator
           .map(b => b -> (w.getOrElse(b, 0L) + dlt.getOrElse(b, 0L))).toMap
-        // exact threshold: argmin over candidate θ ∈ distinct scores
-        val ts = trainScores()
-        val agg = ts.groupBy(col("s")).agg(
-          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
-          sum(when(col("y") === -1L, 1L).otherwise(0L)).as("q"))
-        val cw = Window.orderBy(col("s"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val tot = Window.rowsBetween(
-          Window.unboundedPreceding, Window.unboundedFollowing)
-        val cand = agg
-          .select(col("s").as("th"),
-            (sum(col("p")).over(cw) + sum(col("q")).over(tot)
-              - sum(col("q")).over(cw)).as("err"))
-          .unionAll(ts.agg((min(col("s")) - 1).as("th"),
-            sum(when(col("y") === -1L, 1L).otherwise(0L)).as("err")))
-        theta = cand.orderBy(col("err"), col("th")).limit(1)
-          .head().getLong(0) // bounded: the 1-row argmin
+        // exact threshold: argmin over candidate θ ∈ distinct scores,
+        // via the histogram+refine candidate frame (never a global
+        // sort); persisted: the frame feeds three bounded actions
+        // (score stats, bucket histogram, argmin)
+        val ts = trainScores().persist()
+        try {
+          theta = thetaCandidates(ts).orderBy(col("err"), col("th"))
+            .limit(1).head().getLong(0) // bounded: the 1-row argmin
+        } finally ts.unpersist(false)
       }
       (w.toSeq.filter(_._2 != 0L).sortBy(_._1) :+ (-1L -> theta))
         .toDF("bucket", "weight")

@@ -754,19 +754,28 @@ object Text {
   private[operators] val BpeBatchCap = 64
 
   /** Greedy conflict-free batch selection over a ranked candidate
-    * list (count DESC, lft, rgt): a pair is accepted iff neither of
-    * its symbols appears in an ALREADY-ACCEPTED pair and the cap is
-    * not reached. Accepted pairs are pairwise symbol-disjoint, so
-    * applying them simultaneously is unambiguous and order-free.
-    * Shared by the operator and its specs. */
+    * list (count DESC, lft, rgt): a pair is accepted iff NONE of
+    * {lft, rgt, lft+rgt} was claimed by an already-accepted pair
+    * (which claims the same three strings) and the cap is not
+    * reached. Symbol-disjointness alone is NOT order-invariant: with
+    * ('a','b') and ('ab','x') both accepted, applying ('a','b') first
+    * creates new ('ab','x') instances — the merged symbol must be
+    * claimed too, in BOTH directions (a later pair may neither use an
+    * earlier pair's concatenation as a symbol nor produce an earlier
+    * pair's symbol as its concatenation). With the concatenation
+    * claimed, no accepted pair's application can create or consume
+    * another's pattern, so simultaneous application is unambiguous
+    * and order-free (the ScalaCheck law quantifies this). Shared by
+    * the operator and its specs; the oracle's recursive CTE replays
+    * the identical fold. */
   private[graft] def bpeGreedySelect(
       cand: Seq[(String, String, Long)], cap: Int)
       : Seq[(String, String, Long)] = {
     val used = scala.collection.mutable.Set.empty[String]
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     cand.foreach { case (l, r, c) =>
-      if (out.size < cap && !used(l) && !used(r)) {
-        out += ((l, r, c)); used += l; used += r
+      if (out.size < cap && !used(l) && !used(r) && !used(l + r)) {
+        out += ((l, r, c)); used += l; used += r; used += (l + r)
       }
     }
     out.toSeq
@@ -794,9 +803,10 @@ object Text {
     * aggregation), (2) the top-[[BpeBatchTopC]] candidates by
     * (count DESC, lft, rgt) — a BOUNDED collect, like C37's argmax but
     * C rows — (3) GREEDY conflict-free selection
-    * ([[bpeGreedySelect]]): accepted pairs are pairwise
-    * SYMBOL-DISJOINT, which is what makes the batch sound — no symbol
-    * appears in two applied merges, so their replace-fixpoints cannot
+    * ([[bpeGreedySelect]]): accepted pairs are pairwise disjoint on
+    * symbols AND concatenations, which is what makes the batch sound —
+    * no symbol appears in two applied merges and no merge's output
+    * symbol is another's input, so their replace-fixpoints cannot
     * interact (an applied merge neither consumes another's symbols nor
     * creates an instance of a disjoint pattern; the boundary delimiter
     * a replacement consumes is restored by its own rep) and
@@ -897,6 +907,7 @@ object Text {
       val prev = s"s${k - 1}"
       val ok = s"(NOT list_contains(g.used, r.lft))" +
         s" AND (NOT list_contains(g.used, r.rgt))" +
+        s" AND (NOT list_contains(g.used, r.lft || r.rgt))" +
         s" AND len(g.sel) < $BpeBatchCap"
       s"""p$k AS (SELECT parts[i] AS lft, parts[i+1] AS rgt,
          |    CAST(sum(cnt) AS BIGINT) AS c
@@ -915,7 +926,8 @@ object Text {
          |  UNION ALL
          |  SELECT g.i + 1,
          |    CASE WHEN $ok
-         |      THEN list_concat(g.used, [r.lft, r.rgt]) ELSE g.used END,
+         |      THEN list_concat(g.used, [r.lft, r.rgt, r.lft || r.rgt])
+         |      ELSE g.used END,
          |    CASE WHEN $ok
          |      THEN list_append(g.sel, r.rnk) ELSE g.sel END
          |  FROM g$k g JOIN r$k r ON r.rnk = g.i + 1),

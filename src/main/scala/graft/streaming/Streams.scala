@@ -849,6 +849,15 @@ object Streams {
   // -------------------------------------------------------------- D8b
   /** Event-time idle window before a key's sketch state is evicted. */
   private[streaming] val KmvTtlWindowMs = 7L * 24 * 3600 * 1000
+  /** Window for the GATE entries: wider than any test corpus's time
+    * span (the events feeds span ~30 days), so the batch-equality gate
+    * never depends on every key having an event inside the idle
+    * window — with a 7-day window a watermark-advancing timer batch
+    * after the data batch COULD evict a key whose last event is older
+    * than 7 days before the feed's max ts, silently diverging from the
+    * batch oracle. Eviction semantics stay pinned at the 7-day window
+    * by TransformWithStateSpec's controlled MemoryStream. */
+  private[streaming] val TtlGateWindowMs = 36500L * 24 * 3600 * 1000
 
   case class KmvTtlIn(event_type: String, user_id: Long,
                       ts: java.sql.Timestamp)
@@ -964,12 +973,13 @@ object Streams {
 
   /** D8b entry: the events feed replayed through the TTL'd TWS sketch
     * (split=false — one in-order micro-batch, the D6/D7/D8 gate
-    * shape; within one batch no watermark passes, so nothing evicts
-    * and the folded state IS the batch sketch — the entry gates the
-    * full TWS/timer/RocksDB plumbing against C47's kmvDistinctSql
-    * verbatim, while EVICTION semantics are spec-gated on a controlled
-    * multi-batch MemoryStream in TransformWithStateSpec, the D5
-    * precedent). */
+    * shape) under [[TtlGateWindowMs]], wider than the corpus's time
+    * span — so no key can evict even in the watermark-advancing timer
+    * batch AFTER the data batch, and the folded state IS the batch
+    * sketch — the entry gates the full TWS/timer/RocksDB plumbing
+    * against C47's kmvDistinctSql verbatim, while EVICTION semantics
+    * are spec-gated at the 7-day window on a controlled multi-batch
+    * MemoryStream in TransformWithStateSpec, the D5 precedent. */
   def streamKmvTtl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val feed = spark.readStream.format("graft-arrow")
@@ -984,7 +994,7 @@ object Streams {
     val sinkName = s"graft_d8b_${System.nanoTime()}"
     val q = withTwsConfs(spark, 32) {
       feed.groupByKey(_.event_type)
-        .transformWithState(new KmvTtlProcessor(KmvTtlWindowMs),
+        .transformWithState(new KmvTtlProcessor(TtlGateWindowMs),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
           OutputMode.Append())
         .writeStream.format("memory").queryName(sinkName)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Blanket plan audit over EVERY registered entry: nothing may plan a
   * cartesian product or a broadcast-nested-loop join — the two shapes
   * that silently turn into O(N²) work at scale. The ann_* entries are
@@ -137,6 +139,26 @@ class PlanAuditSpec extends SparkSpec {
     val p = SparkEntry.queries("pipeline_pareto_skyline")(spark, dir)
       .queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin"), s"skyline shuffle-joins:\n$p")
+  }
+
+  test("quality_train θ-argmin plans no single-partition stage") {
+    // the exact threshold search runs over thetaCandidates'
+    // histogram+refine frame: cross-bucket prefixes ride as a
+    // broadcast literal and the within-bucket cumulative window is
+    // PARTITIONED by bucket — a SinglePartition Window/Sort here is
+    // the one task every other score waits on at 100× train-set
+    // scale (the C39 no-SinglePartition precedent)
+    val ts = spark.range(0, 512).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, 1L).otherwise(-1L).as("y"),
+      ((col("id") * 37) % 101).cast("long").as("s"))
+    val p = graft.operators.Pipeline.thetaCandidates(ts)
+      .orderBy(col("err"), col("th")).limit(1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"θ-argmin plans a single-partition stage:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"θ-argmin plans an O(N²) join:\n$p")
   }
 
   test("q7's rank filter plans a partial top-k below the shuffle (WindowGroupLimit)") {

@@ -39,6 +39,14 @@ POINTS = [
 # late in the session if the window fit)
 POINTS = [p for p in POINTS if os.path.exists(p[1])]
 
+# ONLY sf3 is optional: the ratio/summary code below indexes sf0_1,
+# sf1, and sf10 unconditionally — fail with a clear message up front
+# instead of a bare KeyError after the existence filter silently
+# accepted the absence
+_missing = [k for k in ("sf0_1", "sf1", "sf10")
+            if k not in {p[0] for p in POINTS}]
+assert not _missing, f"required bench points missing: {_missing}"
+
 blocks = {}
 for key, path, mult in POINTS:
     with open(path) as f:
