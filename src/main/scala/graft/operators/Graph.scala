@@ -174,7 +174,7 @@ object Graph {
   /** The shared Kleene loop: iterate [[prcStepSeeded]] from
     * r₀ = teleport until the exact fixed point (or [[PrcCap]]),
     * returning (final frame, rounds). */
-  private def kleene(edges: Array[(Long, Long, Long)],
+  private[operators] def kleene(edges: Array[(Long, Long, Long)],
       tw: Map[Long, Long], teleport: Map[Long, Long])
       : (Map[Long, Long], Long) = {
     var rank = tw.keys.map(n => n -> teleport.getOrElse(n, 0L)).toMap
@@ -289,6 +289,177 @@ object Graph {
       Tables(spark, dir, "orders"), Tables(spark, dir, "customer"),
       Tables(spark, dir, "supplier"), Tables(spark, dir, "nation"))
 
+  // --------------------------------------------------------------- C55
+  /** Rows kept in the distributed-PageRank gated artifact. */
+  private val PrdTopK = 100
+  /** Rank frames at or under this node count ride the superstep join
+    * as a broadcast (~16 MB of (node, r) longs at the bound); larger
+    * graphs shuffle co-partitioned. */
+  private val KleeneBroadcastNodes = 1000000L
+
+  /** The DISTRIBUTED Kleene loop (C55's engine) — [[kleene]] with the
+    * graph left as a DataFrame: per round one two-exchange superstep
+    * (the C50 shape: join the node-bounded rank frame into the
+    * persisted edge frame on `u`, then a map-side-combined sum per
+    * destination `v`) plus ONE bounded action, the 1-row rank-mass
+    * sum. The sum is a COMPLETE convergence witness here, cheaper
+    * than any frame diff: Kleene from r₀ = teleport under a monotone
+    * update makes every node's rank pointwise NONDECREASING, so
+    * Σr is strictly increasing until the least fixed point and
+    * Σr_t = Σr_{t−1} ⟺ frame_t ≡ frame_{t−1} — no join against the
+    * previous frame, no changed-count shuffle. Each round's rank
+    * frame is localCheckpoint'd (eager): the loop would otherwise
+    * chain T joins into one logical plan (the C37b/§8 lineage
+    * discipline), and the checkpoint is also what makes the witness
+    * action cheap (a ≤|V|-row scan). GraphSpec proves this loop ≡
+    * the collected [[kleene]] (ranks AND convergence round) on a
+    * seeded random graph.
+    *
+    * Input: symmetrized weighted edges (u, v, w); every node must
+    * have an out-edge (symmetrization guarantees it). Returns the
+    * converged (node, r) frame — NEVER collected — and the round. */
+  private[operators] def kleeneDist(edges: DataFrame): (DataFrame, Long) = {
+    val tw = edges.groupBy(col("u").as("node")).agg(sum(col("w")).as("tw"))
+    // localCheckpoint, not persist: the edge frame is replayed by
+    // every round's THREE actions (superstep, checkpoint, witness),
+    // and each action re-analyzes + re-optimizes the frame's full
+    // logical plan — with the corpus-build subtree attached that
+    // planning overhead dominates the round (measured ~0.5s/round of
+    // pure driver planning at sf0.001, where the data is trivial);
+    // the checkpoint truncates it to an RDD scan
+    val ew = edges.join(tw, edges("u") === tw("node"))
+      .select(col("u"), col("v"), col("w"), col("tw"))
+      .localCheckpoint(true)
+    try {
+      // one bounded action picks the per-round join strategy: the rank
+      // frame is a stats-less checkpointed scan, so the static planner
+      // would SORT-MERGE it into ew — re-sorting the edge frame every
+      // round. Node-bounded frames under the threshold broadcast
+      // (T ≤ 64-bit rows per node); past it the join shuffles
+      // co-partitioned on u/node, the plain two-exchange superstep.
+      val nodes = tw.count()
+      def rside(df: DataFrame): DataFrame =
+        if (nodes <= KleeneBroadcastNodes) broadcast(df) else df
+      var rank = tw.select(col("node"), lit(PrcTeleport).as("r"))
+        .localCheckpoint(true)
+      def mass(df: DataFrame): Long = {
+        val row = df.agg(sum(col("r"))).head() // bounded: 1-row witness
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }
+      var prevMass = mass(rank)
+      var iters = PrcCap.toLong
+      var t = 0
+      while (t < PrcCap && iters == PrcCap.toLong) {
+        t += 1
+        val next = ew.join(rside(rank), ew("u") === rank("node"))
+          .groupBy(col("v").as("node"))
+          .agg(expr(s"$PrcTeleport + ($PrcDamp * sum((r * w) div tw))" +
+            s" div $PrcScale").as("r"))
+          .localCheckpoint(true)
+        val m = mass(next)
+        if (m == prevMass) iters = t.toLong
+        prevMass = m
+        rank.unpersist(false)
+        rank = next
+      }
+      (rank, iters)
+    } finally ew.unpersist(false)
+  }
+
+  /** DISTRIBUTED convergence-tested PageRank (C55) — the gated form of
+    * the claim C51's scaladoc could only sketch: for entity graphs too
+    * large to collect (C51's nation iteration is driver-side, sound
+    * only because 25 nations bound it structurally), the SAME monotone
+    * Kleene iteration runs with distributed frames — here on the
+    * customer↔supplier trade graph, |V| = customers + suppliers and
+    * |E| = distinct trading pairs, both corpus-SCALED, never
+    * driver-bounded. Edge weight = the number of distinct orders the
+    * pair traded (one distinct + one count, map-side combinable);
+    * symmetrized so no node dangles; teleport/damp/scale/cap and the
+    * Kleene argument are C51's verbatim — measured convergence
+    * 58/54/68 rounds at sf0.001/0.01/0.1, same band as the nation
+    * graph (rounds grow with log(max rank), not |V|).
+    *
+    * Long-safety: total rank mass is bounded by Σteleport/(1−damp) =
+    * 10⁴·|V| (floor only leaks mass downward), so r·w stays under
+    * 2⁶³ until |V|·(orders per pair) exceeds ~10¹⁵ — past sf10⁴.
+    *
+    * Scale shape: the graph builds in one corpus pass; per round one
+    * broadcast-or-shuffle join of the node-bounded rank frame into
+    * the persisted edge frame + one map-side-combined sum + the 1-row
+    * mass witness — T rounds = T linear passes, nothing ever
+    * collected (the output is a top-[[PrdTopK]] TakeOrdered, not a
+    * global sort). The oracle is the C51 adaptive conv-in-SQL
+    * discipline over the same graph: all [[PrcCap]] stages unrolled,
+    * the convergence round picked by per-stage EXCEPT counts. */
+  def pagerankDistConverged(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val half = lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"), col("l_orderkey"))
+      .distinct()
+      .select((col("o_custkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val edges = half.unionAll(
+      half.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val (rank, iters) = kleeneDist(edges)
+    rank.select(
+        when(col("node") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("node_type"),
+        expr("node div 2").as("key"),
+        col("r").as("rank_e4"),
+        lit(iters).as("iters"))
+      .orderBy(col("rank_e4").desc, col("node_type"), col("key"))
+      .limit(PrdTopK)
+  }
+
+  def pagerankDistConverged(spark: SparkSession, dir: String): DataFrame =
+    pagerankDistConverged(Tables(spark, dir, "lineitem"),
+      Tables(spark, dir, "orders"))
+
+  val pagerankDistConvergedSql: String = {
+    val stages = (1 to PrcCap).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT ew.v AS node,
+         |  $PrcTeleport + ($PrcDamp * CAST(sum((p.r * ew.w) // wt.tw)
+         |    AS BIGINT)) // $PrcScale AS r
+         |  FROM ew JOIN r${k - 1} p ON ew.u = p.node
+         |    JOIN wt ON ew.u = wt.node
+         |  GROUP BY ew.v)""".stripMargin
+    }.mkString(",\n")
+    val checks = (1 to PrcCap).map { k =>
+      s"""SELECT $k AS t, (SELECT count(*) FROM
+         |  (SELECT * FROM r$k EXCEPT SELECT * FROM r${k - 1}) x) AS ch"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    val frames = (1 to PrcCap).map(k =>
+      s"SELECT $k AS t, node, r FROM r$k").mkString("\nUNION ALL\n")
+    s"""WITH ew0 AS MATERIALIZED (
+       |  SELECT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v,
+       |    count(*) AS w
+       |  FROM (SELECT DISTINCT o_custkey, l_suppkey, l_orderkey
+       |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey) p
+       |  GROUP BY 1, 2),
+       |ew AS MATERIALIZED (
+       |  SELECT u, v, w FROM ew0 UNION ALL SELECT v, u, w FROM ew0),
+       |wt AS MATERIALIZED (
+       |  SELECT u AS node, CAST(sum(w) AS BIGINT) AS tw FROM ew GROUP BY 1),
+       |r0 AS (SELECT node, CAST($PrcTeleport AS BIGINT) AS r FROM wt),
+       |$stages,
+       |chs AS ($checks),
+       |conv AS (SELECT CAST(coalesce(min(CASE WHEN ch = 0 THEN t END),
+       |  $PrcCap) AS BIGINT) AS it FROM chs),
+       |allf AS ($frames)
+       |SELECT CASE WHEN f.node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS node_type,
+       |  f.node // 2 AS key, f.r AS rank_e4, conv.it AS iters
+       |FROM allf f
+       |CROSS JOIN conv
+       |WHERE f.t = conv.it
+       |ORDER BY rank_e4 DESC, node_type, key
+       |LIMIT $PrdTopK""".stripMargin
+  }
+
   /** The oracle unrolls ALL [[PrcCap]] stages and picks the convergence
     * round IN SQL (min t with frame t ≡ frame t−1, cap fallback), so
     * one static query replays the data-dependent iteration count at any
@@ -356,10 +527,12 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank(_, _)),
     "graph_pagerank_converged" -> (pagerankConverged(_, _)),
-    "graph_pagerank_personalized" -> (pagerankPersonalized(_, _)))
+    "graph_pagerank_personalized" -> (pagerankPersonalized(_, _)),
+    "graph_pagerank_dist_converged" -> (pagerankDistConverged(_, _)))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankSql,
     "graph_pagerank_converged" -> pagerankConvergedSql,
-    "graph_pagerank_personalized" -> pagerankPersonalizedSql)
+    "graph_pagerank_personalized" -> pagerankPersonalizedSql,
+    "graph_pagerank_dist_converged" -> pagerankDistConvergedSql)
 }

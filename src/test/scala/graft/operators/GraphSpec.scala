@@ -143,4 +143,55 @@ class GraphSpec extends SparkSpec {
     assert(8500L * (r - 1) / 10000L !== r - 1 - 1500L,
       "least such point: the value below is not fixed")
   }
+
+  test("kleeneDist ≡ collected kleene: ranks AND convergence round on a seeded graph") {
+    import spark.implicits._
+    // deterministic pseudo-random weighted digraph, symmetrized so no
+    // node dangles — big enough that convergence takes tens of rounds
+    val rnd = new scala.util.Random(7)
+    val n = 24
+    val halfMap = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (_ <- 1 to 120) {
+      val u = rnd.nextInt(n).toLong
+      var v = rnd.nextInt(n).toLong
+      if (v == u) v = (u + 1) % n
+      halfMap((u, v)) = halfMap.getOrElse((u, v), 0L) + rnd.nextInt(9) + 1L
+    }
+    val half = halfMap.toSeq.map { case ((u, v), w) => (u, v, w) }
+    val edges = half ++ half.map { case (u, v, w) => (v, u, w) }
+    val tw = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val tele = tw.keys.map(_ -> 1500L).toMap
+    val (rc, itc) = Graph.kleene(edges.toArray, tw, tele)
+    val (rdf, itd) = Graph.kleeneDist(edges.toDF("u", "v", "w"))
+    val rd = rdf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(itd === itc, "convergence round must match the collected loop")
+    assert(itc < 128L, "fixture must actually converge before the cap")
+    assert(itc > 10L, "fixture must take a non-trivial number of rounds")
+    assert(rd === rc, "fixed-point ranks must match the collected loop")
+  }
+
+  test("pagerankDistConverged: hand-checkable symmetric pair + corpus convergence") {
+    import spark.implicits._
+    // one customer trades with one supplier in two distinct orders:
+    // w = 2 both ways, tw = 2 each, so the update collapses to the
+    // same scalar recurrence as the C51 two-node fixture
+    val orders = Seq((10L, 1L), (11L, 1L)).toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 1L), (11L, 1L), (10L, 1L))
+      .toDF("l_orderkey", "l_suppkey")
+    val rows = Graph.pagerankDistConverged(lineitem, orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 2)
+    val r = rows.head._3
+    assert(rows.forall(_._3 === r), "symmetric nodes rank equally")
+    assert(8500L * r / 10000L === r - 1500L, "scalar fixed-point equation")
+    // corpus: converges before the cap and the frame is one more
+    // application of the update away from itself (a fixed point)
+    val corpus = Graph.pagerankDistConverged(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(corpus.nonEmpty)
+    val iters = corpus.head._4
+    assert(corpus.forall(_._4 === iters))
+    assert(iters > 10L && iters < 128L,
+      s"corpus must genuinely converge before the cap (got $iters)")
+  }
 }
