@@ -1222,29 +1222,29 @@ object Ann {
     * is one broadcast-frontier join into the edge frame plus one
     * corpus-embedding lookup join — frontier is queries×beam rows,
     * never corpus-sized. */
-  def graphBeam(embeddings: DataFrame): DataFrame = {
-    val c = corpus(embeddings)
-    val cents = ivfCents(c)
-    val assigned = ivfAssign(c, cents) // (vec_id, e, cid)
-    // corpus-adaptive sub-bucket count (1-row bounded collect; the
-    // oracle computes the identical scalar from count(*))
-    val sub = math.max(1L, c.count() / GraphBlockTarget)
-    def halfEdges(salt: String): DataFrame = {
-      val bk = assigned.withColumn("gb", gbCol(salt, sub))
-      val lhs = bk.select(col("cid"), col("gb"), col("vec_id"), col("e"))
-      val rhs = bk.select(col("cid"), col("gb"),
-        col("vec_id").as("nbr"), col("e").as("ne"))
-      val ew = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nbr"))
-      lhs.join(rhs, Seq("cid", "gb"))
-        .filter(col("vec_id") =!= col("nbr"))
-        .select(col("vec_id"), col("nbr"),
-          cosine(col("e"), col("ne")).as("cos"))
-        .withColumn("rn", row_number().over(ew))
-        .filter(col("rn") <= GraphDeg)
-        .select(col("vec_id"), col("nbr"))
-    }
-    val edges = halfEdges("gb1").unionAll(halfEdges("gb2"))
+  /** The blocked kNN half-edge builder (C53's build pass), cos KEPT —
+    * [[graphBeam]] drops it; the NN-descent rounds (C56) rank on it. */
+  private def blockedHalfEdges(assigned: DataFrame, salt: String,
+      sub: Long): DataFrame = {
+    val bk = assigned.withColumn("gb", gbCol(salt, sub))
+    val lhs = bk.select(col("cid"), col("gb"), col("vec_id"), col("e"))
+    val rhs = bk.select(col("cid"), col("gb"),
+      col("vec_id").as("nbr"), col("e").as("ne"))
+    val ew = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    lhs.join(rhs, Seq("cid", "gb"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        cosine(col("e"), col("ne")).as("cos"))
+      .withColumn("rn", row_number().over(ew))
+      .filter(col("rn") <= GraphDeg)
+      .select(col("vec_id"), col("nbr"), col("cos"))
+  }
+
+  /** C53's beam search over an arbitrary (vec_id, nbr) edge frame —
+    * shared by [[graphBeam]] and [[graphNndescent]]. */
+  private def beamSearch(c: DataFrame, cents: DataFrame,
+      assigned: DataFrame, edges: DataFrame): DataFrame = {
     val q = c.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val qw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
@@ -1288,34 +1288,70 @@ object Ann {
       .orderBy(col("q_id"), col("nn_rank"))
   }
 
+  def graphBeam(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val cents = ivfCents(c)
+    val assigned = ivfAssign(c, cents) // (vec_id, e, cid)
+    // corpus-adaptive sub-bucket count (1-row bounded collect; the
+    // oracle computes the identical scalar from count(*))
+    val sub = math.max(1L, c.count() / GraphBlockTarget)
+    val edges = blockedHalfEdges(assigned, "gb1", sub)
+      .unionAll(blockedHalfEdges(assigned, "gb2", sub))
+      .select(col("vec_id"), col("nbr"))
+    beamSearch(c, cents, assigned, edges)
+  }
+
   def graphBeam(spark: SparkSession, dir: String): DataFrame =
     graphBeam(Tables(spark, dir, "embeddings"))
 
-  val graphBeamSql: String = {
-    val l2Sql = (a: String, b: String) =>
-      s"list_reduce(list_transform(generate_series(1, $Dim)," +
-        s" i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
-    val cosSql = (a: String, b: String) =>
-      s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a))" +
-        s" * sqrt(list_inner_product($b, $b)))"
-    def edgesFor(salt: String, name: String) =
-      s"""${name}_b AS (SELECT vec_id, e, cid,
-         |    ('0x' || substr(md5('$salt:' || CAST(vec_id AS VARCHAR)),
-         |      1, 15))::BIGINT % (SELECT s FROM sdef) AS gb
-         |  FROM assigned),
-         |$name AS (SELECT vec_id, nbr FROM (
-         |  SELECT a.vec_id, b.vec_id AS nbr,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY ${cosSql("a.e", "b.e")} DESC, b.vec_id) AS rn
-         |  FROM ${name}_b a JOIN ${name}_b b
-         |    ON a.cid = b.cid AND a.gb = b.gb AND a.vec_id <> b.vec_id)
-         |  WHERE rn <= $GraphDeg)""".stripMargin
+  private def gL2(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, $Dim)," +
+      s" i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+  private def gCos(a: String, b: String): String =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a))" +
+      s" * sqrt(list_inner_product($b, $b)))"
+
+  /** v/sdef/cents/assigned base CTEs shared by the graph oracles. */
+  private def graphBaseSql: String =
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |sdef AS (SELECT greatest(1, count(*) // $GraphBlockTarget) AS s
+       |         FROM v),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
+       |ad AS (SELECT v.vec_id, v.e, c.cid, ${gL2("v.e", "c.ce")} AS d
+       |       FROM v CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, e, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1)""".stripMargin
+
+  /** One salted blocked half-edge CTE pair ([[blockedHalfEdges]]);
+    * `withCos` keeps the ranking cosine for the NN-descent rounds. */
+  private def graphEdgesForSql(salt: String, name: String,
+      withCos: Boolean = false): String = {
+    val cosSel = if (withCos) s",\n    ${gCos("a.e", "b.e")} AS cos" else ""
+    val outSel = if (withCos) "vec_id, nbr, cos" else "vec_id, nbr"
+    s"""${name}_b AS (SELECT vec_id, e, cid,
+       |    ('0x' || substr(md5('$salt:' || CAST(vec_id AS VARCHAR)),
+       |      1, 15))::BIGINT % (SELECT s FROM sdef) AS gb
+       |  FROM assigned),
+       |$name AS (SELECT $outSel FROM (
+       |  SELECT a.vec_id, b.vec_id AS nbr$cosSel,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${gCos("a.e", "b.e")} DESC, b.vec_id) AS rn
+       |  FROM ${name}_b a JOIN ${name}_b b
+       |    ON a.cid = b.cid AND a.gb = b.gb AND a.vec_id <> b.vec_id)
+       |  WHERE rn <= $GraphDeg)""".stripMargin
+  }
+
+  /** Beam-hop CTEs + the q/nearcells/f0 entry frames + final select —
+    * searches whatever `edges` CTE the caller defined. */
+  private def beamSearchSql: String = {
     val hops = (1 to BeamHops).map { h =>
       s"""x$h AS (SELECT f.q_id, ed.nbr AS vec_id
          |  FROM f${h - 1} f JOIN edges ed ON f.vec_id = ed.vec_id
          |  UNION SELECT q_id, vec_id FROM f${h - 1}),
          |s$h AS (SELECT x.q_id, x.vec_id,
-         |    ${cosSql("q.qe", "v.e")} AS cos
+         |    ${gCos("q.qe", "v.e")} AS cos
          |  FROM x$h x JOIN v ON x.vec_id = v.vec_id
          |  JOIN q ON x.q_id = q.q_id),
          |f$h AS (SELECT q_id, vec_id FROM (
@@ -1324,22 +1360,9 @@ object Ann {
          |      ORDER BY cos DESC, vec_id) AS rn FROM s$h)
          |  WHERE rn <= $BeamWidth)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       |sdef AS (SELECT greatest(1, count(*) // $GraphBlockTarget) AS s
-       |         FROM v),
-       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
-       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
-       |ad AS (SELECT v.vec_id, v.e, c.cid, ${l2Sql("v.e", "c.ce")} AS d
-       |       FROM v CROSS JOIN cents c),
-       |assigned AS (SELECT vec_id, e, cid FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY d, cid) AS rn FROM ad) WHERE rn = 1),
-       |${edgesFor("gb1", "e1")},
-       |${edgesFor("gb2", "e2")},
-       |edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
-       |q AS (SELECT vec_id AS q_id, e AS qe FROM v
+    s"""q AS (SELECT vec_id AS q_id, e AS qe FROM v
        |      WHERE vec_id < $NumQueries),
-       |qd AS (SELECT q.q_id, c.cid, ${l2Sql("q.qe", "c.ce")} AS d
+       |qd AS (SELECT q.q_id, c.cid, ${gL2("q.qe", "c.ce")} AS d
        |       FROM q CROSS JOIN cents c),
        |nearcells AS (SELECT q_id, cid FROM (
        |  SELECT q_id, cid, row_number() OVER (PARTITION BY q_id
@@ -1354,7 +1377,7 @@ object Ann {
        |FROM (SELECT s.q_id, s.vec_id, s.cos,
        |    row_number() OVER (PARTITION BY s.q_id
        |      ORDER BY s.cos DESC, s.vec_id) AS nn_rank
-       |  FROM (SELECT f.q_id, f.vec_id, ${cosSql("q.qe", "v.e")} AS cos
+       |  FROM (SELECT f.q_id, f.vec_id, ${gCos("q.qe", "v.e")} AS cos
        |        FROM f$BeamHops f JOIN v ON f.vec_id = v.vec_id
        |        JOIN q ON f.q_id = q.q_id
        |        WHERE f.vec_id <> f.q_id) s)
@@ -1362,8 +1385,153 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  val graphBeamSql: String =
+    s"""WITH $graphBaseSql,
+       |${graphEdgesForSql("gb1", "e1")},
+       |${graphEdgesForSql("gb2", "e2")},
+       |edges AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+       |$beamSearchSql""".stripMargin
+
+  // --------------------------------------------------------------- C56
+  /** NN-descent rounds and the per-node sample cap for the local join
+    * (K + reverse-K in Dong et al.'s terms — the cap is what keeps a
+    * hub's reverse neighborhood from exploding the candidate join). */
+  private val NndRounds = 2
+  private val NndB = 8
+
+  /** NN-descent graph REFINEMENT (C56; Dong, Moses & Li 2011) — the
+    * production build step C53's scaladoc deferred: the blocked exact
+    * pass only links nodes that share a (cell × salt-bucket) block, so
+    * its recall is capped by block membership; NN-descent's local-join
+    * principle — "my neighbors' neighbors are probably my neighbors" —
+    * iteratively repairs exactly that, and is how real systems build
+    * kNN graphs at corpus scale (the build that determines recall at
+    * real corpus sizes). Each of the [[NndRounds]] rounds, over the
+    * directed (vec_id, nbr, cos) state seeded by C53's two salted
+    * blocked passes:
+    *
+    *  1. B = the top-[[NndB]] UNDIRECTED neighbors per node (state ∪
+    *     its reverse, dedup'd, ranked (cos DESC, nbr) — the
+    *     deterministic stand-in for NN-descent's sampled K ∪ reverse-K,
+    *     and the cap that bounds hub fan-out);
+    *  2. candidates = B ⋈ B on the shared middle node (the LOCAL JOIN:
+    *     every 2-path a–mid–b proposes (a, b)) ∪ the current edges —
+    *     keeping the old edges makes each node's neighbor list
+    *     non-degrading under the exact re-rank;
+    *  3. exact cosine for every candidate (two embedding-lookup
+    *     joins), keep top-[[GraphDeg]] per node (cos DESC, nbr).
+    *
+    * The refined graph is symmetrized (∪ reverse, the navigability
+    * C53's two-salt union provided) and searched by the SAME unrolled
+    * beam search. Everything is deterministic — ranked windows with
+    * total tie orders, distinct on exactly-reproducible doubles — so
+    * the whole build+search replays as static CTEs (the oracle unrolls
+    * both rounds, the C38/C51 discipline). AnnGraphSpec pins
+    * recall@10 ≥ the blocked build's on the same corpus.
+    *
+    * Scale shape: state is n·[[GraphDeg]] rows; a round is one
+    * candidate join bounded by n·[[NndB]]² rows, two embedding-lookup
+    * shuffles of that frame, one per-node window — all corpus-LINEAR
+    * with constant factors, never Σ|block|² again (the seed pass pays
+    * that once), never corpus². */
+  /** One NN-descent round over a (vec_id, nbr, cos) state frame —
+    * lazy, so PlanAuditSpec can pin its shape; [[graphNndescent]]
+    * checkpoints between rounds. */
+  private[graft] def nndRound(e: DataFrame, emb: DataFrame): DataFrame = {
+    val rw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nbr"))
+    val b = e
+      .unionAll(e.select(col("nbr").as("vec_id"),
+        col("vec_id").as("nbr"), col("cos")))
+      .distinct()
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= NndB)
+      .select(col("vec_id"), col("nbr"))
+    val cand = b.as("x")
+      .join(b.as("y"), col("x.nbr") === col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("y.nbr").as("nbr"))
+      .filter(col("vec_id") =!= col("nbr"))
+      .unionAll(e.select(col("vec_id"), col("nbr")))
+      .distinct()
+    cand
+      .join(emb, "vec_id")
+      .join(emb.select(col("vec_id").as("nbr"), col("e").as("ne")), "nbr")
+      .select(col("vec_id"), col("nbr"),
+        cosine(col("e"), col("ne")).as("cos"))
+      .withColumn("rn", row_number().over(rw))
+      .filter(col("rn") <= GraphDeg)
+      .select(col("vec_id"), col("nbr"), col("cos"))
+  }
+
+  def graphNndescent(embeddings: DataFrame): DataFrame = {
+    val c = corpus(embeddings)
+    val cents = ivfCents(c)
+    val assigned = ivfAssign(c, cents)
+    val sub = math.max(1L, c.count() / GraphBlockTarget)
+    val emb = assigned.select(col("vec_id"), col("e"))
+    // localCheckpoint per round (the C37b/§8 lineage discipline): a
+    // round references the previous state ~4× (state ∪ reverse, the
+    // candidate self-join, the old-edge union) and the search
+    // references the final state per hop — left lazy, the Σ|block|²
+    // build subtree re-executes EXPONENTIALLY in the round count
+    // (measured 124s vs ~12s at sf0.1)
+    var e = blockedHalfEdges(assigned, "gb1", sub)
+      .unionAll(blockedHalfEdges(assigned, "gb2", sub))
+      .distinct() // the two salts can propose the same pair (same cos)
+      .localCheckpoint(true)
+    for (_ <- 1 to NndRounds) {
+      val next = nndRound(e, emb).localCheckpoint(true)
+      e.unpersist(false)
+      e = next
+    }
+    val edges = e.select(col("vec_id"), col("nbr"))
+      .unionAll(e.select(col("nbr").as("vec_id"), col("vec_id").as("nbr")))
+      .distinct()
+    beamSearch(c, cents, assigned, edges)
+  }
+
+  def graphNndescent(spark: SparkSession, dir: String): DataFrame =
+    graphNndescent(Tables(spark, dir, "embeddings"))
+
+  val graphNndescentSql: String = {
+    val rounds = (1 to NndRounds).map { r =>
+      val prev = s"nd${r - 1}"
+      s"""b$r AS (SELECT vec_id, nbr FROM (
+         |  SELECT vec_id, nbr,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr) AS rn
+         |  FROM (SELECT DISTINCT * FROM (
+         |    SELECT vec_id, nbr, cos FROM $prev
+         |    UNION ALL SELECT nbr, vec_id, cos FROM $prev)))
+         |  WHERE rn <= $NndB),
+         |cand$r AS (SELECT DISTINCT vec_id, nbr FROM (
+         |  SELECT x.vec_id, y.nbr FROM b$r x JOIN b$r y
+         |    ON x.nbr = y.vec_id WHERE x.vec_id <> y.nbr
+         |  UNION ALL SELECT vec_id, nbr FROM $prev)),
+         |nd$r AS MATERIALIZED (SELECT vec_id, nbr, cos FROM (
+         |  SELECT s.vec_id, s.nbr, s.cos,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY s.cos DESC, s.nbr) AS rn
+         |  FROM (SELECT c.vec_id, c.nbr, ${gCos("va.e", "vb.e")} AS cos
+         |        FROM cand$r c JOIN v va ON c.vec_id = va.vec_id
+         |          JOIN v vb ON c.nbr = vb.vec_id) s)
+         |  WHERE rn <= $GraphDeg)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphBaseSql,
+       |${graphEdgesForSql("gb1", "e1", withCos = true)},
+       |${graphEdgesForSql("gb2", "e2", withCos = true)},
+       |nd0 AS (SELECT DISTINCT vec_id, nbr, cos FROM
+       |  (SELECT * FROM e1 UNION ALL SELECT * FROM e2)),
+       |$rounds,
+       |edges AS (SELECT DISTINCT vec_id, nbr FROM (
+       |  SELECT vec_id, nbr FROM nd$NndRounds
+       |  UNION ALL SELECT nbr, vec_id FROM nd$NndRounds)),
+       |$beamSearchSql""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_graph_beam" -> (graphBeam(_, _)),
+    "ann_graph_nndescent" -> (graphNndescent(_, _)),
     "ann_mips_ivf" -> (mipsIvf(_, _)),
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
@@ -1377,6 +1545,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "ann_graph_beam" -> graphBeamSql,
+    "ann_graph_nndescent" -> graphNndescentSql,
     "ann_mips_ivf" -> mipsIvfSql,
     "ann_bruteforce" -> bruteforceSql,
     "ann_lsh" -> lshSql,

@@ -19,7 +19,7 @@ class PlanAuditSpec extends SparkSpec {
   private val dir = sf("sf0.001")
   private val exempt = Set("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
     "ann_ivfpq", "ann_ivfpq_residual", "ann_ivfpq_perlist", "ann_recall_curve",
-    "ann_mips_ivf", "ann_graph_beam")
+    "ann_mips_ivf", "ann_graph_beam", "ann_graph_nndescent")
 
   test("no entry plans a cartesian product or nested-loop join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -40,11 +40,15 @@ class PlanAuditSpec extends SparkSpec {
     // in an ANN plan means a fact-scale exchange that the broadcast
     // design exists to avoid, and a CartesianProduct means a
     // non-broadcast cross (both sides fact-scale)
-    // ann_graph_beam is carved out of the SMJ sweep: its kNN-graph
-    // BUILD is a blocked corpus×corpus EQUI self-join on (cid, gb) —
-    // at scale that join legitimately shuffles (Σ|block|² is the
-    // design, not an accident); its own test below pins the rest
-    exempt.toSeq.sorted.filterNot(_ == "ann_graph_beam").foreach { name =>
+    // ann_graph_beam/_nndescent are carved out of the SMJ sweep: the
+    // kNN-graph BUILD is a blocked corpus×corpus EQUI self-join on
+    // (cid, gb) — at scale that join legitimately shuffles (Σ|block|²
+    // is the design, not an accident) — and the NN-descent candidate
+    // and embedding-lookup joins are corpus-linear shuffles by the
+    // same design; their own tests below pin the rest
+    exempt.toSeq.sorted
+      .filterNot(n => n == "ann_graph_beam" || n == "ann_graph_nndescent")
+      .foreach { name =>
       val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("SortMergeJoin"), s"$name shuffle-joins:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
@@ -65,6 +69,35 @@ class PlanAuditSpec extends SparkSpec {
       s"a non-build join shuffled (keys: $smjKeys):\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"search-side joins must broadcast:\n$p")
+  }
+
+  test("ann_graph_nndescent: no cartesian; round shuffles only candidate/lookup keys; search broadcasts") {
+    // the entry checkpoints its build (the blanket-audit note on
+    // eager entries applies), so the final plan is the search
+    // composition — audit it, plus the LAZY round shape on a
+    // synthetic state frame
+    val p = SparkEntry.queries("ann_graph_nndescent")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"nndescent cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"search-side joins must broadcast:\n$p")
+    val e = spark.range(0, 64).selectExpr("id AS vec_id",
+      "(id * 7) % 64 AS nbr", "CAST(id AS DOUBLE) / 64 AS cos")
+      .filter(col("vec_id") =!= col("nbr"))
+    val emb = spark.range(0, 64).selectExpr("id AS vec_id",
+      "array(CAST(id AS DOUBLE), 1.0d) AS e")
+    val rp = graft.operators.Ann.nndRound(e, emb)
+      .queryExecution.executedPlan.toString
+    assert(!rp.contains("CartesianProduct") &&
+      !rp.contains("BroadcastNestedLoopJoin"),
+      s"nn-descent round plans an O(N²) join:\n$rp")
+    // every join in the round is keyed on vec_id/nbr — the candidate
+    // local join and the two embedding lookups; nothing else may join
+    val keys = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[([^\\]]*)\\]".r
+      .findAllMatchIn(rp).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(k =>
+      k.contains("vec_id") || k.contains("nbr")),
+      s"a round join is off-key (keys: $keys):\n$rp")
   }
 
   test("dedup_semantic: projection-only assignment, self-join reuses one exchange") {

@@ -47,6 +47,47 @@ class AnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("nn-descent: recall@10 at least the blocked build's, never below the family floor") {
+    val truth = hits(Ann.bruteforce(spark, dir))
+    def macroRecall(got: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val beam = macroRecall(hits(Ann.graphBeam(spark, dir)))
+    val nnd = macroRecall(hits(Ann.graphNndescent(spark, dir)))
+    info(f"blocked-build recall@10 = $beam%.3f; nn-descent refined = $nnd%.3f")
+    // the refined graph's neighbor lists are non-degrading by
+    // construction (old edges stay candidates under the exact
+    // re-rank), and the local join adds the cross-block links the
+    // blocked pass structurally cannot see — search recall must not
+    // fall below the blocked build's
+    assert(nnd >= beam,
+      f"nn-descent recall $nnd%.3f fell below the blocked build's $beam%.3f")
+    assert(nnd >= 0.25, f"nn-descent recall $nnd%.3f below the family floor")
+  }
+
+  test("nn-descent: ranks contiguous, cosine non-increasing, no self-reports, partition-invariant") {
+    import graft.Tables
+    val rows = Ann.graphNndescent(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq,
+        s"q $q ranks not contiguous")
+      assert(sorted.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }, s"q $q cosine not non-increasing")
+      assert(!sorted.exists(_._3 == q), s"q $q returned itself")
+    }
+    val shuffled = Ann.graphNndescent(Tables(spark, dir, "embeddings")
+      .repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ===
+      shuffled.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("graph beam: partition invariance") {
     import graft.Tables
     val base = Ann.graphBeam(spark, dir).collect().map(_.toSeq).toSeq
