@@ -1014,6 +1014,228 @@ object Streams {
           graft.operators.Sketch.KmvK).as("sk")))
   }
 
+  // -------------------------------------------------------- D7b / D9b
+  /** TTL'd counter-sketch input: group key, CMS item (D7b), scaled
+    * value (D9b), event time. */
+  case class SketchTtlIn(g: String, item: String, v: Long,
+                         ts: java.sql.Timestamp)
+  /** Flat counter array + the D8b lastMs/timerMs bookkeeping. */
+  case class CellTtlState(cells: Array[Long], lastMs: Long, timerMs: Long)
+  /** idx = −1 is the eviction tombstone (cnt 0), the D8b convention. */
+  case class CellTtlCell(g: String, ver: Long, idx: Int, cnt: Long)
+
+  /** D8b's event-time-TTL machinery applied to the COUNT-MONOID
+    * sketches — the CMS (D7) and the log-histogram (D9) were the two
+    * remaining live sketches whose key space grows with HISTORY
+    * (every event_type / group ever seen holds its counters forever);
+    * this processor bounds both by RECENCY: each key arms an idle
+    * timer at (latest event time + window), and when the WATERMARK
+    * passes it with no newer arrival the counter array is CLEARED —
+    * a returning key restarts from zero. All the D8b hard parts
+    * carry over verbatim: the expiry handler re-checks staleness
+    * against the state (armed-timer id must match AND the watermark
+    * must genuinely exceed lastMs + window — input rows and expired
+    * timers can share a micro-batch in either order), `ver` lives in
+    * its own un-cleared ValueState so snapshot ordering stays
+    * monotone across eviction, and keying is by the group alone (no
+    * subshards — per-subshard timers would evict shards of one key at
+    * different watermark readings, making the surviving window
+    * hash-layout-dependent).
+    *
+    * The sketch-specific part is ONE function: `cellsOf` maps an
+    * input row to its (cell index, increment) contributions —
+    * [[cmsCellsOf]] (d rows of +1) or [[histCellsOf]] (one log-bucket
+    * of +1). Because both sketches are commutative count monoids,
+    * the state after any stream prefix with no eviction IS the batch
+    * sketch of that prefix, so the gate entries replay the whole feed
+    * under [[TtlGateWindowMs]] and compare against the BATCH oracles
+    * verbatim; eviction semantics are spec-gated on a controlled
+    * multi-batch MemoryStream (TransformWithStateSpec, the D8b
+    * precedent). */
+  final class CellTtlProcessor(nCells: Int, windowMs: Long,
+      cellsOf: SketchTtlIn => Iterator[(Int, Long)])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SketchTtlIn, CellTtlCell] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var sketch: ValueState[CellTtlState] = _
+    @transient private var ver: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      sketch = getHandle.getValueState[CellTtlState]("sketch",
+        E.product[CellTtlState], TTLConfig.NONE)
+      ver = getHandle.getValueState[Long]("ver", E.scalaLong, TTLConfig.NONE)
+    }
+
+    private def bumpVer(): Long = {
+      val v = (if (ver.exists()) ver.get() else 0L) + 1L
+      ver.update(v); v
+    }
+
+    override def handleInputRows(key: String, in: Iterator[SketchTtlIn],
+        timerValues: TimerValues): Iterator[CellTtlCell] = {
+      val prev = if (sketch.exists()) Some(sketch.get()) else None
+      val cells = prev.map(_.cells.clone())
+        .getOrElse(new Array[Long](nCells))
+      var lastMs = prev.map(_.lastMs).getOrElse(Long.MinValue)
+      in.foreach { e =>
+        cellsOf(e).foreach { case (i, c) => cells(i) += c }
+        if (e.ts.getTime > lastMs) lastMs = e.ts.getTime
+      }
+      prev.foreach(s => getHandle.deleteTimer(s.timerMs))
+      val t = lastMs + windowMs
+      getHandle.registerTimer(t)
+      sketch.update(CellTtlState(cells, lastMs, t))
+      val v = bumpVer()
+      (0 until nCells).iterator.filter(cells(_) != 0L)
+        .map(i => CellTtlCell(key, v, i, cells(i)))
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CellTtlCell] = {
+      if (sketch.exists()) {
+        val s = sketch.get()
+        if (s.timerMs == expiredTimerInfo.getExpiryTimeInMs &&
+            timerValues.getCurrentWatermarkInMs >= s.lastMs + windowMs) {
+          sketch.clear()
+          return Iterator(CellTtlCell(key, bumpVer(), -1, 0L))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** D7b cell mapper: the item contributes +1 to its CMS bucket in
+    * each of the d rows ([[graft.operators.Sketch.cmsBucketLocal]],
+    * byte-identical to the batch Column form). */
+  private[streaming] def cmsCellsOf(e: SketchTtlIn): Iterator[(Int, Long)] = {
+    val w = graft.operators.Sketch.CmsWidth
+    (0 until graft.operators.Sketch.CmsDepth).iterator
+      .map(r => (r * w + graft.operators.Sketch.cmsBucketLocal(r, e.item), 1L))
+  }
+
+  /** D9b cell mapper: the value's log-bucket gets +1. */
+  private[streaming] def histCellsOf(e: SketchTtlIn): Iterator[(Int, Long)] =
+    Iterator((logBucketLocal(e.v), 1L))
+
+  /** D7b entry: CMS heavy hitters with event-time TTL — top users per
+    * event type over the events feed (the feed HAS event time, which
+    * the D7 documents feed does not), replayed in one in-order batch
+    * under [[TtlGateWindowMs]] (wider than the corpus: nothing evicts,
+    * even in the watermark-advancing timer batch), latest snapshot per
+    * key, then C30's batch finisher over the same candidate set. The
+    * folded state IS the batch sketch, so the oracle is the batch CMS
+    * replayed on (event_type, user_id) — [[topkEventUsersSql]]. */
+  def streamTopkTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = graft.operators.Sketch.CmsDepth
+    val w = graft.operators.Sketch.CmsWidth
+    val feed = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "events")
+      .option("split", false)
+      .load()
+      .select(col("event_type").as("g"),
+        col("user_id").cast("string").as("item"),
+        lit(0L).as("v"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[SketchTtlIn]
+    val sinkName = s"graft_d7b_${System.nanoTime()}"
+    val q = withTwsConfs(spark, 32) {
+      feed.groupByKey(_.g)
+        .transformWithState(
+          new CellTtlProcessor(d * w, TtlGateWindowMs, cmsCellsOf),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val sketch = spark.table(sinkName)
+      .withColumn("mv", max(col("ver")).over(win))
+      .filter(col("ver") === col("mv") && col("idx") >= 0)
+      .select(col("g").as("event_type"),
+        expr(s"idx div $w").cast("int").as("r"),
+        (col("idx") % w).cast("long").as("bucket"),
+        col("cnt"))
+    val cand = graft.Tables(spark, dir, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("item"))
+      .distinct()
+    graft.operators.Sketch.topkEstimate(sketch, cand, Seq("event_type"), 10)
+  }
+
+  /** The D7b batch oracle: C30's CMS estimate replayed on
+    * (event_type, user_id) — topkWordsSql's shape on the TTL feed's
+    * table. */
+  val topkEventUsersSql: String =
+    s"""WITH toks AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS item FROM events),
+       |rows3 AS (
+       |  SELECT event_type, item, r,
+       |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 15)
+       |      AS BIGINT) % ${graft.operators.Sketch.CmsWidth} AS bucket
+       |  FROM toks, unnest([0, 1, 2]) AS rr(r)),
+       |sk AS (SELECT event_type, r, bucket, count(*) AS cnt
+       |       FROM rows3 GROUP BY 1, 2, 3),
+       |cand AS (SELECT DISTINCT event_type, item, r, bucket FROM rows3),
+       |est AS (SELECT cand.event_type, cand.item,
+       |          CAST(min(sk.cnt) AS BIGINT) AS est
+       |        FROM cand JOIN sk ON cand.event_type = sk.event_type
+       |          AND cand.r = sk.r AND cand.bucket = sk.bucket
+       |        GROUP BY 1, 2),
+       |rk AS (SELECT event_type, item, est,
+       |         row_number() OVER (PARTITION BY event_type
+       |                            ORDER BY est DESC, item) AS rank
+       |       FROM est)
+       |SELECT event_type, CAST(rank AS BIGINT) AS rank, item, est
+       |FROM rk WHERE rank <= 10""".stripMargin
+
+  /** D9b entry: the log-histogram quantile sketch with event-time TTL
+    * — order-value quantiles per priority keyed by o_orderdate, the
+    * D7b shape with [[histCellsOf]] (cents computed IN Catalyst before
+    * the fold, the D9 money discipline). Whole feed folded under
+    * [[TtlGateWindowMs]] ⇒ state IS the batch sketch ⇒ the oracle is
+    * quantileOrderValuesSql VERBATIM. */
+  def streamQuantileTtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "orders")
+      .option("split", false)
+      .load()
+      .select(col("o_orderpriority").as("g"),
+        lit("").as("item"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("v"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[SketchTtlIn]
+    val sinkName = s"graft_d9b_${System.nanoTime()}"
+    val q = withTwsConfs(spark, 32) {
+      feed.groupByKey(_.g)
+        .transformWithState(
+          new CellTtlProcessor(64, TtlGateWindowMs, histCellsOf),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    val win = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val sketch = spark.table(sinkName)
+      .withColumn("mv", max(col("ver")).over(win))
+      .filter(col("ver") === col("mv") && col("idx") >= 0)
+      .select(col("g").as("o_orderpriority"),
+        col("idx").as("bucket"), col("cnt"))
+    graft.operators.Sketch.logHistQuantile(sketch,
+      Seq("o_orderpriority"), Seq(50, 90, 99))
+  }
+
   // --------------------------------------------------------------- D9
   /** 64 log-histogram buckets (bit lengths of non-negative longs),
     * fixed state per key forever. */
@@ -1103,6 +1325,8 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_quantile_sketch" -> streamQuantileSketch _,
+    "stream_quantile_ttl" -> streamQuantileTtl _,
+    "stream_topk_ttl" -> streamTopkTtl _,
     "stream_kmv_distinct" -> streamKmvDistinct _,
     "stream_kmv_ttl" -> streamKmvTtl _,
     "stream_window_agg" -> windowAgg _,
@@ -1115,6 +1339,8 @@ object Streams {
 
   val oracles: Map[String, String] = Map(
     "stream_quantile_sketch" -> graft.operators.Sketch.quantileOrderValuesSql,
+    "stream_quantile_ttl" -> graft.operators.Sketch.quantileOrderValuesSql,
+    "stream_topk_ttl" -> topkEventUsersSql,
     "stream_kmv_distinct" -> graft.operators.Sketch.kmvDistinctSql,
     "stream_kmv_ttl" -> graft.operators.Sketch.kmvDistinctSql,
     "stream_window_agg" -> windowAggSql,

@@ -202,6 +202,105 @@ class TransformWithStateSpec extends SparkSpec {
     assert(sv("B") === kmv(100, 101, 102))
   }
 
+  // --------------------------------------------- D7b/D9b TTL counters
+  import graft.streaming.Streams.{CellTtlCell, SketchTtlIn}
+
+  /** Drive the counter-TTL processor over explicit micro-batches. */
+  private def runCellTtl(batches: Seq[Seq[SketchTtlIn]], windowMs: Long,
+      nCells: Int, cellsOf: SketchTtlIn => Iterator[(Int, Long)])
+      : Seq[CellTtlCell] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[SketchTtlIn]
+      val name = s"tws_cttl_${System.nanoTime()}"
+      val q = input.toDS()
+        .withWatermark("ts", "0 seconds")
+        .groupByKey(_.g)
+        .transformWithState(
+          new Streams.CellTtlProcessor(nCells, windowMs, cellsOf),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).as[CellTtlCell].collect().toSeq
+      } finally q.stop()
+    }
+  }
+
+  /** Latest-version surviving (idx → cnt) map per key. */
+  private def cellSurvivors(cells: Seq[CellTtlCell])
+      : Map[String, Map[Int, Long]] =
+    cells.groupBy(_.g).map { case (k, cs) =>
+      val latest = cs.map(_.ver).max
+      k -> cs.filter(c => c.ver == latest && c.idx >= 0)
+        .map(c => c.idx -> c.cnt).toMap
+    }
+
+  /** The batch fold of [[Streams.cmsCellsOf]] over items, as the
+    * expected cell map. */
+  private def cmsFold(items: Seq[String]): Map[Int, Long] = {
+    val m = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    items.foreach { it =>
+      Streams.cmsCellsOf(SketchTtlIn("", it, 0L, new Timestamp(0L)))
+        .foreach { case (i, c) => m(i) += c }
+    }
+    m.toMap
+  }
+
+  test("TTL cells: an idle CMS key evicts at the watermark; the survivor is the window's fold") {
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    val w = 10L * 60 * 1000 // 10 minutes
+    val nc = graft.operators.Sketch.CmsDepth * graft.operators.Sketch.CmsWidth
+    def in(g: String, item: String, m: Long) =
+      SketchTtlIn(g, item, 0L, tsAt(t0, m))
+    val cells = runCellTtl(Seq(
+      // batch 1: A counts u1 twice + u2 once; B one item
+      Seq(in("A", "u1", 0), in("A", "u2", 0), in("A", "u1", 0),
+        in("B", "x", 0)),
+      // batches 2-3: only B — the watermark passes A's idle timer,
+      // A's counters clear, tombstone emitted
+      Seq(in("B", "y", 30)),
+      Seq(in("B", "x", 40)),
+      // batch 4: A returns — counters RESTART from zero
+      Seq(in("A", "u1", 45))), w, nc, Streams.cmsCellsOf)
+    assert(cells.exists(c => c.g == "A" && c.idx == -1),
+      "expected an eviction tombstone for the idle key")
+    val sv = cellSurvivors(cells)
+    // A's surviving counters are batch 4's fold alone; B never idled
+    // past the window, so its full history survives
+    assert(sv("A") === cmsFold(Seq("u1")))
+    assert(sv("B") === cmsFold(Seq("x", "y", "x")))
+  }
+
+  test("TTL cells: without an over-window gap, streamed equals the batch fold (CMS and histogram)") {
+    val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
+    val w = 60L * 60 * 1000 // 1 hour — gaps below never expire
+    val nc = graft.operators.Sketch.CmsDepth * graft.operators.Sketch.CmsWidth
+    def in(g: String, item: String, m: Long) =
+      SketchTtlIn(g, item, 0L, tsAt(t0, m))
+    // out-of-order arrivals within batches; multi-batch accumulation
+    val cells = runCellTtl(Seq(
+      Seq(in("A", "u1", 20), in("A", "u2", 0), in("B", "x", 5)),
+      Seq(in("A", "u1", 25), in("B", "x", 50), in("A", "u3", 35))), w,
+      nc, Streams.cmsCellsOf)
+    assert(!cells.exists(_.idx == -1), "nothing may evict below the window")
+    val sv = cellSurvivors(cells)
+    assert(sv("A") === cmsFold(Seq("u1", "u2", "u1", "u3")))
+    assert(sv("B") === cmsFold(Seq("x", "x")))
+    // the histogram mapper through the same processor: values land in
+    // their bit-length buckets and accumulate across batches
+    def hin(g: String, v: Long, m: Long) = SketchTtlIn(g, "", v, tsAt(t0, m))
+    val hcells = runCellTtl(Seq(
+      Seq(hin("P", 1L, 0), hin("P", 7L, 10)),
+      Seq(hin("P", 8L, 20), hin("Q", 0L, 20))), w, 64, Streams.histCellsOf)
+    val hv = cellSurvivors(hcells)
+    assert(hv("P") === Map(1 -> 1L, 3 -> 1L, 4 -> 1L))
+    assert(hv("Q") === Map(0 -> 1L))
+  }
+
   test("TTL KMV: without an over-window gap, streamed equals the full batch sketch") {
     val t0 = LocalDateTime.of(2024, 3, 1, 10, 0, 0)
     val w = 60L * 60 * 1000 // 1 hour — gaps below never expire
