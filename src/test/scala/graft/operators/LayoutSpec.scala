@@ -143,4 +143,47 @@ class LayoutSpec extends SparkSpec {
     // files than the time layout's time-only pruning
     assert(scanned("zorder", 8 until 24) * 3 < scanned("timesort", 8 until 24))
   }
+
+  test("zorderSkip: a REAL parquet reader skips exactly the files the stats model predicts") {
+    // the audit above simulates footer pruning from rank stats; this
+    // drives Spark's actual parquet reader over the C42b-WRITTEN
+    // corpus with a pushed user_id predicate and reads the scan's
+    // execution metric. With one file (= one row group = one page)
+    // per z-bucket at this SF and record-level filtering off by
+    // default, the scan's numOutputRows is precisely the rows of the
+    // row groups that SURVIVED footer min/max pruning — so it must
+    // equal the per-bucket stats model's prediction, row for row
+    val dir = sf("sf0.001")
+    val events = graft.Tables(spark, dir, "events")
+    val outDir = sys.props("java.io.tmpdir") + "/graft_zorder_metrics_spec"
+    val stats = Layout.zorderWrite(events, outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map { case (b, n, mnu, mxu) => (b, n, mnu, mxu) }
+    // a user-quartile predicate (the stripe the 1-D time layout
+    // cannot prune): [global min, min + range/4]
+    val gmin = stats.map(_._3).min
+    val gmax = stats.map(_._4).max
+    val uhi = gmin + (gmax - gmin) / 4
+    val expected = stats.filter(s => s._3 <= uhi).map(_._2).sum
+    val totalRows = stats.map(_._2).sum
+    assert(expected * 2 < totalRows,
+      "fixture must actually prune (expected scan < half the corpus)")
+    val df = spark.read.parquet(outDir)
+      .filter(col("user_id") >= gmin && col("user_id") <= uhi)
+    df.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectFirst { case s: FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec in the plan"))
+    assert(scan.metadata("PushedFilters").contains("user_id"),
+      s"the predicate must reach the parquet reader: ${scan.metadata}")
+    val scanRows = scan.metrics("numOutputRows").value
+    assert(scanRows === expected,
+      s"reader scanned $scanRows rows; the stats model predicts $expected" +
+        s" (of $totalRows total) — footer pruning diverged from the audit")
+  }
 }
