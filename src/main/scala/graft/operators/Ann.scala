@@ -286,6 +286,102 @@ object Ann {
        |ORDER BY q_id, nn_rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- C57
+  /** Probes for the FILTERED list scan — a selective predicate thins
+    * every list, so the filtered form probes more lists to refill k
+    * (the standard filtered-search knob: selectivity ~1/10 here, so
+    * double the probes of the unfiltered C15). */
+  private val FilteredProbe = 4
+
+  /** FILTERED ANN (C57) — predicate + vector retrieval, the RAG
+    * serving pattern ("nearest chunks WHERE tenant/lang/label = x"):
+    * each query retrieves its top-[[K]] SAME-LABEL neighbors, with the
+    * metadata predicate pushed INTO the IVF list scan rather than
+    * applied after retrieval — post-filtering an unfiltered top-k
+    * returns < k rows whenever the neighborhood is label-diverse (the
+    * classic filtered-search failure; here labels are ~10% selective,
+    * so an unfiltered top-10 carries ~1 matching row). Survivors get
+    * the exact cosine rerank; [[FilteredProbe]] > [[IvfProbe]] lists
+    * per query refill k against the predicate's thinning.
+    *
+    * Scale shape is C15's: assignment one map-side argmin aggregation,
+    * the probe list broadcast, the label equality a scan-side filter
+    * evaluated during the broadcast-join probe (at 100 TB, with the
+    * index written list-partitioned and label-clustered, the same
+    * predicate reaches the parquet footers and skips whole files —
+    * the C42 machinery), TopKAgg keeps the shuffle at
+    * queries×k×partitions. Fully deterministic → algorithm-parity
+    * oracle; AnnFilteredSpec pins every hit on-label and recall
+    * against the EXACT filter-then-rank baseline. */
+  def ivfFiltered(embeddings: DataFrame): DataFrame = {
+    val cl = embeddings.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("e"),
+      col("label").cast("long").as("label"))
+    val cents = ivfCents(cl)
+    val assigned = cl.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("label"), col("cid"),
+        l2(col("e"), col("ce")).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("m"),
+        first(col("e")).as("e"), first(col("label")).as("label"))
+      .select(col("vec_id"), col("e"), col("label"), col("m.cid").as("cid"))
+    val qw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
+    val probes = cl.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("label").as("qlabel"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("qlabel"), col("cid"),
+        l2(col("qe"), col("ce")).as("d"))
+      .withColumn("rn", row_number().over(qw))
+      .filter(col("rn") <= FilteredProbe)
+      .select(col("q_id"), col("qe"), col("qlabel"), col("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") === col("qlabel"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qe"), col("e")).as("cos"))
+    rankRows(
+      scored.groupBy(col("q_id"))
+        .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
+  }
+
+  def ivfFiltered(spark: SparkSession, dir: String): DataFrame =
+    ivfFiltered(Tables(spark, dir, "embeddings"))
+
+  /** Algorithm-parity oracle for C57 — [[ivfSql]] with the label
+    * carried through assignment and the predicate in the list scan. */
+  val ivfFilteredSql: String = {
+    val l2Sql = (a: String, b: String) =>
+      s"list_reduce(list_transform(generate_series(1, $Dim), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+       |            CAST(label AS BIGINT) AS label FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, e AS ce FROM v
+       |          WHERE vec_id >= $IvfSeedBase AND vec_id < ${IvfSeedBase + IvfK}),
+       |ad AS (SELECT v.vec_id, v.e, v.label, c.cid, ${l2Sql("v.e", "c.ce")} AS d
+       |       FROM v CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, e, label, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |qd AS (SELECT v.vec_id AS q_id, v.e AS qe, v.label AS qlabel, c.cid,
+       |         ${l2Sql("v.e", "c.ce")} AS d
+       |       FROM v CROSS JOIN cents c WHERE v.vec_id < $NumQueries),
+       |probes AS (SELECT q_id, qe, qlabel, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn FROM qd)
+       |  WHERE rn <= $FilteredProbe),
+       |scored AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    list_inner_product(p.qe, a.e) /
+       |      (sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(a.e, a.e))) AS cos
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE a.vec_id <> p.q_id AND a.label = p.qlabel)
+       |SELECT q_id, nn_rank, vec_id, cos AS cosine FROM (
+       |  SELECT q_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS nn_rank
+       |  FROM scored)
+       |WHERE nn_rank <= $K
+       |ORDER BY q_id, nn_rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- C17
   private val PqSubSpaces = 8   // M sub-quantizers
   private val PqSubDim = Dim / PqSubSpaces
@@ -1536,6 +1632,7 @@ object Ann {
     "ann_bruteforce" -> bruteforce _,
     "ann_lsh" -> lsh _,
     "ann_ivf" -> ivf _,
+    "ann_ivf_filtered" -> ivfFiltered _,
     "ann_pq" -> pq _,
     "ann_ivfpq" -> ivfPq _,
     "ann_ivfpq_residual" -> ivfPqResidual _,
@@ -1550,6 +1647,7 @@ object Ann {
     "ann_bruteforce" -> bruteforceSql,
     "ann_lsh" -> lshSql,
     "ann_ivf" -> ivfSql,
+    "ann_ivf_filtered" -> ivfFilteredSql,
     "ann_pq" -> pqSql,
     "ann_ivfpq" -> ivfPqSql,
     "ann_ivfpq_residual" -> ivfPqResidualSql,

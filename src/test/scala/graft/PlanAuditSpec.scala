@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkSpec {
   private val dir = sf("sf0.001")
   private val exempt = Set("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
     "ann_ivfpq", "ann_ivfpq_residual", "ann_ivfpq_perlist", "ann_recall_curve",
-    "ann_mips_ivf", "ann_graph_beam", "ann_graph_nndescent")
+    "ann_mips_ivf", "ann_graph_beam", "ann_graph_nndescent",
+    "ann_ivf_filtered")
 
   test("no entry plans a cartesian product or nested-loop join") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
