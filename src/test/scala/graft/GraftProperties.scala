@@ -382,20 +382,23 @@ object GraftProperties extends Properties("graft") {
   private val bpeCand: Gen[List[(String, String, Long)]] =
     Gen.resize(24, Gen.listOf(Gen.zip(bpeSym, bpeSym, Gen.choose(1L, 99L))))
 
-  property("bpe batch: greedy selection is symbol-disjoint, capped, and maximal") =
+  property("bpe batch: greedy selection is claim-disjoint, capped, and maximal") =
     forAll(bpeCand, Gen.choose(1, 8)) { (cand, cap) =>
       val sel = graft.operators.Text.bpeGreedySelect(cand, cap)
-      // pairwise symbol-disjoint across DISTINCT selected pairs (a
+      // an accepted pair claims its symbols AND its concatenation (the
+      // merged symbol a later pair may neither use nor re-produce);
+      // distinct selected pairs must have disjoint claim sets (a
       // self-pair (x, x) is fine alone; no other pair may touch x)
+      def claims(p: (String, String, Long)) = Set(p._1, p._2, p._1 + p._2)
       val disjoint = sel.combinations(2).forall { case Seq(p, q) =>
-        Set(p._1, p._2).intersect(Set(q._1, q._2)).isEmpty
+        claims(p).intersect(claims(q)).isEmpty
       }
       val capped = sel.size <= cap
-      // maximality: if the cap never bound, every rejected candidate
-      // conflicts with some selected pair (else greedy would take it)
+      // maximality: if the cap never bound, every rejected candidate's
+      // claims overlap some selected pair's (else greedy would take it)
       val maximal = sel.size == cap || cand.forall { c =>
         sel.contains(c) || sel.exists(p =>
-          Set(p._1, p._2).intersect(Set(c._1, c._2)).nonEmpty)
+          claims(p).intersect(claims(c)).nonEmpty)
       }
       disjoint && capped && maximal
     }
