@@ -828,7 +828,15 @@ object Text {
     * alone (persist) leaves the quadratic-growing logical plan for AQE
     * to re-stringify on every job (the C52/§8 lineage discipline,
     * measured as minutes of driver CPU inside explainString). */
-  def bpeLearnBatched(documents: DataFrame): DataFrame = {
+  def bpeLearnBatched(documents: DataFrame): DataFrame =
+    bpeLearnBatchedWith(documents, BpeBatchRounds, BpeBatchTopC, BpeBatchCap)
+
+  /** [[bpeLearnBatched]] with the knobs as parameters — the gate entry
+    * pins the constants (the oracle unrolls exactly that many rounds);
+    * the depth PROBE ([[graft.ProbeBpeDepth]]) runs the same learner at
+    * production merge budgets. */
+  private[graft] def bpeLearnBatchedWith(documents: DataFrame,
+      rounds: Int, topC: Int, cap: Int): DataFrame = {
     import documents.sparkSession.implicits._
     val wc = documents
       .select(explode(split(lower(col("text")), "[ \t\n\r]+")).as("w"))
@@ -842,7 +850,7 @@ object Text {
     try {
       val out = Seq.newBuilder[(Long, Long, String, String, Long, Long)]
       var rank = 0L
-      for (k <- 1 to BpeBatchRounds) {
+      for (k <- 1 to rounds) {
         val cand = cur
           .withColumn("parts", filter(split(col("s"), BD),
             x => length(x) > 0))
@@ -853,10 +861,10 @@ object Text {
           .groupBy(col("p.l").as("lft"), col("p.r").as("rgt"))
           .agg(sum(col("cnt")).as("c"))
           .orderBy(col("c").desc, col("lft"), col("rgt"))
-          .limit(BpeBatchTopC)
-          .collect() // bounded: the candidate pool, ≤ BpeBatchTopC rows
+          .limit(topC)
+          .collect() // bounded: the candidate pool, ≤ topC rows
           .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-        val accepted = bpeGreedySelect(cand, BpeBatchCap)
+        val accepted = bpeGreedySelect(cand, cap)
         var sc = col("s")
         accepted.foreach { case (l, r, _) =>
           val pat = lit(BD + l + BD + r + BD)
