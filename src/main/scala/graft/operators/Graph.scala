@@ -318,7 +318,7 @@ object Graph {
     * Input: symmetrized weighted edges (u, v, w); every node must
     * have an out-edge (symmetrization guarantees it). Returns the
     * converged (node, r) frame — NEVER collected — and the round. */
-  private[operators] def kleeneDist(edges: DataFrame): (DataFrame, Long) = {
+  private[graft] def kleeneDist(edges: DataFrame): (DataFrame, Long) = {
     val tw = edges.groupBy(col("u").as("node")).agg(sum(col("w")).as("tw"))
     // localCheckpoint, not persist: the edge frame is replayed by
     // every round's THREE actions (superstep, checkpoint, witness),

@@ -101,6 +101,37 @@ class PlanAuditSpec extends SparkSpec {
       s"a round join is off-key (keys: $keys):\n$rp")
   }
 
+  test("distributed-pagerank superstep plans no single-partition stage and no O(N²) join") {
+    // the C55 loop's per-round work is the superstep join + the
+    // per-destination sum; audit the lazy round shape the way the
+    // nn-descent round is audited (the entry itself executes eagerly).
+    // A SinglePartition anywhere in the superstep means the iteration
+    // serializes on one task at every round — T times the cost of the
+    // C52 scale-killer the r15 verdict flagged
+    val edges = spark.range(0, 512).selectExpr("id % 37 AS u",
+      "(id * 11) % 37 AS v", "1 + id % 5 AS w")
+      .filter(col("u") =!= col("v"))
+    val (rank, _) = graft.operators.Graph.kleeneDist(edges)
+    val p = rank.queryExecution.executedPlan.toString
+    // the returned frame is the checkpointed fixed point — audit the
+    // superstep by rebuilding one round lazily over it
+    val tw = edges.groupBy(col("u").as("node"))
+      .agg(sum(col("w")).as("tw"))
+    val ew = edges.join(tw, edges("u") === tw("node"))
+      .select(col("u"), col("v"), col("w"), col("tw"))
+    val round = ew.join(rank, ew("u") === rank("node"))
+      .groupBy(col("v").as("node"))
+      .agg(expr("1500 + (8500 * sum((r * w) div tw)) div 10000").as("r"))
+    val rp = round.queryExecution.executedPlan.toString
+    for ((nm, pl) <- Seq(("fixed point", p), ("superstep", rp))) {
+      assert(!pl.contains("SinglePartition"),
+        s"$nm plans a single-partition stage:\n$pl")
+      assert(!pl.contains("CartesianProduct") &&
+        !pl.contains("BroadcastNestedLoopJoin"),
+        s"$nm plans an O(N²) join:\n$pl")
+    }
+  }
+
   test("dedup_semantic: projection-only assignment, self-join reuses one exchange") {
     val df = SparkEntry.queries("dedup_semantic")(spark, dir)
     df.collect() // finalize the adaptive plan so ReuseExchange is visible
