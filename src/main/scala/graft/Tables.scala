@@ -14,3 +14,23 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 }
+
+/** Scratch-dir discipline for entries that WRITE as part of their
+  * semantics (C42b's z-ordered rewrite, the served ANN index): a fresh
+  * per-invocation dir (two concurrent driver sweeps must not overwrite
+  * each other between write and read-back) that the entry DELETES once
+  * its bounded result is materialized — repeated verify/bench sweeps
+  * would otherwise accumulate unbounded disk under java.io.tmpdir. */
+object Scratch {
+  def dir(prefix: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_${prefix}_${System.nanoTime()}"
+
+  def delete(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+}

@@ -107,9 +107,9 @@ object Graph {
 
   // --------------------------------------------------------------- C51
   /** Fixed-point scale of the converged ranks (per-10k units). */
-  private[operators] val PrcScale = 10000L
-  private[operators] val PrcTeleport = 1500L
-  private[operators] val PrcDamp = 8500L
+  private[graft] val PrcScale = 10000L
+  private[graft] val PrcTeleport = 1500L
+  private[graft] val PrcDamp = 8500L
   /** Iteration cap — measured convergence is 56/88/60 rounds at
     * sf0.001/0.01/0.1; the oracle unrolls exactly this many stages and
     * both engines fall back to the frame AT the cap if a pathological

@@ -169,14 +169,14 @@ object Layout {
       .orderBy(col("zbucket"))
   }
 
-  // output dir unique per invocation (nanoTime, the memory-sink
-  // convention): a fixed shared path lets two concurrent driver runs
-  // (parallel verify sweeps at different SFs) overwrite each other
-  // between the write and the read-back aggregate
-  def zorderWrite(spark: SparkSession, dir: String): DataFrame =
-    zorderWrite(Tables(spark, dir, "events"),
-      sys.props("java.io.tmpdir") +
-        s"/graft_zorder_write_${System.nanoTime()}")
+  // per-invocation scratch dir ([[graft.Scratch]]), deleted once the
+  // 256-row read-back aggregate is materialized — the eager checkpoint
+  // pins the bounded gate frame so nothing reads the dir afterwards
+  def zorderWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("zorder_write")
+    try zorderWrite(Tables(spark, dir, "events"), out).localCheckpoint(true)
+    finally graft.Scratch.delete(out)
+  }
 
   val zorderWriteSql: String =
     s"""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS s FROM events),

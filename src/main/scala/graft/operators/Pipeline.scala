@@ -1043,7 +1043,7 @@ object Pipeline {
   // --------------------------------------------------- Pareto skyline (C36)
   /** Quality-bucket width for the skyline grid prune:
     * `quality_micro div 1000` → at most ~1001 buckets. */
-  private val SkyBucket = 1000L
+  private[graft] val SkyBucket = 1000L
 
   /** Distributed 2-D skyline over DISTINCT points `(quality_micro,
     * n_words[, n_docs, min_doc_id])` — maximize quality, minimize
@@ -1105,7 +1105,7 @@ object Pipeline {
   /** The skyline's input point set — distinct (quality_micro, n_words)
     * with doc accounting; exposed so the spec can brute-force the
     * frontier over exactly the frame the operator consumes. */
-  private[operators] def paretoSkylinePoints(documents: DataFrame): DataFrame =
+  private[graft] def paretoSkylinePoints(documents: DataFrame): DataFrame =
     qualityMicro(documents)
       .groupBy(col("quality_micro"), col("n_words"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))

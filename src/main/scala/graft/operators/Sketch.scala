@@ -662,7 +662,7 @@ object Sketch {
        |  SELECT doc_id, source, item, r,
        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 15)
        |      AS BIGINT) % $CmsWidth AS bucket
-       |  FROM toks, unnest([0, 1, 2]) AS rr(r))""".stripMargin
+       |  FROM toks, unnest([${(0 until CmsDepth).mkString(", ")}]) AS rr(r))""".stripMargin
 
   val topkWordsSql: String =
     s"""$topkSqlCommon,

@@ -1178,7 +1178,7 @@ object Streams {
        |  SELECT event_type, item, r,
        |    CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || item), 1, 15)
        |      AS BIGINT) % ${graft.operators.Sketch.CmsWidth} AS bucket
-       |  FROM toks, unnest([0, 1, 2]) AS rr(r)),
+       |  FROM toks, unnest([${(0 until graft.operators.Sketch.CmsDepth).mkString(", ")}]) AS rr(r)),
        |sk AS (SELECT event_type, r, bucket, count(*) AS cnt
        |       FROM rows3 GROUP BY 1, 2, 3),
        |cand AS (SELECT DISTINCT event_type, item, r, bucket FROM rows3),

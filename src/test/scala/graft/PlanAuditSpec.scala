@@ -119,9 +119,13 @@ class PlanAuditSpec extends SparkSpec {
       .agg(sum(col("w")).as("tw"))
     val ew = edges.join(tw, edges("u") === tw("node"))
       .select(col("u"), col("v"), col("w"), col("tw"))
+    // the audited round expression is built from Graph's OWN constants
+    // so it cannot drift from the production superstep
+    val (tele, damp, scale) = (graft.operators.Graph.PrcTeleport,
+      graft.operators.Graph.PrcDamp, graft.operators.Graph.PrcScale)
     val round = ew.join(rank, ew("u") === rank("node"))
       .groupBy(col("v").as("node"))
-      .agg(expr("1500 + (8500 * sum((r * w) div tw)) div 10000").as("r"))
+      .agg(expr(s"$tele + ($damp * sum((r * w) div tw)) div $scale").as("r"))
     val rp = round.queryExecution.executedPlan.toString
     for ((nm, pl) <- Seq(("fixed point", p), ("superstep", rp))) {
       assert(!pl.contains("SinglePartition"),
@@ -224,6 +228,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"θ-argmin plans an O(N²) join:\n$p")
+  }
+
+  test("whitelisted SinglePartition windows run over bounded aggregated frames") {
+    // The no-SinglePartition audits above (C52 θ-argmin, C55
+    // superstep) treat a global window as a scale-killer. Exactly two
+    // entries DO plan one: pipeline_shard_balance (a prefix sum over
+    // the n_tok histogram) and pipeline_pareto_skyline (a running min
+    // over the per-bucket minima). They are whitelisted HERE with the
+    // row bound ASSERTED, not silently exempted — both windows consume
+    // an already-aggregated frame that stays bounded at any corpus SF.
+    val docs = Tables(spark, dir, "documents")
+    val corpus = docs.count()
+    // shardBalance: input = the DISTINCT token-length histogram; rows
+    // = distinct lengths « corpus (the shardBalance scaladoc documents
+    // the (n_tok, doc_id-bucket) sub-key escape hatch should one
+    // length class ever dominate the histogram)
+    val hist = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .distinct().count()
+    assert(hist <= 1024 && hist <= corpus,
+      s"shard-balance window input must stay bounded, got $hist rows")
+    // skyline2d: input = one row per SkyBucket-wide quality bucket;
+    // quality_micro ≤ 10⁶ by construction ⇒ ≤ 1001 rows at ANY SF
+    val buckets = graft.operators.Pipeline
+      .paretoSkylinePoints(docs)
+      .select((col("quality_micro") / lit(graft.operators.Pipeline.SkyBucket))
+        .cast("long").as("b"))
+      .distinct().count()
+    assert(buckets <= 1001,
+      s"skyline bucket window input must stay ≤ 1001 rows, got $buckets")
   }
 
   test("q7's rank filter plans a partial top-k below the shuffle (WindowGroupLimit)") {
