@@ -342,21 +342,31 @@ object Graph {
         if (nodes <= KleeneBroadcastNodes) broadcast(df) else df
       var rank = tw.select(col("node"), lit(PrcTeleport).as("r"))
         .localCheckpoint(true)
-      def mass(df: DataFrame): Long = {
-        val row = df.agg(sum(col("r"))).head() // bounded: 1-row witness
-        if (row.isNullAt(0)) 0L else row.getLong(0)
-      }
-      var prevMass = mass(rank)
+      // the witness RIDES the checkpoint job: a CollectMetrics node
+      // observed on the pre-checkpoint plan fires during the SAME
+      // action that materializes the round (probed: localCheckpoint's
+      // job completes the Observation), so a round costs ONE driver
+      // job instead of checkpoint + separate 1-row witness scan — the
+      // r16 verdict measured the per-round job debt (plus its async
+      // cleanup debris) as the dominant warm-solo cost at sf10.
+      // r₀ = teleport at every node, so the initial mass needs no
+      // action either.
+      var prevMass = PrcTeleport * nodes
       var iters = PrcCap.toLong
       var t = 0
       while (t < PrcCap && iters == PrcCap.toLong) {
         t += 1
+        val obs = org.apache.spark.sql.Observation(s"kleene_mass_$t")
         val next = ew.join(rside(rank), ew("u") === rank("node"))
           .groupBy(col("v").as("node"))
           .agg(expr(s"$PrcTeleport + ($PrcDamp * sum((r * w) div tw))" +
             s" div $PrcScale").as("r"))
+          .observe(obs, sum(col("r")).as("mass"))
           .localCheckpoint(true)
-        val m = mass(next)
+        val m = obs.get("mass") match { // bounded: the 1-row witness
+          case null => 0L
+          case v => v.asInstanceOf[Long]
+        }
         if (m == prevMass) iters = t.toLong
         prevMass = m
         rank.unpersist(false)
