@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** C58 served IVF: the build-once/serve-many split. Pins (1) served ≡
+  * the in-memory C15 build row-for-row (the entry additionally runs
+  * under C15's algorithm-parity oracle), and (2) the REAL file skip —
+  * a probe batch touching 2 of the 8 inverted lists must make Spark's
+  * parquet reader open exactly the files under those 2 list
+  * directories (the LayoutSpec real-reader method: the scan's numFiles
+  * metric, not a stats simulation). */
+class AnnServedSpec extends SparkSpec {
+  private val dir = sf("sf0.001")
+
+  test("served results are identical to the in-memory IVF build") {
+    val mem = Ann.ivf(spark, dir).collect().map(_.toSeq)
+    val served = Ann.queries("ann_ivf_served")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(served.length === mem.length)
+    assert(served.toSeq === mem.toSeq)
+  }
+
+  test("the probe scan reads ONLY the probed list directories (real reader metric)") {
+    val c = Ann.corpus(spark, dir)
+    val out = graft.Scratch.dir("ivf_served_spec")
+    try {
+      Ann.ivfIndexWrite(c, out)
+      val listDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cid="))
+      assert(listDirs.length === 8, "fixture: 8 inverted lists")
+      def filesUnder(d: java.io.File): Int =
+        d.listFiles().count(_.getName.endsWith(".parquet"))
+      val totalFiles = listDirs.map(filesUnder).sum
+      // one query → nprobe=2 of 8 lists
+      val probes = Ann.ivfProbes(c, Ann.ivfCents(c))
+        .filter(col("q_id") === 0L)
+      val served = Ann.ivfServeFrom(spark, out, probes)
+      served.collect()
+      val probedCids = probes.select("cid").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(probedCids.size === 2, "fixture: 2 probed lists")
+      val expectedFiles = listDirs
+        .filter(d => probedCids.contains(d.getName.stripPrefix("cid=").toLong))
+        .map(filesUnder).sum
+      assert(expectedFiles < totalFiles,
+        "fixture must actually skip (probed lists ⊂ all lists)")
+      // the adaptive plan nests materialized stages — recurse through
+      // them to reach the index scan
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+      val scan = scans(served.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no FileSourceScanExec in the served plan"))
+      assert(scan.metadata("PartitionFilters").contains("cid"),
+        s"the probe predicate must be a partition filter: ${scan.metadata}")
+      val scanned = scan.metrics("numFiles").value
+      assert(scanned === expectedFiles,
+        s"reader opened $scanned files; the probed lists hold " +
+          s"$expectedFiles (of $totalFiles) — partition pruning failed")
+    } finally graft.Scratch.delete(out)
+  }
+}
