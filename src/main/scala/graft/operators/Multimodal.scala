@@ -406,13 +406,115 @@ object Multimodal {
        |FROM t""".stripMargin
   }
 
+  // -------------------------------------------------------------- C8d
+  /** Near-dup pair distance bound: pairs at Hamming ≤ [[PhashMaxHam]]
+    * are reported; [[PhashMaxHam]] + 1 bands of 64/(d+1) bits make the
+    * band equi-join EXHAUSTIVE for that bound (pigeonhole: ≤ d
+    * differing bits cannot touch all d+1 disjoint bands). */
+  private val PhashMaxHam = 3
+
+  /** Image near-dup PAIRS (C8d) — the multi-index Hamming join that
+    * turns C8c's per-image aHash into the image-dedup step: the C2
+    * LSH-banding idiom applied to BITS. Exact-equal hashes are
+    * collapsed FIRST (the C1 exact-dedup discipline — a 20-image
+    * exact-dup group is one row with n=20, never 190 materialized
+    * pairs), then the DISTINCT hashes are banded into
+    * [[PhashMaxHam]]+1 disjoint 16-bit bands, candidate pairs come
+    * from an equi-join on (band, value) — exhaustive for Hamming ≤ d
+    * by pigeonhole, never a cross-join — and the exact popcount
+    * verify keeps pairs with Hamming in [1, d]. Output: one row per
+    * near-dup DISTINCT-hash pair, carrying each side's exact-group
+    * representative and size.
+    *
+    * Scale shape: one decode pass (the hash groupBy collapses the
+    * corpus to distinct hashes, map-side combinable), the grouped
+    * frame localCheckpoint'd so the self-join never re-decodes, then
+    * one (band, value)-keyed equi-join whose buckets are bounded the
+    * way C2's LSH bands are. All-integer → the oracle replays pairs
+    * bit-for-bit from the generative pixel rule. */
+  def phashPairs(documents: DataFrame): DataFrame = {
+    val g = phash(documents)
+      .groupBy(col("ahash_hi"), col("ahash_lo"))
+      .agg(count(lit(1)).cast("long").as("n"), min(col("doc_id")).as("rep"))
+      .localCheckpoint(true) // decode once; bounded by distinct hashes
+    val bands = g.select(col("ahash_hi"), col("ahash_lo"), col("n"),
+      col("rep"), explode(array(
+        struct(lit(0L).as("band"),
+          col("ahash_lo").bitwiseAND(lit(65535L)).as("v")),
+        struct(lit(1L).as("band"),
+          shiftright(col("ahash_lo"), 16).bitwiseAND(lit(65535L)).as("v")),
+        struct(lit(2L).as("band"),
+          col("ahash_hi").bitwiseAND(lit(65535L)).as("v")),
+        struct(lit(3L).as("band"),
+          shiftright(col("ahash_hi"), 16).bitwiseAND(lit(65535L)).as("v"))))
+        .as("b"))
+      .select(col("b.band").as("band"), col("b.v").as("v"),
+        col("ahash_hi").as("hi"), col("ahash_lo").as("lo"),
+        col("n"), col("rep"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          (col("a.hi") < col("b.hi") ||
+            (col("a.hi") === col("b.hi") && col("a.lo") < col("b.lo"))))
+      .select(col("a.rep").as("rep1"), col("b.rep").as("rep2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") >= 1 && col("hamming") <= PhashMaxHam)
+      .distinct() // a pair may agree on several bands
+      .orderBy(col("rep1"), col("rep2"))
+  }
+
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(Tables(spark, dir, "documents"))
+
+  /** Oracle: the C8c hash CTE, exact-group collapse, then the
+    * BRUTE-FORCE distinct-hash pair scan with the same popcount bound
+    * — sound as an oracle at gate SF, which is exactly what the banded
+    * join must reproduce without the quadratic scan. */
+  val phashPairsSql: String = {
+    val h = ImageCodec.Height
+    val mw = ImageCodec.MaxWidth
+    def half(lo: Int): String =
+      s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}),
+         |      k -> CASE WHEN samp[k + 1] * 64 > total
+         |                THEN (CAST(1 AS BIGINT) << (k - $lo)) ELSE 0 END)) AS BIGINT)"""
+        .stripMargin
+    val ham = "CAST(bit_count(xor(a.hi::BIT, b.hi::BIT)) + " +
+      "bit_count(xor(a.lo::BIT, b.lo::BIT)) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, text,
+       |    GREATEST(LEAST(length(text), $mw), 1) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |s AS (SELECT doc_id,
+       |    list_transform(generate_series(0, 63),
+       |      k -> ((CASE WHEN (((k % 8) * w) // 8) < length(text)
+       |              THEN ascii(substr(text, (((k % 8) * w) // 8) + 1, 1)) ELSE 0 END)
+       |            + (((k // 8) * $h) // 8)) % 256) AS samp
+       |  FROM d),
+       |t AS (SELECT doc_id, samp,
+       |    CAST(list_sum(samp) AS BIGINT) AS total FROM s),
+       |ph AS (SELECT doc_id, ${half(32)} AS hi, ${half(0)} AS lo FROM t),
+       |g AS (SELECT hi, lo, CAST(count(*) AS BIGINT) AS n,
+       |    min(doc_id) AS rep FROM ph GROUP BY 1, 2)
+       |SELECT a.rep AS rep1, b.rep AS rep2, a.n AS n1, b.n AS n2,
+       |  $ham AS hamming
+       |FROM g a JOIN g b
+       |  ON (a.hi < b.hi OR (a.hi = b.hi AND a.lo < b.lo))
+       |WHERE $ham BETWEEN 1 AND $PhashMaxHam
+       |ORDER BY rep1, rep2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_pipeline" -> pipeline _,
     "multimodal_features" -> features _,
-    "multimodal_phash" -> phash _)
+    "multimodal_phash" -> phash _,
+    "multimodal_dedup_phash" -> (phashPairs(_, _)))
 
   val oracles: Map[String, String] = Map(
     "multimodal_pipeline" -> pipelineSql,
     "multimodal_features" -> featuresSql,
-    "multimodal_phash" -> phashSql)
+    "multimodal_phash" -> phashSql,
+    "multimodal_dedup_phash" -> phashPairsSql)
 }

@@ -312,4 +312,29 @@ class LibraryApiSpec extends SparkSpec {
     // top four rows exactly = bits 32..63 → hi all-ones, lo zero
     assert(r(3L) === ((0xFFFFFFFFL, 0L)))
   }
+
+  test("phashPairs: the banded Hamming join equals brute force over distinct hashes (C8d)") {
+    // exhaustiveness of the d+1-band pigeonhole join, proven against
+    // the quadratic scan the operator exists to avoid — on the real
+    // corpus, where exact-dup image groups make raw pairs quadratic
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+    val hashes = Multimodal.phash(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3)))
+    val groups = hashes.groupBy(x => (x._2, x._3)).map { case ((hi, lo), g) =>
+      (hi, lo, g.length.toLong, g.map(_._1).min)
+    }.toSeq
+    val brute = (for {
+      a <- groups; b <- groups
+      if a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+      ham = java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+      if ham >= 1 && ham <= 3
+    } yield (a._4, b._4, a._3, b._3, ham.toLong))
+      .sortBy(p => (p._1, p._2))
+    val banded = Multimodal.phashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(brute.nonEmpty, "fixture: the corpus must contain near-dup images")
+    assert(banded === brute)
+  }
 }
