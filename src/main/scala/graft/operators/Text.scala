@@ -906,7 +906,11 @@ object Text {
     * over the ≤[[BpeBatchTopC]]-row candidate list; merge application
     * is a seed-prepended list_reduce of the selected (pat, rep)
     * strings, replace×3 each, in rank order. */
-  val bpeLearnBatchedSql: String = {
+  /** The learning CTE chain (word count → 16 unrolled rounds → the
+    * selected merges `allsel` + per-round token counts `tokr`), shared
+    * verbatim between the C37b gate oracle and the C11c learned-apply
+    * oracle so both engines provably learn the SAME table. */
+  private val bpeBatchedCtes: String = {
     val rep3 = "replace(replace(replace(acc, split_part(mm, chr(1), 1)," +
       " split_part(mm, chr(1), 2)), split_part(mm, chr(1), 1)," +
       " split_part(mm, chr(1), 2)), split_part(mm, chr(1), 1)," +
@@ -960,7 +964,7 @@ object Text {
     val toks = (1 to BpeBatchRounds).map { k =>
       s"SELECT $k AS round, (SELECT ct FROM t$k) AS ct"
     }.mkString(" UNION ALL ")
-    s"""WITH RECURSIVE w0 AS (SELECT
+    s"""w0 AS (SELECT
        |    unnest(string_split_regex(lower(text), '[ \\t\\n\\r]+')) AS w
        |  FROM documents),
        |wcb AS (SELECT w, count(*) AS cnt FROM w0
@@ -970,12 +974,101 @@ object Text {
        |  FROM wcb),
        |$stages,
        |allsel AS ($unions),
-       |tokr AS ($toks)
+       |tokr AS ($toks)""".stripMargin
+  }
+
+  val bpeLearnBatchedSql: String =
+    s"""WITH RECURSIVE $bpeBatchedCtes
        |SELECT CAST(a.round AS BIGINT) AS round,
        |  row_number() OVER (ORDER BY a.round, a.rnk) AS rank,
        |  a.lft, a.rgt, a.c AS pair_cnt, tokr.ct AS corpus_tokens
        |FROM allsel a JOIN tokr ON a.round = tokr.round
        |ORDER BY rank""".stripMargin
+
+  // -------------------------------------------------------------- C11c
+  /** Tokenize with the LEARNED merge table (C11c) — closing the
+    * tokenizer loop the C37b↔C11b pair leaves open: C37b LEARNS a
+    * merge table from the corpus but C11b still counts tokens under
+    * the fixed 48-rank public table. This entry runs the full C37b
+    * learner, collects its merge table (bounded:
+    * ≤ [[BpeBatchRounds]]·[[BpeBatchCap]] rows, in application order),
+    * and tokenizes the corpus under THAT table via the codegen
+    * [[org.apache.spark.sql.graft.BpeApplyLen]] — train → tokenize,
+    * the unit a budget is actually set in once the tokenizer is the
+    * pipeline's own.
+    *
+    * Apply semantics are the LEARNER's replace-×3-per-rank trace (not
+    * C11b's single-pass scan): a learned table may contain left==right
+    * pairs and stacked derived tokens, and matching the learner's
+    * exact trace is what makes the apply CLOSE over the training
+    * corpus — TextSpec pins that applying the table to the learner's
+    * vocabulary reproduces the learner's final corpus token count, and
+    * the oracle LEARNS the same table in SQL ([[bpeBatchedCtes]]
+    * verbatim) before applying it with the same ×3 recursive CTE.
+    *
+    * Scale shape: the learner's (corpus-linear once, then
+    * vocabulary-bounded rounds), plus C11b's tokenize pass — explode,
+    * per-(doc, word) combine, one codegen evaluation per distinct
+    * (doc, word). */
+  def tokensBpeLearned(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, BpeApplyLen}
+    val learned = bpeLearnBatched(documents)
+      .select(col("lft"), col("rgt")).collect() // bounded: ≤ rounds·cap
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val words = documents
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[ \t\n\r]+")).as("w"))
+      .filter(col("w") =!= "")
+    words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("toks",
+        Bridge.column(BpeApplyLen(Bridge.expression(col("w")), learned))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        sum(col("cnt") * col("toks")).cast("long").as("n_bpe"))
+  }
+
+  def tokensBpeLearned(spark: SparkSession, dir: String): DataFrame =
+    tokensBpeLearned(docs(spark, dir))
+
+  /** Oracle: learn the table with [[bpeBatchedCtes]] (the C37b chain
+    * verbatim), flatten it to global application order, then apply it
+    * to the tokenize vocabulary with one recursive CTE stepping one
+    * rank per iteration — replace ×3 each, the learner's semantics.
+    * Words containing the delimiter fall back to code-point count
+    * (the C11b convention). */
+  val tokensBpeLearnedSql: String = {
+    val rep3 = "replace(replace(replace(b.s, m.pat, m.rep), m.pat, m.rep)," +
+      " m.pat, m.rep)"
+    s"""WITH RECURSIVE $bpeBatchedCtes,
+       |lm AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY round, rnk) AS BIGINT) AS mrank,
+       |    chr(31)||lft||chr(31)||rgt||chr(31) AS pat,
+       |    chr(31)||lft||rgt||chr(31) AS rep
+       |  FROM allsel),
+       |w0t AS (SELECT doc_id,
+       |    unnest(string_split_regex(lower(text), '[ \\t\\n\\r]+')) AS w
+       |  FROM documents),
+       |wct AS (SELECT doc_id, w, count(*) AS cnt
+       |  FROM w0t WHERE w <> '' GROUP BY 1, 2),
+       |vocab AS (SELECT DISTINCT w FROM wct),
+       |b(w, s, r) AS (
+       |  SELECT w, chr(31) || regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+       |    CAST(1 AS BIGINT)
+       |  FROM vocab WHERE NOT contains(w, chr(31))
+       |  UNION ALL
+       |  SELECT b.w, $rep3, b.r + 1
+       |  FROM b JOIN lm m ON m.mrank = b.r),
+       |lenv AS (
+       |  SELECT w, length(s) - length(replace(s, chr(31), '')) - 1 AS toks
+       |  FROM b WHERE r = (SELECT count(*) + 1 FROM lm)
+       |  UNION ALL
+       |  SELECT w, length(w) AS toks FROM vocab WHERE contains(w, chr(31)))
+       |SELECT wct.doc_id,
+       |  CAST(sum(wct.cnt) AS BIGINT) AS n_words,
+       |  CAST(sum(wct.cnt * lenv.toks) AS BIGINT) AS n_bpe
+       |FROM wct JOIN lenv ON wct.w = lenv.w
+       |GROUP BY wct.doc_id""".stripMargin
   }
 
   // --------------------------------------------------------------- C41
@@ -1140,6 +1233,7 @@ object Text {
     "text_pii" -> (pii(_, _)),
     "text_bigram_lm" -> (bigramLm(_, _)),
     "text_tokens_bpe" -> tokensBpe _,
+    "text_tokens_bpe_learned" -> tokensBpeLearned _,
     "text_quality_model" -> qualityModel _,
     "text_bpe_learn" -> bpeLearn _,
     "text_bpe_learn_batched" -> bpeLearnBatched _)
@@ -1157,6 +1251,7 @@ object Text {
     "text_pii" -> piiSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_tokens_bpe" -> tokensBpeSql,
+    "text_tokens_bpe_learned" -> tokensBpeLearnedSql,
     "text_quality_model" -> qualityModelSql,
     "text_bpe_learn" -> bpeLearnSql,
     "text_bpe_learn_batched" -> bpeLearnBatchedSql)

@@ -575,6 +575,51 @@ class TextSpec extends SparkSpec {
     assert(fwd === rev)
   }
 
+  test("learned BPE closes: applying the learned table reproduces the learner's final token count") {
+    // the tokenizer loop: C37b's LAST corpus_tokens is the token count
+    // of its own final segmentation; re-tokenizing the learner's
+    // vocabulary from scratch under the collected table (BpeApplyLen's
+    // replace-x3-per-rank trace) must land on exactly that number —
+    // any divergence between apply semantics and learner semantics
+    // breaks this equality
+    import org.apache.spark.sql.graft.BpeApplyLen
+    val docs = graft.Tables(spark, dir, "documents")
+    val learner = Text.bpeLearnBatched(docs).collect()
+    assert(learner.nonEmpty)
+    val finalTokens = learner.map(r => (r.getLong(1), r.getLong(5)))
+      .maxBy(_._1)._2
+    val merges = learner.sortBy(_.getLong(1))
+      .map(r => (r.getString(2), r.getString(3)))
+    val pats = merges.map { case (a, b) => "\u001f" + a + "\u001f" + b + "\u001f" }
+    val reps = merges.map { case (a, b) => "\u001f" + a + b + "\u001f" }
+    val wc = docs
+      .select(explode(split(lower(col("text")), "[ \t\n\r]+")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val applied = wc.map { case (w, cnt) =>
+      cnt * BpeApplyLen.tokenLen(w, pats, reps)
+    }.sum
+    assert(applied === finalTokens,
+      s"apply trace diverged from the learner: $applied vs $finalTokens")
+  }
+
+  test("learned-BPE entry: n_bpe <= n_chars-bound and beats the char segmentation where merges apply") {
+    val out = Text.tokensBpeLearned(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // n_bpe >= n_words (a word is >= 1 token) and the learned table
+    // must COMPRESS: total tokens strictly under the char count of a
+    // corpus that learned 80+ merges
+    assert(out.forall { case (_, w, b) => b >= w })
+    val totalBpe = out.map(_._3).sum
+    val totalChars = graft.Tables(spark, dir, "documents")
+      .select(sum(length(regexp_replace(lower(col("text")), "[ \t\n\r]+", ""))))
+      .head().getLong(0)
+    assert(totalBpe < totalChars,
+      s"learned merges must compress: $totalBpe tokens vs $totalChars chars")
+  }
+
   // ------------------------------------------------- C41 tf-idf top-k
   test("tfidf: known tf/df/scores, rare term outranks a stopword") {
     import spark.implicits._
