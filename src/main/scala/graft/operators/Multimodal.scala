@@ -430,8 +430,14 @@ object Multimodal {
     * corpus to distinct hashes, map-side combinable), the grouped
     * frame localCheckpoint'd so the self-join never re-decodes, then
     * one (band, value)-keyed equi-join whose buckets are bounded the
-    * way C2's LSH bands are. All-integer → the oracle replays pairs
-    * bit-for-bit from the generative pixel rule. */
+    * way C2's LSH bands are (and the C3 simhash band join's). A
+    * 16-bit band caps at 2¹⁶ buckets, so past ~10⁹ DISTINCT hashes
+    * bucket sizes grow linearly and the verify join needs the Manku
+    * et al. (WWW 2007) refinement — more blocks matched in
+    * combinations (e.g. C(6,3) tables with 32-bit compound keys) —
+    * same pigeonhole, wider keys; the (band, value) join below is
+    * that design at the 2-table point. All-integer → the oracle
+    * replays pairs bit-for-bit from the generative pixel rule. */
   def phashPairs(documents: DataFrame): DataFrame = {
     val g = phash(documents)
       .groupBy(col("ahash_hi"), col("ahash_lo"))

@@ -48,10 +48,9 @@ out = {
     "metric": "scale_curve_r17",
     "description": (
         "Full 135-entry suite (end-of-round r17 build, frozen classes "
-        "across all points: the r15 surface plus distributed "
-        "Kleene-converged PageRank over the customer-supplier graph, "
-        "NN-descent graph ANN, the TTL'd CMS and log-histogram live "
-        "sketches, and filtered IVF ANN) at sf0.1 and 10x/30x/100x "
+        "across all points: the r16 surface plus served IVF with a "
+        "written list-partitioned index, banded pHash image near-dup "
+        "pairs, and learned-table BPE tokenize) at sf0.1 and 10x/30x/100x "
         "scaled copies (tools/gen_scaled_sf.py), same machine, "
         "local[32], ps-checked idle at launch. sf0.1: interleaved "
         "median-of-3 (also the tracked BENCH_local.json). sf1/sf3/"
@@ -61,7 +60,7 @@ out = {
         "measured uniform ~1.25-1.4x between hosts on byte-identical "
         "code)."
     ),
-    "generated_round": 16,
+    "generated_round": 17,
     **{key: blocks[key] for key, _, _ in POINTS},
     "scale_curve": curve,
     "per_entry_sf10_over_sf0_1_ratio": ratios,
