@@ -313,29 +313,42 @@ object Ann {
     * queries×k×partitions. Fully deterministic → algorithm-parity
     * oracle; AnnFilteredSpec pins every hit on-label and recall
     * against the EXACT filter-then-rank baseline. */
-  def ivfFiltered(embeddings: DataFrame): DataFrame = {
-    val cl = embeddings.select(col("vec_id"),
+  /** The labeled working corpus, C57's projection. */
+  private[graft] def ivfLabeledCorpus(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("e"),
       col("label").cast("long").as("label"))
-    val cents = ivfCents(cl)
-    val assigned = cl.crossJoin(broadcast(cents))
+
+  /** C57's index build: the C15 map-side argmin with the label carried
+    * through the aggregate. */
+  private[graft] def ivfLabeledAssign(cl: DataFrame): DataFrame =
+    cl.crossJoin(broadcast(ivfCents(cl)))
       .select(col("vec_id"), col("e"), col("label"), col("cid"),
         l2(col("e"), col("ce")).as("d"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d"), col("cid"))).as("m"),
         first(col("e")).as("e"), first(col("label")).as("label"))
       .select(col("vec_id"), col("e"), col("label"), col("m.cid").as("cid"))
+
+  /** C57's query side: [[FilteredProbe]] nearest lists per query, the
+    * query's label carried. */
+  private[graft] def ivfLabeledProbes(cl: DataFrame): DataFrame = {
     val qw = Window.partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
-    val probes = cl.filter(col("vec_id") < NumQueries)
+    cl.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"),
         col("label").as("qlabel"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(ivfCents(cl)))
       .select(col("q_id"), col("qe"), col("qlabel"), col("cid"),
         l2(col("qe"), col("ce")).as("d"))
       .withColumn("rn", row_number().over(qw))
       .filter(col("rn") <= FilteredProbe)
       .select(col("q_id"), col("qe"), col("qlabel"), col("cid"))
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+  }
+
+  def ivfFiltered(embeddings: DataFrame): DataFrame = {
+    val cl = ivfLabeledCorpus(embeddings)
+    val scored = ivfLabeledAssign(cl)
+      .join(broadcast(ivfLabeledProbes(cl)), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id") &&
         col("label") === col("qlabel"))
       .select(col("q_id"), col("vec_id"),
@@ -449,6 +462,70 @@ object Ann {
     try {
       ivfIndexWrite(c, out)
       ivfServeFrom(spark, out, ivfProbes(c, ivfCents(c)))
+        .localCheckpoint(true)
+    } finally graft.Scratch.delete(out)
+  }
+
+  // -------------------------------------------------------------- C58b
+  /** Write the FILTERED index list-partitioned AND label-clustered —
+    * the exact layout C57's scaladoc names: `cid=<list>/label=<label>`
+    * nested partition directories, so a metadata predicate prunes at
+    * the directory level INSIDE each probed list. */
+  private[graft] def ivfFilteredIndexWrite(cl: DataFrame, outDir: String): Unit =
+    ivfLabeledAssign(cl)
+      .repartition(col("cid"), col("label"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.partitionBy("cid", "label").parquet(outDir)
+
+  /** Serve a FILTERED query batch against the written index: the
+    * bounded probed (list, label) set — ≤ queries × nprobe pairs —
+    * becomes a two-level partition predicate, so the scan opens ONLY
+    * the `cid=X/label=Y` directories some query actually probes with
+    * its own label. This is the C57 claim made physical: the label
+    * equality stops being a scan-side filter over probed lists and
+    * starts skipping files wholesale. Search after the scan is C57's
+    * verbatim. */
+  private[graft] def ivfServeFilteredFrom(spark: SparkSession, idxDir: String,
+      probes: DataFrame): DataFrame = {
+    val p = probes.localCheckpoint(true) // bounded: queries × nprobe
+    val pairs = p.select(col("cid"), col("qlabel")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val raw = spark.read.parquet(idxDir)
+    // partition-column types are inferred from directory names — cast
+    // the literals, not the columns (the C58 discipline)
+    val cidType = raw.schema("cid").dataType
+    val labType = raw.schema("label").dataType
+    val idx = raw
+      .filter(pairs.map { case (c, l) =>
+        col("cid") === lit(c).cast(cidType) &&
+          col("label") === lit(l).cast(labType)
+      }.reduce(_ || _))
+      .select(col("vec_id"), col("e"), col("cid").cast("long").as("cid"),
+        col("label").cast("long").as("label"))
+    val scored = idx.join(broadcast(p), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id") &&
+        col("label") === col("qlabel"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qe"), col("e")).as("cos"))
+    rankRows(
+      scored.groupBy(col("q_id"))
+        .agg(topK(col("cos"), col("vec_id"), K).as("topk")))
+  }
+
+  /** SERVED FILTERED IVF (C58b) — C58's build-once/serve-many split
+    * applied to the C57 RAG pattern, with the index written
+    * list-partitioned + LABEL-CLUSTERED so the metadata predicate
+    * reaches the directory level (C57's scaladoc promised this layout;
+    * this entry builds it). Results bit-identical to the in-memory
+    * [[ivfFiltered]] → C57's algorithm-parity oracle gates the entry
+    * verbatim; AnnServedSpec proves the two-level skip on the real
+    * reader's numFiles metric. */
+  def ivfServedFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val cl = ivfLabeledCorpus(Tables(spark, dir, "embeddings"))
+    val out = graft.Scratch.dir("ivf_flt_index")
+    try {
+      ivfFilteredIndexWrite(cl, out)
+      ivfServeFilteredFrom(spark, out, ivfLabeledProbes(cl))
         .localCheckpoint(true)
     } finally graft.Scratch.delete(out)
   }
@@ -1704,6 +1781,7 @@ object Ann {
     "ann_lsh" -> lsh _,
     "ann_ivf" -> ivf _,
     "ann_ivf_served" -> (ivfServed(_, _)),
+    "ann_ivf_served_filtered" -> (ivfServedFiltered(_, _)),
     "ann_ivf_filtered" -> ivfFiltered _,
     "ann_pq" -> pq _,
     "ann_ivfpq" -> ivfPq _,
@@ -1722,6 +1800,8 @@ object Ann {
     // C58 serves the SAME index the C15 build constructs in memory —
     // identical results by design, so the oracle is shared verbatim
     "ann_ivf_served" -> ivfSql,
+    // C58b serves the SAME filtered index C57 builds in memory
+    "ann_ivf_served_filtered" -> ivfFilteredSql,
     "ann_ivf_filtered" -> ivfFilteredSql,
     "ann_pq" -> pqSql,
     "ann_ivfpq" -> ivfPqSql,

@@ -67,4 +67,53 @@ class AnnServedSpec extends SparkSpec {
           s"$expectedFiles (of $totalFiles) — partition pruning failed")
     } finally graft.Scratch.delete(out)
   }
+
+  test("served-filtered results are identical to the in-memory filtered build (C58b)") {
+    val mem = Ann.ivfFiltered(spark, dir).collect().map(_.toSeq)
+    val served = Ann.queries("ann_ivf_served_filtered")(spark, dir)
+      .collect().map(_.toSeq)
+    assert(served.length === mem.length)
+    assert(served.toSeq === mem.toSeq)
+  }
+
+  test("the filtered serve opens ONLY probed cid=X/label=Y directories (two-level skip)") {
+    val cl = Ann.ivfLabeledCorpus(graft.Tables(spark, dir, "embeddings"))
+    val out = graft.Scratch.dir("ivf_flt_spec")
+    try {
+      Ann.ivfFilteredIndexWrite(cl, out)
+      def parquets(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty)
+        kids.filter(_.isDirectory).flatMap(parquets).toSeq ++
+          kids.filter(_.getName.endsWith(".parquet")).toSeq
+      }
+      val totalFiles = parquets(new java.io.File(out)).size
+      // one query → 4 probed lists, ONE label → ≤ 4 leaf dirs of the
+      // full cid × label grid
+      val probes = Ann.ivfLabeledProbes(cl).filter(col("q_id") === 0L)
+      val served = Ann.ivfServeFilteredFrom(spark, out, probes)
+      served.collect()
+      val pairs = probes.select(col("cid"), col("qlabel")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expectedFiles = pairs.toSeq.map { case (c, l) =>
+        parquets(new java.io.File(s"$out/cid=$c/label=$l")).size
+      }.sum
+      assert(expectedFiles > 0 && expectedFiles * 4 <= totalFiles,
+        s"fixture must skip hard: $expectedFiles of $totalFiles files")
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+      }.flatten
+      val scan = scans(served.queryExecution.executedPlan).headOption
+        .getOrElse(fail("no FileSourceScanExec in the served plan"))
+      assert(scan.metadata("PartitionFilters").contains("label"),
+        s"the label predicate must prune partitions: ${scan.metadata}")
+      val scanned = scan.metrics("numFiles").value
+      assert(scanned === expectedFiles,
+        s"reader opened $scanned files; the probed (list, label) dirs " +
+          s"hold $expectedFiles (of $totalFiles) — two-level pruning failed")
+    } finally graft.Scratch.delete(out)
+  }
 }
