@@ -31,6 +31,12 @@ object Scratch {
       if (kids != null) kids.foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File(path))
+    val root = new java.io.File(path)
+    rm(root)
+    // a held/locked file silently reverts this helper to the unbounded
+    // tmp-dir accumulation it exists to prevent — make leakage visible
+    // to verify/bench logs so sweep tooling notices
+    if (root.exists())
+      System.err.println(s"[graft.Scratch] LEAKED scratch dir (delete failed): $path")
   }
 }

@@ -318,6 +318,43 @@ object Graph {
     * Input: symmetrized weighted edges (u, v, w); every node must
     * have an out-edge (symmetrization guarantees it). Returns the
     * converged (node, r) frame — NEVER collected — and the round. */
+  /** Once a round's Observation fails to complete within the poll
+    * window, stop polling in later rounds — a listener path that never
+    * fires won't start firing mid-loop, and paying the window per
+    * round would be worse than the fallback it guards. */
+  @volatile private var observeRidesCheckpoint = true
+
+  /** The convergence-witness read. The Observation completes during
+    * the round's own localCheckpoint(true) action (probed on this
+    * Spark in ProbeObserve) — but that rides listener behavior Spark
+    * does not document for checkpoint actions, so the wait is a
+    * BOUNDED poll: if the metric hasn't landed, degrade to the r16
+    * 1-row mass scan over the already-checkpointed frame instead of
+    * hanging the loop on `obs.get`. */
+  private def observedMass(obs: org.apache.spark.sql.Observation,
+      checkpointed: DataFrame): Long = {
+    val landed: Option[org.apache.spark.sql.Row] =
+      if (!observeRidesCheckpoint) None
+      else try {
+        Some(scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(10, "seconds")))
+      } catch {
+        case _: java.util.concurrent.TimeoutException =>
+          observeRidesCheckpoint = false // don't re-pay the window
+          System.err.println("[graft.Graph] Observation did not complete " +
+            "during checkpoint; falling back to the 1-row mass scan")
+          None
+      }
+    landed match {
+      case Some(row) if !row.isNullAt(row.fieldIndex("mass")) =>
+        row.getLong(row.fieldIndex("mass"))
+      case Some(_) => 0L
+      case None =>
+        val row = checkpointed.agg(sum(col("r"))).collect()(0)
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+  }
+
   private[graft] def kleeneDist(edges: DataFrame): (DataFrame, Long) = {
     val tw = edges.groupBy(col("u").as("node")).agg(sum(col("w")).as("tw"))
     // localCheckpoint, not persist: the edge frame is replayed by
@@ -363,10 +400,7 @@ object Graph {
             s" div $PrcScale").as("r"))
           .observe(obs, sum(col("r")).as("mass"))
           .localCheckpoint(true)
-        val m = obs.get("mass") match { // bounded: the 1-row witness
-          case null => 0L
-          case v => v.asInstanceOf[Long]
-        }
+        val m = observedMass(obs, next) // bounded: the 1-row witness
         if (m == prevMass) iters = t.toLong
         prevMass = m
         rank.unpersist(false)
