@@ -46,7 +46,13 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
   }
 
-  private val shinglesSql =
+  /** The shingled doc-id universe (C2's candidate domain) — shared
+    * with the streaming near-dup gate (D3c), whose kept set is defined
+    * over exactly the docs that produce shingles. */
+  private[graft] def shingled(documents: DataFrame): DataFrame =
+    withShingles(documents).select(col("doc_id"))
+
+  private[graft] val shinglesSql =
     """SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, len(toks) - 2),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
@@ -58,7 +64,7 @@ object Dedup {
     * returns exactly the true-pair set when band recall is 1, which holds
     * for the planted near-dup structure — verified empirically at every
     * test SF; see DedupSpec). */
-  private def jaccardPairsSql(threshold: Double): String =
+  private[graft] def jaccardPairsSql(threshold: Double): String =
     s"""WITH sh AS ($shinglesSql),
        |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh),
        |sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
@@ -674,6 +680,24 @@ object Dedup {
     sh.select(col("doc_id"),
       Bridge.column(
         MinhashSignature(Bridge.expression(col("shingles")), MinhashK)).as("minhashes"))
+  }
+
+  /** C2's per-doc LSH projection with the shingles CARRIED: one row
+    * per (doc, band) holding `(doc_id, shingles, band_key)` — the
+    * shape the STREAMING near-dup gate (D3c, Streams.scala) keys its
+    * bucket state by. Same seeded-xxhash64 band keys as
+    * [[minhashLsh]]; works on a batch OR streaming frame (every stage
+    * is a stateless projection). */
+  private[graft] def lshBandRows(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, MinhashSignature}
+    withShingles(documents)
+      .select(col("doc_id"), col("shingles"),
+        Bridge.column(MinhashSignature(
+          Bridge.expression(col("shingles")), MinhashK)).as("minhashes"))
+      .select(col("doc_id"), col("shingles"),
+        explode(transform(sequence(lit(0), lit(MinhashBands - 1)),
+          b => xxhash64(b, slice(col("minhashes"), b * MinhashRows + 1,
+            lit(MinhashRows))))).as("band_key"))
   }
 
   /** MinHash + LSH banding: 16 bands × 4 rows; candidates = pairs

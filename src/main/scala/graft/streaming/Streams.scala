@@ -389,6 +389,123 @@ object Streams {
   val streamDedupWatermarkSql: String =
     "SELECT DISTINCT event_id FROM events"
 
+  // --------------------------------------------------------------- D3c
+  /** One (doc, band) arrival: the C2 LSH projection keyed by band. */
+  case class BandedDoc(band_key: Long, doc_id: Long, shingles: Array[String])
+  case class NearDupHit(doc_id: Long)
+
+  /** The streaming NEAR-dup gate's per-bucket fold (D3c) — C2's
+    * banding machinery as `transformWithState` keyed state: each LSH
+    * band bucket holds the shingle sets of every doc that has passed
+    * through it, and an arriving doc is DROPPED (emitted as a hit) if
+    * the bucket already holds an EARLIER doc whose exact shingle
+    * Jaccard reaches the threshold — the same candidates-then-verify
+    * discipline as the batch operator, evaluated live. ALL arrivals
+    * enter the bucket (matched or not): "drop b if any earlier a
+    * matches" is C2's pair relation exactly, so the kept set is
+    * defined without chasing keep-first chains across buckets.
+    *
+    * Determinism: arrival order within a micro-batch is an engine
+    * detail, so each batch's bucket arrivals are processed in doc_id
+    * order; across batches the source delivers in order (the D3b
+    * assumption), so "earlier" ≡ smaller doc_id everywhere.
+    *
+    * Scale shape: state per bucket = that bucket's docs with their
+    * shingle sets — LSH keeps buckets small (the same property that
+    * makes C2's candidate equi-join tractable), and the 16× row
+    * replication is the standard banding shuffle. A production
+    * deployment bounds bucket state by RECENCY with the D8b
+    * event-time-TTL machinery (dedup against the trailing horizon);
+    * the gate form keeps full history so streamed ≡ batch exactly. */
+  final class NearDupProcessor(threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, BandedDoc, NearDupHit] {
+    import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var bucket: ListState[BandedDoc] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      bucket = getHandle.getListState[BandedDoc]("bucket",
+        E.product[BandedDoc], TTLConfig.NONE)
+
+    private def jaccard(a: Array[String], b: Array[String]): Double = {
+      // shingle arrays are DISTINCT by construction (WordShingles), so
+      // set sizes reproduce size(array_intersect)/size(array_union) —
+      // the exact integers both engines divide
+      val sa = a.toSet
+      val inter = b.count(sa.contains)
+      inter.toDouble / (a.length + b.length - inter)
+    }
+
+    override def handleInputRows(key: Long, in: Iterator[BandedDoc],
+        timerValues: TimerValues): Iterator[NearDupHit] = {
+      val arriving = in.toArray.sortBy(_.doc_id)
+      val earlier = scala.collection.mutable.ArrayBuffer.empty[BandedDoc]
+      if (bucket.exists()) earlier ++= bucket.get()
+      val hits = Array.newBuilder[NearDupHit]
+      arriving.foreach { d =>
+        if (earlier.exists(p => p.doc_id < d.doc_id &&
+            jaccard(p.shingles, d.shingles) >= threshold))
+          hits += NearDupHit(d.doc_id)
+        earlier += d // every arrival enters the bucket, kept or dropped
+      }
+      bucket.appendList(arriving)
+      hits.result().iterator
+    }
+  }
+
+  private val NearDupThreshold = 0.8
+
+  /** D3c entry: the documents feed replayed through the live near-dup
+    * gate (split=false — one in-order micro-batch, the D6/D7/D8 gate
+    * shape), then the kept set = shingled docs minus the emitted
+    * hits. Band recall at the corpus's planted similarity is 1 (the
+    * C2 argument), so the kept set is exactly "docs with no earlier
+    * exact-Jaccard ≥ t partner" — the pure-SQL oracle
+    * [[streamDedupNeardupSql]]. Cross-batch carry (a batch-2 arrival
+    * dropped against a batch-1 doc) is spec-gated on a controlled
+    * MemoryStream in TransformWithStateSpec, the D5 precedent. */
+  def streamDedupNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val feed = spark.readStream.format("graft-arrow")
+      .option("dir", dir)
+      .option("table", "documents")
+      .option("split", false)
+      .load()
+    val bands = graft.operators.Dedup.lshBandRows(feed)
+      .select(col("band_key"), col("doc_id"), col("shingles"))
+      .as[BandedDoc]
+    val sinkName = s"graft_d3c_${System.nanoTime()}"
+    val q = withTwsConfs(spark, 8) {
+      bands.groupByKey(_.band_key)
+        .transformWithState(new NearDupProcessor(NearDupThreshold),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        .start()
+    }
+    try { q.processAllAvailable() } finally { q.stop() }
+    // a doc can match in several buckets → distinct; kept = anti-join
+    val hits = spark.table(sinkName).select(col("doc_id")).distinct()
+    graft.operators.Dedup
+      .shingled(graft.Tables(spark, dir, "documents"))
+      .join(hits, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Kept = shingled docs that are nobody's LATER near-duplicate: the
+    * C2 exact-Jaccard pair set (band recall 1 on this corpus) drops
+    * every doc_b. */
+  val streamDedupNeardupSql: String =
+    s"""WITH sh2 AS (${graft.operators.Dedup.shinglesSql}),
+       |dropped AS (SELECT DISTINCT doc_b FROM (
+       |${graft.operators.Dedup.jaccardPairsSql(0.8)}))
+       |SELECT doc_id FROM sh2
+       |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- D4
   /** Attribution window: a click pairs with the same user's views from
     * the preceding 2 hours. */
@@ -1333,6 +1450,7 @@ object Streams {
     "stream_sessionize" -> sessionizeBatch _,
     "stream_dedup" -> streamDedup _,
     "stream_dedup_watermark" -> streamDedupWatermark _,
+    "stream_dedup_neardup" -> streamDedupNeardup _,
     "stream_join" -> streamJoin _,
     "stream_asof_enrich" -> streamAsofEnrich _,
     "stream_topk_sketch" -> streamTopkSketch _)
@@ -1347,6 +1465,7 @@ object Streams {
     "stream_sessionize" -> sessionizeSql,
     "stream_dedup" -> streamDedupSql,
     "stream_dedup_watermark" -> streamDedupWatermarkSql,
+    "stream_dedup_neardup" -> streamDedupNeardupSql,
     "stream_join" -> streamJoinSql,
     "stream_asof_enrich" -> graft.operators.AsofJoin.joinAsofSql,
     "stream_topk_sketch" -> graft.operators.Sketch.topkWordsSql)

@@ -316,6 +316,55 @@ class TransformWithStateSpec extends SparkSpec {
     assert(sv("A") === kmv(1, 2, 3))
     assert(sv("B") === kmv(8, 9))
   }
+
+  test("D3c near-dup gate: single-batch replay equals the batch C2-gated dedup") {
+    val dir = sf("sf0.001")
+    val streamed = Streams.streamDedupNeardup(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val docs = graft.Tables(spark, dir, "documents")
+    val dropped = graft.operators.Dedup.minhashLsh(docs)
+      .select("doc_b").distinct().collect().map(_.getLong(0)).toSet
+    val expected = graft.operators.Dedup.shingled(docs)
+      .collect().map(_.getLong(0)).toSet -- dropped
+    assert(streamed === expected,
+      "the live gate must keep exactly the docs the batch operator keeps")
+    assert(dropped.nonEmpty, "fixture must actually drop near-dups")
+  }
+
+  test("D3c near-dup gate: cross-batch carry — a batch-2 near-dup of a batch-1 doc is dropped") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val near = base + " w11" // 8 of 9 shingles shared → Jaccard 8/9
+    val other = (1 to 10).map(i => s"x$i").mkString(" ")
+    val third = (1 to 10).map(i => s"y$i").mkString(" ")
+    val input = MemoryStream[(Long, String)]
+    val name = s"d3c_carry_${System.nanoTime()}"
+    val bands = graft.operators.Dedup.lshBandRows(
+        input.toDS().toDF("doc_id", "text"))
+      .select(col("band_key"), col("doc_id"), col("shingles"))
+      .as[Streams.BandedDoc]
+    val q = withRocksDb {
+      bands.groupByKey(_.band_key)
+        .transformWithState(new Streams.NearDupProcessor(0.8),
+          TimeMode.None(), OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+    }
+    try {
+      input.addData((1L, base), (2L, other)); q.processAllAvailable()
+      val afterB1 = spark.table(name).as[Streams.NearDupHit]
+        .collect().map(_.doc_id).toSet
+      assert(afterB1 === Set.empty[Long], "batch 1 holds no near-dups")
+      input.addData((3L, near), (4L, third)); q.processAllAvailable()
+      val hits = spark.table(name).as[Streams.NearDupHit]
+        .collect().map(_.doc_id).toSet
+      assert(hits === Set(3L),
+        "the batch-2 near-dup of a batch-1 doc must be dropped " +
+          "(state carries across micro-batches); unrelated docs kept")
+    } finally q.stop()
+  }
 }
 
 /** Top-level (serialization-clean) home for the probe's processor. */
