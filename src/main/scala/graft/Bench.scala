@@ -51,6 +51,23 @@ object Bench {
     // whole suite duration samples independent conditions, so the
     // median converges on the entry's real cost. (Overridden by warm
     // mode above, where per-entry back-to-back is the point.)
+    // r18 decode fusion: the four multimodal entries share one decoded
+    // corpus in the bench path (the r17 verdict item — at sf10 each
+    // entry independently paid ~50s of codec CPU). The prewarm
+    // materializes the shared all-features frame ONCE; its cost is
+    // reported honestly as `multimodal_decode_prewarm` in the JSON.
+    // Verify never prewarms, so every entry keeps its standalone
+    // oracle-gated form.
+    val fuseSec: Double =
+      if (entries.exists(_._1.startsWith("multimodal_"))) {
+        val t0 = System.nanoTime()
+        try { graft.operators.Multimodal.prewarmFused(spark, sfDir)
+          (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] multimodal prewarm FAILED: ${e.getMessage}")
+          -(System.nanoTime() - t0) / 1e9
+        }
+      } else 0.0
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     // cold pre-rep timings per entry (warm mode only); negative = the
@@ -128,9 +145,12 @@ object Bench {
     val firstRep = entries.map { case (name, _) =>
       "\"" + name + "\":" + coldPre.getOrElse(name, samples(name).head)
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v > 0 => v }.sum
+    // the shared-decode prewarm is real suite cost — fold it into the
+    // headline total so cross-round totals stay comparable
+    val total = results.collect { case (_, v) if v > 0 => v }.sum +
+      math.max(0.0, fuseSec)
     val bSuite = results.collect { case (k, v) if k.startsWith("q") && v > 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"first":$firstRep,"b_suite_total":$bSuite,"failed":$failed,"reps":$reps,"warm":${if (warm) 1 else 0},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"first":$firstRep,"b_suite_total":$bSuite,"multimodal_decode_prewarm":$fuseSec,"failed":$failed,"reps":$reps,"warm":${if (warm) 1 else 0},"sf":"$sfDir"}"""
     println(json)
     // ALSO write the artifact to a file: the driver captures the log
     // tail, and r8's capture truncated mid-JSON — readers then mistook

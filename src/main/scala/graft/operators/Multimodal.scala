@@ -292,8 +292,56 @@ object Multimodal {
         .select(col("doc_id"), col("content"), col("meta.format").as("format")),
       Seq(PixelStats))
 
+  // ------------------------------------------------------ decode fusion
+  /** Bench-path decode fusion (r18): the four multimodal entries each
+    * decode the SAME corpus — at sf10 that triplicated ~150 s of codec
+    * CPU across the suite. [[prewarmFused]] materializes ONE decoded
+    * all-features frame (the C14 materialize discipline, eager
+    * localCheckpoint so every consumer reads blocks, not the codec)
+    * and the per-entry adapters below derive their projections from
+    * it. The memo is populated ONLY by an explicit prewarm call (the
+    * Bench main) — the Verify/oracle path never sees it, so every
+    * entry keeps its standalone gated form, and MultimodalSpec pins
+    * fused ≡ standalone for all four entries. */
+  private val fusedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val AllFeatures: Seq[ImageFeature] =
+    Seq(PixelStats, PixelRange, PixelHistogram, PerceptualHash)
+
+  private def allFeatures(documents: DataFrame): DataFrame =
+    decodeFeatures(
+      mediaFrame(documents)
+        .select(col("doc_id"), col("content"), col("meta.format").as("format")),
+      AllFeatures)
+
+  private def fuseKey(spark: SparkSession, dir: String): String =
+    System.identityHashCode(spark).toString + "|" + dir
+
+  /** Materialize the shared decoded frame for (session, dir); the cost
+    * is paid here, once, and reported by Bench as its own field. */
+  def prewarmFused(spark: SparkSession, dir: String): Unit = {
+    fusedMemo.computeIfAbsent(fuseKey(spark, dir),
+      _ => allFeatures(Tables(spark, dir, "documents"))
+        .localCheckpoint(true)): Unit
+  }
+
+  /** Release a prewarmed frame (spec hygiene). */
+  def clearFused(spark: SparkSession, dir: String): Unit = {
+    val df = fusedMemo.remove(fuseKey(spark, dir))
+    if (df != null) df.unpersist(false): Unit
+  }
+
+  /** An entry's projection off the fused frame, if one was prewarmed —
+    * column order matches the standalone decodeFeatures schema. */
+  private def fromFused(spark: SparkSession, dir: String,
+      fs: Seq[ImageFeature]): Option[DataFrame] =
+    Option(fusedMemo.get(fuseKey(spark, dir))).map(_.select(
+      (Seq(col("doc_id"), col("format")) ++
+        fs.flatMap(_.fields.map(f => col(f.name)))): _*))
+
   def pipeline(spark: SparkSession, dir: String): DataFrame =
-    pipeline(Tables(spark, dir, "documents"))
+    fromFused(spark, dir, Seq(PixelStats))
+      .getOrElse(pipeline(Tables(spark, dir, "documents")))
 
   /** The fused multi-feature entry (C8b): stats + contrast range +
     * intensity histogram from ONE decode per row — what a production
@@ -305,7 +353,8 @@ object Multimodal {
       Seq(PixelStats, PixelRange, PixelHistogram))
 
   def features(spark: SparkSession, dir: String): DataFrame =
-    features(Tables(spark, dir, "documents"))
+    fromFused(spark, dir, Seq(PixelStats, PixelRange, PixelHistogram))
+      .getOrElse(features(Tables(spark, dir, "documents")))
 
   /** Oracle: what a CORRECT encode→decode roundtrip must yield, from
     * the generative rule — w = clamp(len,1,64), h = 4, pixel (x,y) =
@@ -375,7 +424,8 @@ object Multimodal {
       Seq(PerceptualHash))
 
   def phash(spark: SparkSession, dir: String): DataFrame =
-    phash(Tables(spark, dir, "documents"))
+    fromFused(spark, dir, Seq(PerceptualHash))
+      .getOrElse(phash(Tables(spark, dir, "documents")))
 
   /** Oracle: the generative pixel rule sampled at the 64 aHash cells,
     * bits via the integer-exact `sample·64 > sum` compare, halves
@@ -438,8 +488,13 @@ object Multimodal {
     * same pigeonhole, wider keys; the (band, value) join below is
     * that design at the 2-table point. All-integer → the oracle
     * replays pairs bit-for-bit from the generative pixel rule. */
-  def phashPairs(documents: DataFrame): DataFrame = {
-    val g = phash(documents)
+  def phashPairs(documents: DataFrame): DataFrame =
+    phashPairsFrom(phash(documents))
+
+  /** The pair machinery over ANY `(doc_id, ahash_hi, ahash_lo)` frame —
+    * shared by the standalone form and the fused bench path. */
+  private def phashPairsFrom(hashes: DataFrame): DataFrame = {
+    val g = hashes
       .groupBy(col("ahash_hi"), col("ahash_lo"))
       .agg(count(lit(1)).cast("long").as("n"), min(col("doc_id")).as("rep"))
       .localCheckpoint(true) // decode once; bounded by distinct hashes
@@ -474,7 +529,7 @@ object Multimodal {
   }
 
   def phashPairs(spark: SparkSession, dir: String): DataFrame =
-    phashPairs(Tables(spark, dir, "documents"))
+    phashPairsFrom(phash(spark, dir)) // fusion-aware via phash(spark, dir)
 
   /** Oracle: the C8c hash CTE, exact-group collapse, then the
     * BRUTE-FORCE distinct-hash pair scan with the same popcount bound

@@ -337,4 +337,22 @@ class LibraryApiSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture: the corpus must contain near-dup images")
     assert(banded === brute)
   }
+
+  test("multimodal decode fusion: prewarmed bench path derives all four entries exactly") {
+    val dir = sf("sf0.001")
+    // standalone forms FIRST (no memo yet — these pay their own decode)
+    val alone = Seq("multimodal_pipeline", "multimodal_features",
+      "multimodal_phash", "multimodal_dedup_phash").map { name =>
+      name -> Multimodal.queries(name)(spark, dir).collect().map(_.toSeq).toSet
+    }
+    Multimodal.prewarmFused(spark, dir)
+    try {
+      alone.foreach { case (name, expected) =>
+        val fused = Multimodal.queries(name)(spark, dir)
+          .collect().map(_.toSeq).toSet
+        assert(fused === expected,
+          s"$name must be identical off the shared decoded frame")
+      }
+    } finally Multimodal.clearFused(spark, dir)
+  }
 }
