@@ -324,38 +324,21 @@ object Graph {
     * round would be worse than the fallback it guards. */
   @volatile private var observeRidesCheckpoint = true
 
-  /** The convergence-witness read. The Observation completes during
-    * the round's own localCheckpoint(true) action (probed on this
-    * Spark in ProbeObserve) — but that rides listener behavior Spark
-    * does not document for checkpoint actions, so the wait is a
-    * BOUNDED poll: if the metric hasn't landed, degrade to the r16
-    * 1-row mass scan over the already-checkpointed frame instead of
-    * hanging the loop on `obs.get`. */
-  private def observedMass(obs: org.apache.spark.sql.Observation,
-      checkpointed: DataFrame): Long = {
-    val landed: Option[org.apache.spark.sql.Row] =
-      if (!observeRidesCheckpoint) None
-      else try {
-        Some(scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(10, "seconds")))
-      } catch {
-        case _: java.util.concurrent.TimeoutException =>
-          observeRidesCheckpoint = false // don't re-pay the window
-          System.err.println("[graft.Graph] Observation did not complete " +
-            "during checkpoint; falling back to the 1-row mass scan")
-          None
-      }
-    landed match {
-      case Some(row) if !row.isNullAt(row.fieldIndex("mass")) =>
-        row.getLong(row.fieldIndex("mass"))
-      case Some(_) => 0L
-      case None =>
-        val row = checkpointed.agg(sum(col("r"))).collect()(0)
-        if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
-  }
+  /** Checkpoint/witness cadence for [[kleeneDist]]: k rounds are
+    * chained LAZILY (each carrying its own observed mass — ALL k
+    * Observations complete during the single window-end
+    * localCheckpoint action, probed shuffle- and broadcast-path in
+    * ProbeObserveWindow), so checkpoint I/O and driver jobs drop
+    * k-fold while per-round mass exactness — and therefore the exact
+    * convergence round — is fully preserved. Monotonicity makes the
+    * ≤ k−1 rounds of overshoot safe: past the least fixed point the
+    * frame no longer changes, so the window-end frame IS the
+    * converged frame. Override: SPARK_GRAFT_KLEENE_CADENCE. */
+  private[graft] val KleeneCadence: Int =
+    sys.env.get("SPARK_GRAFT_KLEENE_CADENCE").map(_.toInt).getOrElse(4)
 
-  private[graft] def kleeneDist(edges: DataFrame): (DataFrame, Long) = {
+  private[graft] def kleeneDist(edges: DataFrame,
+      cadence: Int = KleeneCadence): (DataFrame, Long) = {
     val tw = edges.groupBy(col("u").as("node")).agg(sum(col("w")).as("tw"))
     // localCheckpoint, not persist: the edge frame is replayed by
     // every round's THREE actions (superstep, checkpoint, witness),
@@ -388,21 +371,72 @@ object Graph {
       // cleanup debris) as the dominant warm-solo cost at sf10.
       // r₀ = teleport at every node, so the initial mass needs no
       // action either.
+      def step(r: DataFrame): DataFrame =
+        ew.join(rside(r), ew("u") === r("node"))
+          .groupBy(col("v").as("node"))
+          .agg(expr(s"$PrcTeleport + ($PrcDamp * sum((r * w) div tw))" +
+            s" div $PrcScale").as("r"))
       var prevMass = PrcTeleport * nodes
       var iters = PrcCap.toLong
       var t = 0
       while (t < PrcCap && iters == PrcCap.toLong) {
-        t += 1
-        val obs = org.apache.spark.sql.Observation(s"kleene_mass_$t")
-        val next = ew.join(rside(rank), ew("u") === rank("node"))
-          .groupBy(col("v").as("node"))
-          .agg(expr(s"$PrcTeleport + ($PrcDamp * sum((r * w) div tw))" +
-            s" div $PrcScale").as("r"))
-          .observe(obs, sum(col("r")).as("mass"))
-          .localCheckpoint(true)
-        val m = observedMass(obs, next) // bounded: the 1-row witness
-        if (m == prevMass) iters = t.toLong
-        prevMass = m
+        val window = math.min(math.max(1, cadence), PrcCap - t)
+        var masses: Seq[Long] = Nil
+        var next: DataFrame = null
+        if (observeRidesCheckpoint) {
+          // fast path: `window` lazy rounds, one observed mass each,
+          // ONE checkpoint action completes them all (ProbeObserveWindow)
+          val obsList = (1 to window).map(i =>
+            org.apache.spark.sql.Observation(s"kleene_mass_${t + i}"))
+          var cur = rank
+          obsList.foreach { o =>
+            cur = step(cur).observe(o, sum(col("r")).as("mass"))
+          }
+          next = cur.localCheckpoint(true)
+          try {
+            masses = obsList.map { o =>
+              val row = scala.concurrent.Await.result(o.future,
+                scala.concurrent.duration.Duration(10, "seconds"))
+              if (row.isNullAt(row.fieldIndex("mass"))) 0L
+              else row.getLong(row.fieldIndex("mass"))
+            }
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              // rides undocumented listener behavior (the ADVICE r17
+              // guard): degrade permanently to the scanned witness
+              // instead of hanging — and discard this window's frame,
+              // the per-round masses inside it are unrecoverable
+              observeRidesCheckpoint = false
+              System.err.println("[graft.Graph] Observation did not " +
+                "complete during checkpoint; falling back to per-round " +
+                "checkpoint + 1-row mass scans")
+              next.unpersist(false)
+              next = null
+          }
+        }
+        if (next == null) {
+          // degraded path: one checkpoint + one bounded 1-row mass
+          // scan per round (the r16 shape) — exactness preserved
+          var cur = rank
+          val ms = Seq.newBuilder[Long]
+          for (_ <- 0 until window) {
+            val nxt = step(cur).localCheckpoint(true)
+            val row = nxt.agg(sum(col("r"))).collect()(0)
+            ms += (if (row.isNullAt(0)) 0L else row.getLong(0))
+            if (cur ne rank) cur.unpersist(false)
+            cur = nxt
+          }
+          masses = ms.result()
+          next = cur
+        }
+        // the exact convergence round: first adjacent equality in the
+        // mass chain (monotone ⇒ equality is frame identity, and the
+        // window-end frame equals the fixed point from that round on)
+        val chain = prevMass +: masses
+        (1 until chain.length).find(i => chain(i) == chain(i - 1))
+          .foreach(i => iters = (t + i).toLong)
+        t += window
+        prevMass = masses.last
         rank.unpersist(false)
         rank = next
       }
