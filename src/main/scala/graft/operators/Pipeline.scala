@@ -1433,8 +1433,18 @@ object Pipeline {
           .select(col("doc_id"), col("y"),
             coalesce(col("s"), lit(0L)).as("s"))
       }
+      // ONE persisted scored frame per weight vector (r18 opt): the
+      // round-k scores feed the θ argmin AND round k+1's error pass —
+      // and the unpersisted error frame used to make its two actions
+      // (count, bucket delta) each replay the full tf-join scoring
+      // pass. Carrying the persisted frame across those three uses
+      // cuts the per-entry scoring passes from 3·rounds to rounds+1
+      // (measured 27.1 s → see OPTIMIZATION_r18.md at sf0.1) with
+      // bit-identical arithmetic — the same values flow, they are
+      // just computed once.
+      var ts = trainScores().persist() // scores under the current w
       for (_ <- 1 to TrainRounds) {
-        val e = trainScores().filter(
+        val e = ts.filter(
           (col("y") === 1L && col("s") <= theta) ||
             (col("y") === -1L && col("s") > theta))
           .select(col("doc_id"), col("y"))
@@ -1458,14 +1468,15 @@ object Pipeline {
           .map(b => b -> (w.getOrElse(b, 0L) + dlt.getOrElse(b, 0L))).toMap
         // exact threshold: argmin over candidate θ ∈ distinct scores,
         // via the histogram+refine candidate frame (never a global
-        // sort); persisted: the frame feeds three bounded actions
-        // (score stats, bucket histogram, argmin)
-        val ts = trainScores().persist()
-        try {
-          theta = thetaCandidates(ts).orderBy(col("err"), col("th"))
-            .limit(1).head().getLong(0) // bounded: the 1-row argmin
-        } finally ts.unpersist(false)
+        // sort); the new-w scored frame replaces the old one and also
+        // serves the next round's error pass
+        val ts2 = trainScores().persist()
+        theta = thetaCandidates(ts2).orderBy(col("err"), col("th"))
+          .limit(1).head().getLong(0) // bounded: the 1-row argmin
+        ts.unpersist(false)
+        ts = ts2
       }
+      ts.unpersist(false)
       (w.toSeq.filter(_._2 != 0L).sortBy(_._1) :+ (-1L -> theta))
         .toDF("bucket", "weight")
         .orderBy(col("bucket"))
