@@ -682,22 +682,58 @@ object Dedup {
         MinhashSignature(Bridge.expression(col("shingles")), MinhashK)).as("minhashes"))
   }
 
-  /** C2's per-doc LSH projection with the shingles CARRIED: one row
-    * per (doc, band) holding `(doc_id, shingles, band_key)` — the
-    * shape the STREAMING near-dup gate (D3c, Streams.scala) keys its
-    * bucket state by. Same seeded-xxhash64 band keys as
-    * [[minhashLsh]]; works on a batch OR streaming frame (every stage
-    * is a stateless projection). */
+  /** C2's per-doc LSH band projection: one row per (doc, band)
+    * holding `(doc_id, band_key)` — the shape the STREAMING near-dup
+    * gate (D3c, Streams.scala) keys its bucket state by. Same
+    * seeded-xxhash64 band keys as [[minhashLsh]]; works on a batch OR
+    * streaming frame (every stage is a stateless projection).
+    *
+    * r18 opt (guide §2.3/§8 — shuffle keys, not payloads): the first
+    * form CARRIED each doc's shingle array through the 16× band
+    * explode so the gate could verify Jaccard inside the bucket fold;
+    * that shipped and RocksDB-persisted every shingle set 16 times.
+    * The gate now buckets 16-byte (doc_id, band_key) rows only and
+    * exact-verifies its candidates through [[nearDupKept]]'s codegen
+    * join — the batch operator's own candidates-then-verify split. */
   private[graft] def lshBandRows(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.{Bridge, MinhashSignature}
     withShingles(documents)
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         Bridge.column(MinhashSignature(
           Bridge.expression(col("shingles")), MinhashK)).as("minhashes"))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(MinhashBands - 1)),
           b => xxhash64(b, slice(col("minhashes"), b * MinhashRows + 1,
             lit(MinhashRows))))).as("band_key"))
+  }
+
+  /** Exact-verify LSH candidate pairs `(doc_a, doc_b)` (doc_a earlier)
+    * and return the near-dup KEPT set: shingled docs that are nobody's
+    * later verified near-duplicate. The verify is [[minhashLsh]]'s own
+    * codegen equi-join + array_intersect/array_union quotient — the
+    * SAME double compare at the SAME threshold — so a candidate set
+    * with band recall 1 yields exactly the batch operator's kept set.
+    * One shingle pass serves both join sides and the kept universe. */
+  private[graft] def nearDupKept(documents: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val sh = withShingles(documents).select(col("doc_id"), col("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dropped = cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jacc",
+          size(array_intersect(col("sa.shingles"), col("sb.shingles"))) /
+          size(array_union(col("sa.shingles"), col("sb.shingles"))))
+        .filter(col("jacc") >= 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      sh.select(col("doc_id"))
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+        // eager-materialize (ids only) so the caller's action never
+        // replays the shingle pass after the unpersist below
+        .localCheckpoint()
+    } finally sh.unpersist(false)
   }
 
   /** MinHash + LSH banding: 16 bands × 4 rows; candidates = pairs

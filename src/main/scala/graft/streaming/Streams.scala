@@ -390,81 +390,81 @@ object Streams {
     "SELECT DISTINCT event_id FROM events"
 
   // --------------------------------------------------------------- D3c
-  /** One (doc, band) arrival: the C2 LSH projection keyed by band. */
-  case class BandedDoc(band_key: Long, doc_id: Long, shingles: Array[String])
-  case class NearDupHit(doc_id: Long)
+  /** One (doc, band) arrival: the C2 LSH band projection, 16 bytes. */
+  case class BandArrival(band_key: Long, doc_id: Long)
+  /** A live candidate pair: `doc_a` was already in `doc_b`'s bucket. */
+  case class NearDupCand(doc_a: Long, doc_b: Long)
 
   /** The streaming NEAR-dup gate's per-bucket fold (D3c) — C2's
     * banding machinery as `transformWithState` keyed state: each LSH
-    * band bucket holds the shingle sets of every doc that has passed
-    * through it, and an arriving doc is DROPPED (emitted as a hit) if
-    * the bucket already holds an EARLIER doc whose exact shingle
-    * Jaccard reaches the threshold — the same candidates-then-verify
-    * discipline as the batch operator, evaluated live. ALL arrivals
-    * enter the bucket (matched or not): "drop b if any earlier a
-    * matches" is C2's pair relation exactly, so the kept set is
-    * defined without chasing keep-first chains across buckets.
+    * band bucket holds the doc_ids that have passed through it, and
+    * an arriving doc emits a CANDIDATE pair against every earlier doc
+    * in the bucket — the batch operator's candidates-then-verify
+    * split, with the exact-Jaccard verify run where it is codegen
+    * (the [[graft.operators.Dedup.nearDupKept]] equi-join) instead of
+    * per-pair inside the fold. ALL arrivals enter the bucket: "drop b
+    * if any earlier a matches" is C2's pair relation exactly, so the
+    * kept set is defined without chasing keep-first chains.
+    *
+    * r18 opt (guide §2.3/§8 — decide with small rows): the first form
+    * kept each bucket's full SHINGLE SETS in state and verified
+    * Jaccard pair-by-pair in Scala — every shingle array crossed the
+    * banding shuffle 16× and was RocksDB-serialized per bucket, and
+    * the fold allocated a hash set per pair. State is now 8 bytes per
+    * (doc, band), the shuffle carries two longs, and the verify is
+    * one vectorized join over candidates whose volume LSH already
+    * bounds (the same equi-join volume the batch operator plans).
+    * Measured solo-warm at sf1: 23.5 s → see OPTIMIZATION_r18.md.
     *
     * Determinism: arrival order within a micro-batch is an engine
     * detail, so each batch's bucket arrivals are processed in doc_id
     * order; across batches the source delivers in order (the D3b
     * assumption), so "earlier" ≡ smaller doc_id everywhere.
     *
-    * Scale shape: state per bucket = that bucket's docs with their
-    * shingle sets — LSH keeps buckets small (the same property that
-    * makes C2's candidate equi-join tractable), and the 16× row
-    * replication is the standard banding shuffle. A production
+    * Scale shape: state per bucket = that bucket's doc_ids — LSH
+    * keeps buckets small (the same property that makes C2's candidate
+    * equi-join tractable), and the 16× row replication is the
+    * standard banding shuffle, now of 16-byte rows. A production
     * deployment bounds bucket state by RECENCY with the D8b
     * event-time-TTL machinery (dedup against the trailing horizon);
     * the gate form keeps full history so streamed ≡ batch exactly. */
-  final class NearDupProcessor(threshold: Double)
+  final class NearDupProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, BandedDoc, NearDupHit] {
+        Long, BandArrival, NearDupCand] {
     import org.apache.spark.sql.streaming.{ListState, TimerValues, TTLConfig}
     import org.apache.spark.sql.{Encoders => E}
-    @transient private var bucket: ListState[BandedDoc] = _
+    @transient private var bucket: ListState[Long] = _
 
     override def init(outputMode: OutputMode,
         timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
-      bucket = getHandle.getListState[BandedDoc]("bucket",
-        E.product[BandedDoc], TTLConfig.NONE)
+      bucket = getHandle.getListState[Long]("bucket",
+        E.scalaLong, TTLConfig.NONE)
 
-    private def jaccard(a: Array[String], b: Array[String]): Double = {
-      // shingle arrays are DISTINCT by construction (WordShingles), so
-      // set sizes reproduce size(array_intersect)/size(array_union) —
-      // the exact integers both engines divide
-      val sa = a.toSet
-      val inter = b.count(sa.contains)
-      inter.toDouble / (a.length + b.length - inter)
-    }
-
-    override def handleInputRows(key: Long, in: Iterator[BandedDoc],
-        timerValues: TimerValues): Iterator[NearDupHit] = {
-      val arriving = in.toArray.sortBy(_.doc_id)
-      val earlier = scala.collection.mutable.ArrayBuffer.empty[BandedDoc]
+    override def handleInputRows(key: Long, in: Iterator[BandArrival],
+        timerValues: TimerValues): Iterator[NearDupCand] = {
+      val arriving = in.map(_.doc_id).toArray.sorted
+      val earlier = scala.collection.mutable.ArrayBuffer.empty[Long]
       if (bucket.exists()) earlier ++= bucket.get()
-      val hits = Array.newBuilder[NearDupHit]
+      val out = Array.newBuilder[NearDupCand]
       arriving.foreach { d =>
-        if (earlier.exists(p => p.doc_id < d.doc_id &&
-            jaccard(p.shingles, d.shingles) >= threshold))
-          hits += NearDupHit(d.doc_id)
+        earlier.foreach(p => if (p < d) out += NearDupCand(p, d))
         earlier += d // every arrival enters the bucket, kept or dropped
       }
       bucket.appendList(arriving)
-      hits.result().iterator
+      out.result().iterator
     }
   }
 
-  private val NearDupThreshold = 0.8
-
   /** D3c entry: the documents feed replayed through the live near-dup
     * gate (split=false — one in-order micro-batch, the D6/D7/D8 gate
-    * shape), then the kept set = shingled docs minus the emitted
-    * hits. Band recall at the corpus's planted similarity is 1 (the
-    * C2 argument), so the kept set is exactly "docs with no earlier
+    * shape), then kept = shingled docs minus the exactly-verified
+    * candidates' doc_b set ([[graft.operators.Dedup.nearDupKept]]).
+    * Band recall at the corpus's planted similarity is 1 (the C2
+    * argument), so the kept set is exactly "docs with no earlier
     * exact-Jaccard ≥ t partner" — the pure-SQL oracle
-    * [[streamDedupNeardupSql]]. Cross-batch carry (a batch-2 arrival
-    * dropped against a batch-1 doc) is spec-gated on a controlled
+    * [[streamDedupNeardupSql]], unchanged by the r18 candidate-pair
+    * restructuring. Cross-batch carry (a batch-2 arrival paired
+    * against a batch-1 doc) is spec-gated on a controlled
     * MemoryStream in TransformWithStateSpec, the D5 precedent. */
   def streamDedupNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -474,12 +474,20 @@ object Streams {
       .option("split", false)
       .load()
     val bands = graft.operators.Dedup.lshBandRows(feed)
-      .select(col("band_key"), col("doc_id"), col("shingles"))
-      .as[BandedDoc]
+      .select(col("band_key"), col("doc_id"))
+      .as[BandArrival]
     val sinkName = s"graft_d3c_${System.nanoTime()}"
-    val q = withTwsConfs(spark, 8) {
+    // state partitions: 8 was tuned for the shingle-carrying state
+    // (few, heavy RocksDB instances); with 8-byte state the fold is
+    // shuffle/parallelism-bound — 32 matches the other TWS gates.
+    // Scale-adaptive override for cluster deployments:
+    // SPARK_GRAFT_TWS_PARTITIONS (A/B'd at sf1, see
+    // OPTIMIZATION_r18.md).
+    val twsParts = sys.env.get("SPARK_GRAFT_TWS_PARTITIONS")
+      .map(_.toInt).getOrElse(32)
+    val q = withTwsConfs(spark, twsParts) {
       bands.groupByKey(_.band_key)
-        .transformWithState(new NearDupProcessor(NearDupThreshold),
+        .transformWithState(new NearDupProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Append())
         .writeStream.format("memory").queryName(sinkName)
@@ -487,12 +495,11 @@ object Streams {
         .start()
     }
     try { q.processAllAvailable() } finally { q.stop() }
-    // a doc can match in several buckets → distinct; kept = anti-join
-    val hits = spark.table(sinkName).select(col("doc_id")).distinct()
+    // a pair can match in several buckets → distinct, then one
+    // codegen exact-verify + anti-join pass
+    val cand = spark.table(sinkName).distinct()
     graft.operators.Dedup
-      .shingled(graft.Tables(spark, dir, "documents"))
-      .join(hits, Seq("doc_id"), "left_anti")
-      .orderBy(col("doc_id"))
+      .nearDupKept(graft.Tables(spark, dir, "documents"), cand)
   }
 
   /** Kept = shingled docs that are nobody's LATER near-duplicate: the

@@ -343,26 +343,36 @@ class TransformWithStateSpec extends SparkSpec {
     val name = s"d3c_carry_${System.nanoTime()}"
     val bands = graft.operators.Dedup.lshBandRows(
         input.toDS().toDF("doc_id", "text"))
-      .select(col("band_key"), col("doc_id"), col("shingles"))
-      .as[Streams.BandedDoc]
+      .select(col("band_key"), col("doc_id"))
+      .as[Streams.BandArrival]
     val q = withRocksDb {
       bands.groupByKey(_.band_key)
-        .transformWithState(new Streams.NearDupProcessor(0.8),
+        .transformWithState(new Streams.NearDupProcessor,
           TimeMode.None(), OutputMode.Append())
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
     }
     try {
       input.addData((1L, base), (2L, other)); q.processAllAvailable()
-      val afterB1 = spark.table(name).as[Streams.NearDupHit]
-        .collect().map(_.doc_id).toSet
-      assert(afterB1 === Set.empty[Long], "batch 1 holds no near-dups")
+      val afterB1 = spark.table(name).as[Streams.NearDupCand]
+        .collect().map(c => (c.doc_a, c.doc_b)).toSet
+      assert(afterB1 === Set.empty[(Long, Long)],
+        "batch 1 holds no shared-band candidates")
       input.addData((3L, near), (4L, third)); q.processAllAvailable()
-      val hits = spark.table(name).as[Streams.NearDupHit]
-        .collect().map(_.doc_id).toSet
-      assert(hits === Set(3L),
-        "the batch-2 near-dup of a batch-1 doc must be dropped " +
-          "(state carries across micro-batches); unrelated docs kept")
+      val cands = spark.table(name).as[Streams.NearDupCand]
+        .collect().map(c => (c.doc_a, c.doc_b)).toSet
+      assert(cands === Set((1L, 3L)),
+        "the batch-2 near-dup of a batch-1 doc must surface as a " +
+          "candidate pair (state carries across micro-batches); " +
+          "unrelated docs pair with nothing")
+      // and the exact verify keeps everything except the candidate's
+      // later side — the full entry contract on the carry fixture
+      val docs = Seq((1L, base), (2L, other), (3L, near), (4L, third))
+        .toDF("doc_id", "text")
+      val kept = graft.operators.Dedup.nearDupKept(docs,
+        spark.table(name).select(col("doc_a"), col("doc_b")).distinct())
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L), "verified drop = the near-dup only")
     } finally q.stop()
   }
 }
