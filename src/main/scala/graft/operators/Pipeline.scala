@@ -906,9 +906,20 @@ object Pipeline {
         s"""transform(feats, g ->
            |  CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)
            |    % $DsirBuckets)""".stripMargin))
-    val counts = feats
-      .select(explode(col("buckets")).as("b"),
-        (col("lang") === "en").as("t"))
+    // r18 opt: the count pass and the scoring pass each re-derived
+    // tokenize → bigrams → md5-per-feature from the raw text (the md5
+    // fold is the dominant per-row cost); one persisted bucketed
+    // projection (doc_id, is-target, n_feats, buckets) now feeds both
+    // passes, halving the feature-hashing work. Still zero corpus
+    // shuffles (PlanAuditSpec's no-Exchange pin holds over the
+    // InMemoryTableScan); the projection is released by the caller's
+    // post-entry cleanup (the bench's leaked-persist discipline).
+    val bucketed = feats
+      .select(col("doc_id"), (col("lang") === "en").as("t"),
+        size(col("feats")).cast("long").as("n_feats"), col("buckets"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = bucketed
+      .select(explode(col("buckets")).as("b"), col("t"))
       .groupBy(col("b"))
       .agg(count(lit(1)).as("craw"),
         sum(when(col("t"), 1L).otherwise(0L)).as("ctgt"))
@@ -923,7 +934,7 @@ object Pipeline {
     val tgtTot = tgt.sum + DsirBuckets
     val rawLit = typedLit(raw.toSeq)
     val tgtLit = typedLit(tgt.toSeq)
-    feats
+    bucketed
       .withColumn("w", aggregate(col("buckets"), lit(1.0d), (acc, b) =>
         acc * (((element_at(tgtLit, (b + 1).cast("int")) + 1L) * rawTot)
                  .cast("double") /
@@ -934,9 +945,7 @@ object Pipeline {
           (element_at(tgtLit, (b + 1).cast("int")) + 1L) * rawTot >
             (element_at(rawLit, (b + 1).cast("int")) + 1L) * tgtTot,
           1L).otherwise(0L)))
-      .select(col("doc_id"),
-        size(col("feats")).cast("long").as("n_feats"),
-        col("n_pos"), col("w"))
+      .select(col("doc_id"), col("n_feats"), col("n_pos"), col("w"))
   }
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
