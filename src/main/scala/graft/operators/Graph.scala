@@ -333,9 +333,18 @@ object Graph {
     * convergence round — is fully preserved. Monotonicity makes the
     * ≤ k−1 rounds of overshoot safe: past the least fixed point the
     * frame no longer changes, so the window-end frame IS the
-    * converged frame. Override: SPARK_GRAFT_KLEENE_CADENCE. */
+    * converged frame. Override: SPARK_GRAFT_KLEENE_CADENCE.
+    *
+    * Default 8 (r18 opt round): solo-warm sf1 A/B read 265.2 s at
+    * cadence 4 → 146.7 s at 8 → 135.9 s at 16 (bench_points_r18/
+    * kleene_cad{4,8,16}_sf1_opt.json) — the win flattens past 8 while
+    * the worst-case overshoot (≤ k−1 lazy rounds past the fixed
+    * point, each a full superstep inside the window-end action) keeps
+    * growing, so 8 is the knee. Exactness is cadence-independent: the
+    * per-round masses ride the same chained Observations and the
+    * convergence round is recovered from the mass chain. */
   private[graft] val KleeneCadence: Int =
-    sys.env.get("SPARK_GRAFT_KLEENE_CADENCE").map(_.toInt).getOrElse(4)
+    sys.env.get("SPARK_GRAFT_KLEENE_CADENCE").map(_.toInt).getOrElse(8)
 
   private[graft] def kleeneDist(edges: DataFrame,
       cadence: Int = KleeneCadence): (DataFrame, Long) = {
