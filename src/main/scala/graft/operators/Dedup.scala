@@ -439,6 +439,22 @@ object Dedup {
     * plan would emit anything at all; a huge value always dispatches
     * count.
     *
+    * K RECALIBRATED r18 (K = 5 → 32, bench_points_r18/
+    * ngram_il_sf10_opt.json): the r18 interleaved sf10 A/B on the
+    * current Spark/host reads count at 0.4-0.6 µs/row against prefix
+    * at 12-42 µs/candidate in the COLD-to-first-warm regime (cold
+    * 77 s vs 468 s; first warm rep 50 s vs 138 s) — prefix only
+    * reaches its 1.9 µs/candidate steady state after two back-to-back
+    * warm replays of the same corpus, a regime a 100 TB single-pass
+    * dedup never enters (the corpus cannot be page-cache-resident).
+    * K = 32 prices prefix at its first-pass cost, which on this
+    * corpus family (V_prefix ≈ 0.087·V_count) dispatches the stable
+    * count plan at every probed SF: the measured regret is ~0.3 s at
+    * sf0.1 (tie band), −39 s cold / +9 s steady-warm at sf10. The
+    * prefix plan stays first-class (its own gated entry C4b) and
+    * still dispatches on hot-gram-dominated corpora, where V_prefix
+    * collapses orders of magnitude below V_count.
+    *
     * What is (and is NOT) persisted: the probe materializes only the
     * SMALL `(gram, df≥2)` aggregate — two longs per genuinely-shared
     * gram — and hands that same frame to the dispatched plan as its
@@ -453,7 +469,7 @@ object Dedup {
     * plan's own scoped persist; the expensive global aggregate is the
     * thing worth keeping. */
   def ngramJaccardAuto(documents: DataFrame, threshold: Double = 0.5,
-                       prefixCostFactor: Double = 5.0): DataFrame = {
+                       prefixCostFactor: Double = 32.0): DataFrame = {
     require(threshold >= 0.5 && threshold <= 1,
       s"auto dispatch supports thresholds in [0.5, 1]: $threshold")
     // narrow probe: total gram mass and prefix-slot mass — no shuffle,

@@ -566,16 +566,25 @@ object Sketch {
   private[graft] val CmsWidth = 64
 
   /** The mergeable sketch: `(groupCols…, r, bucket, cnt)` — at most
-    * d·w rows per group. `itemCol` must have a stable string form. */
+    * d·w rows per group. `itemCol` must have a stable string form.
+    *
+    * r18 opt: the md5 bucket hash depends only on (r, item), so the
+    * occurrence stream is first collapsed to per-(group, item) counts
+    * (map-side combinable, vocabulary-bounded) and the [[CmsDepth]]
+    * md5s are computed once per DISTINCT item instead of once per
+    * occurrence — identical cell sums by commutativity, ~occurrences/
+    * vocabulary fewer hashes (the dominant per-row cost at scale). */
   def topkSketch(df: DataFrame, groupCols: Seq[String],
       itemCol: String): DataFrame = {
     val gcols = groupCols.map(col)
     df.filter(col(itemCol).isNotNull)
       .select((gcols :+ col(itemCol).cast("string").as("item")): _*)
+      .groupBy((gcols :+ col("item")): _*)
+      .agg(count(lit(1)).as("occ"))
       .withColumn("r", explode(array((0 until CmsDepth).map(lit(_)): _*)))
       .withColumn("bucket", cmsBucket(col("r"), col("item")))
       .groupBy((gcols :+ col("r") :+ col("bucket")): _*)
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("occ")).as("cnt"))
   }
 
   private def cmsBucket(r: Column, item: Column): Column =
