@@ -1534,16 +1534,20 @@ object Ann {
         .sortBy(_._1) // bounded: k rows
       val out = Seq.newBuilder[(Long, Long, Long, String)]
       for (t <- 1 to KmIters) {
-        val cdf = broadcast(cents.toDF("cid", "cv"))
-        val assigned = q.crossJoin(cdf)
-          .select(col("vec_id"), col("v"), col("cid"),
-            aggregate(zip_with(col("v"), col("cv"),
-              (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-              .as("d"))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("d"), col("cid"))).as("m"),
-            first(col("v")).as("v"))
-          .select(col("v"), col("m.cid").as("cid"))
+        // r18 opt: assignment as a PROJECTION via the integer-exact
+        // NearestCentroidL2 kernel — the crossJoin(k) →
+        // groupBy(vec_id).agg(min(struct(d, cid)), first(v)) form it
+        // replaces materialized k×n vector-carrying rows into a
+        // struct-min SortAggregate (struct buffers disqualify hash
+        // aggregation — the documented semanticDedup scale-killer).
+        // Same distances (long L2, fold-order-free), same (d, cid)
+        // tie rule, so every assignment — and the oracle-gated
+        // centroid chain — is bit-identical.
+        import org.apache.spark.sql.graft.{Bridge, NearestCentroidL2}
+        val assigned = q.select(col("v"),
+          Bridge.column(NearestCentroidL2(Bridge.expression(col("v")),
+            cents.map(_._1).toArray,
+            cents.map(_._2.toArray).toArray)).as("cid"))
         val upd = assigned
           .select(col("cid"), posexplode(col("v")).as(Seq("d", "x")))
           .groupBy(col("cid"), col("d"))

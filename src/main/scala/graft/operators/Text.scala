@@ -878,10 +878,29 @@ object Text {
         // explainString by round ~12 at sf1. The checkpoint truncates
         // the plan to an RDD scan, so round k's plan holds only ITS
         // merges (§8).
-        val next = cur.select(col("cnt"), sc.as("s")).localCheckpoint(true)
-        val toks = next.agg(sum(col("cnt") *
+        // r18 opt: the per-round token count RIDES the checkpoint
+        // action via Observation (the C55 witness pattern, probed in
+        // ProbeObserve/ProbeObserveWindow) — one driver job per round
+        // instead of checkpoint + a separate 1-row scan. A timeout
+        // degrades to the scanned count (same value, one extra job).
+        val obs = org.apache.spark.sql.Observation(s"bpeb_toks_$k")
+        val next = cur.select(col("cnt"), sc.as("s"))
+          .observe(obs, sum(col("cnt") *
             (length(col("s")) - length(replace(col("s"), lit(BD), lit("")))
-              - 1)).cast("long")).collect()(0).getLong(0) // bounded: 1 row
+              - 1)).cast("long").as("toks"))
+          .localCheckpoint(true)
+        val toks =
+          try {
+            val row = scala.concurrent.Await.result(obs.future,
+              scala.concurrent.duration.Duration(10, "seconds"))
+            row.getLong(row.fieldIndex("toks"))
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              next.agg(sum(col("cnt") *
+                (length(col("s")) - length(replace(col("s"), lit(BD),
+                  lit(""))) - 1)).cast("long"))
+                .collect()(0).getLong(0) // bounded: 1 row
+          }
         if (cur ne wc) cur.unpersist(false)
         cur = next
         accepted.foreach { case (l, r, c) =>
