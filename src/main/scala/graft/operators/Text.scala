@@ -198,23 +198,39 @@ object Text {
     * count) rows shuffle. Library form: any frame with `doc_id`,
     * `text`. */
   def repetition(documents: DataFrame): DataFrame = {
-    val grams = documents
+    // r18 opt (guide §2.4 — remove shuffles outright): both aggregates
+    // are keyed by doc_id alone, so the whole measure is per-document
+    // — the exploded (doc_id, gram) shuffle into a two-level agg is
+    // replaced by one codegen projection: sort the doc's own trigram
+    // array and fold run lengths (n_distinct = run starts, top_count =
+    // longest run, n_grams = the array size). Identical integers —
+    // sorting groups equal strings exactly as the groupBy hashed them
+    // — and the plan drops from two Exchanges to ZERO.
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-        .as("gram"))
-    grams.groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_grams"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_count"))
+      .withColumn("grams", expr(
+        "array_sort(transform(sequence(1, size(toks) - 2)," +
+          " i -> concat_ws(' ', slice(toks, i, 3))))"))
+      .withColumn("st", expr(
+        """aggregate(grams,
+          |  struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run,
+          |         CAST(0 AS BIGINT) AS maxrun, CAST(0 AS BIGINT) AS nd),
+          |  (acc, g) -> IF(acc.prev IS NOT NULL AND g = acc.prev,
+          |    struct(g AS prev, acc.run + 1L AS run,
+          |           GREATEST(acc.maxrun, acc.run + 1L) AS maxrun,
+          |           acc.nd AS nd),
+          |    struct(g AS prev, 1L AS run,
+          |           GREATEST(acc.maxrun, 1L) AS maxrun,
+          |           acc.nd + 1L AS nd)))""".stripMargin))
       .select(
-        col("doc_id"), col("n_grams"), col("n_distinct"), col("top_count"),
-        ((col("n_grams") - col("n_distinct")) / col("n_grams")).as("dup_fraction"),
-        (col("top_count") / col("n_grams")).as("top_share"))
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        col("st.nd").as("n_distinct"),
+        col("st.maxrun").as("top_count"),
+        ((size(col("grams")).cast("long") - col("st.nd")) /
+          size(col("grams")).cast("long")).as("dup_fraction"),
+        (col("st.maxrun") / size(col("grams")).cast("long")).as("top_share"))
   }
 
   def repetition(spark: SparkSession, dir: String): DataFrame =
