@@ -1319,15 +1319,29 @@ object Pipeline {
     * candidate's error is still computed EXACTLY, so the argmin —
     * and therefore the gated artifact and its unchanged oracle — is
     * identical to the serial form. */
-  private[graft] def thetaCandidates(ts: DataFrame): DataFrame = {
-    val spark = ts.sparkSession
-    import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val agg = ts.groupBy(col("s")).agg(
+  private[graft] def thetaCandidates(ts: DataFrame): DataFrame =
+    thetaCandidatesFromAgg(ts.sparkSession, thetaScoreAgg(ts))
+
+  /** The θ pass's only corpus-scaled pass: (s, p, q) per DISTINCT train
+    * score. Everything downstream ([[thetaCandidatesFromAgg]]) consumes
+    * this aggregate, so persisting it (the [[thetaArgmin]] wrapper)
+    * bounds the per-round cost to ONE scan of the scores frame. */
+  private def thetaScoreAgg(ts: DataFrame): DataFrame =
+    ts.groupBy(col("s")).agg(
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("p"),
       sum(when(col("y") === -1L, 1L).otherwise(0L)).as("q"))
-    val st = ts.agg(min(col("s")), max(col("s")),
-      sum(when(col("y") === -1L, 1L).otherwise(0L)).cast("long"))
+
+  /** [[thetaCandidates]] over a caller-provided (possibly persisted)
+    * distinct-score aggregate. The score stats (smin/smax/totQ) are
+    * derived from the AGGREGATE, not the scores frame — identical
+    * values (min/max over distinct scores ≡ over all scores; Σq ≡ the
+    * y=−1 count), one corpus-scaled scan saved per call (r19, §5). */
+  private def thetaCandidatesFromAgg(spark: SparkSession,
+      agg: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val st = agg.agg(min(col("s")), max(col("s")),
+      sum(col("q")).cast("long"))
       .head() // bounded: 1 row of score stats
     def lz(i: Int) = if (st.isNullAt(i)) 0L else st.getLong(i)
     val (smin, smax, totQ) = (lz(0), lz(1), lz(2))
@@ -1351,6 +1365,20 @@ object Pipeline {
         (col("cp0") + sum(col("p")).over(iw) + lit(totQ)
           - col("cq0") - sum(col("q")).over(iw)).as("err"))
       .unionAll(Seq((smin - 1, totQ)).toDF("th", "err"))
+  }
+
+  /** The per-round θ: exact argmin over [[thetaCandidates]], with the
+    * distinct-score aggregate PERSISTED across its three bounded
+    * consumers (stats row, bucket histogram, candidate frame) — the
+    * corpus-scaled scores frame is scanned once per round instead of
+    * three times (r19 opt, guide §5 reuse of intermediates; identical
+    * candidate set, identical argmin). */
+  private def thetaArgmin(ts: DataFrame): Long = {
+    val agg = thetaScoreAgg(ts).persist()
+    try thetaCandidatesFromAgg(ts.sparkSession, agg)
+      .orderBy(col("err"), col("th"))
+      .limit(1).head().getLong(0) // bounded: the 1-row argmin
+    finally { agg.unpersist(false); () }
   }
 
   /** Learned quality-model TRAINING (C52) — completes the trainer trio
@@ -1424,23 +1452,43 @@ object Pipeline {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("k").isNull, -1L).otherwise(1L).as("y"))
-    // persisted: tr replays through every per-round scoring pass, and
-    // computing it means re-running the kept() gate (langid + dedup
-    // joins) — measured 21s → 12s at sf0.1 from these two pins
+    // tf is the one materialized corpus-scaled frame: every per-round
+    // scoring and delta pass replays through it, and computing it
+    // means re-running the kept() gate (langid + dedup joins) —
+    // measured 21s → 12s at sf0.1 from this pin (r18). tr itself is
+    // consumed exactly once (the tf build) since the r19 scoring
+    // rewrite below, so it no longer persists. localCheckpoint, not
+    // persist (r19, the kleeneDist lineage discipline): the trainer
+    // runs ~4 actions per round, and each action over a persisted-but-
+    // lazy tf re-analyzes and re-optimizes the WHOLE logical plan —
+    // feature explode, kept() gate, dedup joins — as pure driver time;
+    // the checkpoint truncates every per-round plan to an RDD scan.
     val tr = lab.filter(
       expr(s"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
-        s" 16, 10) AS BIGINT) % $TrainHoldMod != 0")).persist()
-    val tf = fb.join(tr, "doc_id").persist() // doc_id, bucket, cnt, y
+        s" 16, 10) AS BIGINT) % $TrainHoldMod != 0"))
+    val tf = fb.join(tr, "doc_id") // doc_id, bucket, cnt, y
+      .localCheckpoint(true)
     try {
       var w = Map.empty[Long, Long]
       var theta = 0L
+      // r19 opt (§2.4, remove the shuffle outright): the label rides
+      // the ONE groupBy(doc_id) scoring pass — tf already carries y,
+      // so the former per-round tr ⋈ scores join (two corpus-scaled
+      // exchanges + sorts) disappears. Exactness: every tr doc reaches
+      // tf (this corpus has no null/empty text, so fb emits ≥1 feature
+      // row per doc — verified at all five test SFs; a null-text doc
+      // would be dropped from fb by BOTH engines' split/explode), a
+      // doc with no weighted bucket keeps s = 0 via left join + sum-
+      // ignores-nulls + coalesce, and y is constant per doc so max(y)
+      // IS the label — bit-identical (doc_id, y, s) rows.
       def trainScores(): DataFrame = {
         val wdf = broadcast(w.toSeq.toDF("bucket", "wt"))
-        val s = tf.join(wdf, "bucket").groupBy(col("doc_id"))
-          .agg(sum(col("wt") * col("cnt")).cast("long").as("s"))
-        tr.join(s, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("y"),
-            coalesce(col("s"), lit(0L)).as("s"))
+        tf.join(wdf, Seq("bucket"), "left")
+          .groupBy(col("doc_id"))
+          .agg(max(col("y")).as("y"),
+            coalesce(sum(col("wt") * col("cnt")).cast("long"), lit(0L))
+              .as("s"))
+          .select(col("doc_id"), col("y"), col("s"))
       }
       // ONE persisted scored frame per weight vector (r18 opt): the
       // round-k scores feed the θ argmin AND round k+1's error pass —
@@ -1448,40 +1496,75 @@ object Pipeline {
       // (count, bucket delta) each replay the full tf-join scoring
       // pass. Carrying the persisted frame across those three uses
       // cuts the per-entry scoring passes from 3·rounds to rounds+1
-      // (measured 27.1 s → see OPTIMIZATION_r18.md at sf0.1) with
-      // bit-identical arithmetic — the same values flow, they are
-      // just computed once.
+      // (measured 27.1 s → 12.5 s at sf0.1, OPTIMIZATION_r18 commit
+      // 091d4b0 / OPTIMIZATION_r19.md) with bit-identical arithmetic —
+      // the same values flow, they are just computed once.
       var ts = trainScores().persist() // scores under the current w
-      for (_ <- 1 to TrainRounds) {
+      for (r <- 1 to TrainRounds) {
+        // r19 opt (§5, the C55 Observation pattern): the 1-row error
+        // COUNT rides the bucket-delta job as a CollectMetrics on the
+        // error frame — one driver action per round where there were
+        // two, same rows observed, same sums. The ppm division moves
+        // to the driver (floor div of non-negative longs ≡ Spark's
+        // `div` on the same operands — identical integers).
+        val eObs = org.apache.spark.sql.Observation(
+          s"qt_err_${r}_${System.nanoTime()}")
         val e = ts.filter(
           (col("y") === 1L && col("s") <= theta) ||
             (col("y") === -1L && col("s") > theta))
           .select(col("doc_id"), col("y"))
-        val n = e.agg(
-          sum(when(col("y") === 1L, 1L).otherwise(0L)).cast("long"),
-          sum(when(col("y") === -1L, 1L).otherwise(0L)).cast("long"))
-          .head() // bounded: 1 row of error counts
-        def nz(i: Int) = if (n.isNullAt(i)) 0L else math.max(n.getLong(i), 1L)
-        val (nep, nen) = (nz(0), nz(1))
-        val dlt = tf.join(e.select(col("doc_id")), "doc_id")
+          .observe(eObs,
+            sum(when(col("y") === 1L, 1L).otherwise(0L))
+              .cast("long").as("nep"),
+            sum(when(col("y") === -1L, 1L).otherwise(0L))
+              .cast("long").as("nen"))
+        spark.sparkContext.setJobDescription(s"qt:r$r:delta")
+        val pq = tf.join(e.select(col("doc_id")), "doc_id")
           .groupBy(col("bucket"))
           .agg((sum(when(col("y") === 1L, col("cnt")).otherwise(0L))
               * TrainRate).cast("long").as("p"),
             (sum(when(col("y") === -1L, col("cnt")).otherwise(0L))
               * TrainRate).cast("long").as("q"))
-          .select(col("bucket"),
-            (expr(s"p div $nep") - expr(s"q div $nen")).as("dw"))
           .collect() // bounded: ≤ ModelBuckets rows
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val (nep, nen) =
+          try {
+            val row = scala.concurrent.Await.result(eObs.future,
+              scala.concurrent.duration.Duration(2, "seconds"))
+            def nz(name: String) = {
+              val i = row.fieldIndex(name)
+              if (row.isNullAt(i)) 1L else math.max(row.getLong(i), 1L)
+            }
+            (nz("nep"), nz("nen"))
+          } catch {
+            case _: java.util.concurrent.TimeoutException =>
+              // a non-firing listener is a Spark-behavior change worth
+              // a signal (the r18 ADVICE item); the fallback recomputes
+              // the same counts from the persisted scores — exact
+              System.err.println("[graft.Pipeline] qualityTrain error-" +
+                "count Observation did not fire; recomputing via scan")
+              val n = ts.filter(
+                (col("y") === 1L && col("s") <= theta) ||
+                  (col("y") === -1L && col("s") > theta))
+                .agg(
+                  sum(when(col("y") === 1L, 1L).otherwise(0L)).cast("long"),
+                  sum(when(col("y") === -1L, 1L).otherwise(0L)).cast("long"))
+                .head()
+              def nz(i: Int) =
+                if (n.isNullAt(i)) 1L else math.max(n.getLong(i), 1L)
+              (nz(0), nz(1))
+          }
+        val dlt = pq.map(r0 =>
+          r0.getLong(0) -> (r0.getLong(1) / nep - r0.getLong(2) / nen)).toMap
         w = (w.keySet ++ dlt.keySet).iterator
           .map(b => b -> (w.getOrElse(b, 0L) + dlt.getOrElse(b, 0L))).toMap
         // exact threshold: argmin over candidate θ ∈ distinct scores,
         // via the histogram+refine candidate frame (never a global
         // sort); the new-w scored frame replaces the old one and also
         // serves the next round's error pass
+        spark.sparkContext.setJobDescription(s"qt:r$r:scores+theta")
         val ts2 = trainScores().persist()
-        theta = thetaCandidates(ts2).orderBy(col("err"), col("th"))
-          .limit(1).head().getLong(0) // bounded: the 1-row argmin
+        theta = thetaArgmin(ts2)
+        spark.sparkContext.setJobDescription(null)
         ts.unpersist(false)
         ts = ts2
       }
@@ -1489,7 +1572,7 @@ object Pipeline {
       (w.toSeq.filter(_._2 != 0L).sortBy(_._1) :+ (-1L -> theta))
         .toDF("bucket", "weight")
         .orderBy(col("bucket"))
-    } finally { tf.unpersist(false); tr.unpersist(false) }
+    } finally { tf.unpersist(false); () }
   }
 
   def qualityTrain(spark: SparkSession, dir: String): DataFrame =
