@@ -292,10 +292,9 @@ object Graph {
   // --------------------------------------------------------------- C55
   /** Rows kept in the distributed-PageRank gated artifact. */
   private val PrdTopK = 100
-  /** Rank frames at or under this node count ride the superstep join
-    * as a broadcast (~16 MB of (node, r) longs at the bound); larger
-    * graphs shuffle co-partitioned. */
-  private val KleeneBroadcastNodes = 1000000L
+  // (r18's KleeneBroadcastNodes broadcast threshold retired in r19:
+  // every superstep now runs the co-partitioned shuffled-hash join,
+  // which needs neither the broadcast build nor the size probe.)
 
   /** The DISTRIBUTED Kleene loop (C55's engine) — [[kleene]] with the
     * graph left as a DataFrame: per round one two-exchange superstep
@@ -346,31 +345,104 @@ object Graph {
   private[graft] val KleeneCadence: Int =
     sys.env.get("SPARK_GRAFT_KLEENE_CADENCE").map(_.toInt).getOrElse(8)
 
+  /** Run `body` with AQE disabled on this session, restoring the
+    * previous value after. The Kleene loop below relies on STATIC
+    * co-partitioned planning: under AQE, (1) localCheckpoint captures
+    * UnknownPartitioning into the LogicalRDD (probed on this Spark:
+    * AQE-off preserves hashpartitioning(u, N)), so every round would
+    * re-exchange the EDGE frame, and (2) each exchange inside a
+    * window materializes as its own driver sub-job — ~18 sub-jobs per
+    * 8-round window where the static plan runs ONE job. The shuffles
+    * here are the node-bounded rank frames (the edge side never
+    * re-shuffles), so AQE's coalescing/skew machinery has nothing to
+    * win on this loop. Partition count stays the session's
+    * spark.sql.shuffle.partitions — scale it with the cluster, not
+    * this code. */
+  private def withAqeOff[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   private[graft] def kleeneDist(edges: DataFrame,
-      cadence: Int = KleeneCadence): (DataFrame, Long) = {
+      cadence: Int = KleeneCadence): (DataFrame, Long) =
+    withAqeOff(edges.sparkSession) { kleeneDistBody(edges, cadence) }
+
+  /** Target edge rows per partition for the Kleene loop. The per-round
+    * frames are node-bounded and each round pays a fixed per-task cost
+    * (measured ~0.2-0.4 s of saturated-CPU overhead per 32-task round
+    * on a 1.2M-edge graph where 8 tasks run the same round 2x faster),
+    * so the loop derives its width from the EDGE mass — ceil(edges /
+    * this) clamped to the session width — instead of inheriting the
+    * session width outright (guide §2: size-derived partitioning; a
+    * 100 TB graph still clamps to the cluster's configured width). */
+  private[graft] val KleeneRowsPerPart: Long = sys.env
+    .get("SPARK_GRAFT_KLEENE_ROWS_PER_PART").map(_.toLong)
+    .getOrElse(150000L)
+
+  private def kleeneDistBody(edges: DataFrame,
+      cadence: Int): (DataFrame, Long) = {
+    val spark = edges.sparkSession
     val tw = edges.groupBy(col("u").as("node")).agg(sum(col("w")).as("tw"))
     // localCheckpoint, not persist: the edge frame is replayed by
-    // every round's THREE actions (superstep, checkpoint, witness),
-    // and each action re-analyzes + re-optimizes the frame's full
-    // logical plan — with the corpus-build subtree attached that
-    // planning overhead dominates the round (measured ~0.5s/round of
-    // pure driver planning at sf0.001, where the data is trivial);
-    // the checkpoint truncates it to an RDD scan
-    val ew = edges.join(tw, edges("u") === tw("node"))
+    // every round of every window, and each action over a lazy frame
+    // re-analyzes + re-optimizes the full logical plan — with the
+    // corpus-build subtree attached that planning overhead dominates
+    // the round (measured ~0.5s/round of pure driver planning at
+    // sf0.001); the checkpoint truncates it to an RDD scan
+    val ewRaw = edges.join(tw, edges("u") === tw("node"))
       .select(col("u"), col("v"), col("w"), col("tw"))
       .localCheckpoint(true)
     try {
-      // one bounded action picks the per-round join strategy: the rank
-      // frame is a stats-less checkpointed scan, so the static planner
-      // would SORT-MERGE it into ew — re-sorting the edge frame every
-      // round. Node-bounded frames under the threshold broadcast
-      // (T ≤ 64-bit rows per node); past it the join shuffles
-      // co-partitioned on u/node, the plain two-exchange superstep.
-      val nodes = tw.count()
-      def rside(df: DataFrame): DataFrame =
-        if (nodes <= KleeneBroadcastNodes) broadcast(df) else df
-      var rank = tw.select(col("node"), lit(PrcTeleport).as("r"))
+      val edgeRows = ewRaw.count() // one cheap scan of checkpointed blocks
+      val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val p = math.max(1L, math.min(width.toLong,
+        (edgeRows + KleeneRowsPerPart - 1) / KleeneRowsPerPart)).toInt
+      // the loop's exchanges all carry node-bounded frames, so they run
+      // at the size-derived width too (set/restore, the Streams
+      // precedent — single query thread)
+      val pKey = "spark.sql.shuffle.partitions"
+      val prevP = spark.conf.get(pKey)
+      spark.conf.set(pKey, p.toString)
+      try kleeneDistLoop(ewRaw, p, cadence)
+      finally spark.conf.set(pKey, prevP)
+    } finally ewRaw.unpersist(false)
+  }
+
+  private def kleeneDistLoop(ewRaw: DataFrame, p: Int,
+      cadence: Int): (DataFrame, Long) = {
+    // pin hashpartitioning(u, p) INTO the checkpoint: under AQE-off
+    // planning the LogicalRDD preserves the materialized partitioning
+    // (probed on this Spark; with AQE on it records Unknown), so every
+    // round's superstep join is co-partitioned by construction
+    val ew = ewRaw.repartition(p, col("u")).localCheckpoint(true)
+    try {
+      // r19 (§2.4, remove the shuffle outright): the superstep joins
+      // the rank frame SHUFFLE-HASH into the checkpointed edge frame —
+      // rank arrives already hashpartitioned on node (r₀ below is
+      // built partitioned; every later round's frame exits the
+      // per-destination sum partitioned the same way), the edge side
+      // carries its checkpointed hashpartitioning(u) (the repartition
+      // above rides INTO the checkpoint — LogicalRDD preserves the
+      // materialized plan's partitioning), so the join plans with NO
+      // exchange on either side and no per-round broadcast build (the
+      // r18 path collected + re-shipped the node-bounded rank frame
+      // every round — measured ~0.15 s of broadcast latency per round
+      // at sf0.1). The hint only picks the join STRATEGY; rows and
+      // values are unchanged. Build side = the node-bounded rank
+      // frame: ≤3 64-bit columns per node per partition.
+      def rside(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+      // r₀ and |V| both derive from the CHECKPOINTED edge frame: the
+      // r18 form re-executed the corpus-build subtree once for
+      // tw.count() and again for the r₀ checkpoint — two full extra
+      // corpus passes per call (the distinct here scans checkpointed
+      // blocks instead). Same node set: every ew row carries a
+      // u ∈ tw by construction of the tw join.
+      var rank = ew.select(col("u").as("node")).distinct()
+        .select(col("node"), lit(PrcTeleport).as("r"))
         .localCheckpoint(true)
+      val nodes = rank.count() // bounded: one row per node
       // the witness RIDES the checkpoint job: a CollectMetrics node
       // observed on the pre-checkpoint plan fires during the SAME
       // action that materializes the round (probed: localCheckpoint's
