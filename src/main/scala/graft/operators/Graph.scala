@@ -48,6 +48,7 @@ object Graph {
     * Node ids: customers at custkey·2, suppliers at suppkey·2+1 —
     * disjoint by parity; the output decodes (node_type, key). */
   def pagerank(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
     val e0 = lineitem.select(col("l_orderkey"), col("l_suppkey"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -55,24 +56,53 @@ object Graph {
         (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
     val edges = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy(col("u").as("node"))
-      .agg(count(lit(1)).as("d"))
-    var rank = deg.select(col("node"), lit(1000000L).as("r"))
-    for (_ <- 1 to PrIters) {
-      val contrib = rank.join(deg, "node")
-        .select(col("node"), expr("r div d").as("c"))
-      rank = edges.join(contrib, edges("u") === contrib("node"))
-        .groupBy(col("v").as("node"))
-        .agg(expr("150000 + (850000 * sum(c)) div 1000000").as("r"))
+    // r19 (§2.4/§5, the kleeneDist recipe): measured, the lazy 3-round
+    // plan re-executed the corpus distinct ~3x inside one action
+    // (three 13s-CPU stages at sf0.1 — static ReuseExchange does not
+    // dedup the per-round join exchanges). One checkpointed edge frame
+    // at the size-derived width now feeds deg and every round as a
+    // co-partitioned shuffled-hash join — one node-bounded exchange
+    // per round is all that remains, and the bounded top-K result is
+    // eagerly materialized so both checkpoints release here instead of
+    // leaking into the session. AQE off for the same reason as
+    // kleeneDist: the checkpoint must preserve hashpartitioning(u).
+    withAqeOff(spark) {
+      val ewRaw = edges.localCheckpoint(true)
+      try {
+        val p = sizedWidth(spark, ewRaw.count())
+        val pKey = "spark.sql.shuffle.partitions"
+        val prevP = spark.conf.get(pKey)
+        spark.conf.set(pKey, p.toString)
+        try {
+          val ew = ewRaw.repartition(p, col("u")).localCheckpoint(true)
+          try {
+            val deg = ew.groupBy(col("u").as("node"))
+              .agg(count(lit(1)).as("d"))
+              .localCheckpoint(true) // node-bounded; read by every round
+            try {
+              var rank = deg.select(col("node"), lit(1000000L).as("r"))
+              for (_ <- 1 to PrIters) {
+                val contrib = rank.hint("shuffle_hash").join(deg, "node")
+                  .select(col("node"), expr("r div d").as("c"))
+                rank = ew.join(contrib.hint("shuffle_hash"),
+                    ew("u") === contrib("node"))
+                  .groupBy(col("v").as("node"))
+                  .agg(expr("150000 + (850000 * sum(c)) div 1000000").as("r"))
+              }
+              rank
+                .select(
+                  when(col("node") % 2 === 0, lit("customer"))
+                    .otherwise(lit("supplier")).as("node_type"),
+                  expr("node div 2").as("key"),
+                  col("r").as("rank_ppm"))
+                .orderBy(col("rank_ppm").desc, col("node_type"), col("key"))
+                .limit(PrTopK)
+                .localCheckpoint(true) // bounded: PrTopK rows
+            } finally deg.unpersist(false)
+          } finally ew.unpersist(false)
+        } finally spark.conf.set(pKey, prevP)
+      } finally ewRaw.unpersist(false)
     }
-    rank
-      .select(
-        when(col("node") % 2 === 0, lit("customer"))
-          .otherwise(lit("supplier")).as("node_type"),
-        expr("node div 2").as("key"),
-        col("r").as("rank_ppm"))
-      .orderBy(col("rank_ppm").desc, col("node_type"), col("key"))
-      .limit(PrTopK)
   }
 
   def pagerank(spark: SparkSession, dir: String): DataFrame =
@@ -365,6 +395,15 @@ object Graph {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Size-derived loop width: ceil(rows / [[KleeneRowsPerPart]])
+    * clamped to the session's shuffle width (guide §2 — partitioning
+    * scales with the data AND the cluster, never a local constant). */
+  private def sizedWidth(spark: SparkSession, rows: Long): Int = {
+    val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(width.toLong,
+      (rows + KleeneRowsPerPart - 1) / KleeneRowsPerPart)).toInt
+  }
+
   private[graft] def kleeneDist(edges: DataFrame,
       cadence: Int = KleeneCadence): (DataFrame, Long) =
     withAqeOff(edges.sparkSession) { kleeneDistBody(edges, cadence) }
@@ -395,10 +434,7 @@ object Graph {
       .select(col("u"), col("v"), col("w"), col("tw"))
       .localCheckpoint(true)
     try {
-      val edgeRows = ewRaw.count() // one cheap scan of checkpointed blocks
-      val width = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val p = math.max(1L, math.min(width.toLong,
-        (edgeRows + KleeneRowsPerPart - 1) / KleeneRowsPerPart)).toInt
+      val p = sizedWidth(spark, ewRaw.count())
       // the loop's exchanges all carry node-bounded frames, so they run
       // at the size-derived width too (set/restore, the Streams
       // precedent — single query thread)
