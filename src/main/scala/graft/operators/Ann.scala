@@ -1733,13 +1733,24 @@ object Ann {
   def graphBeam(embeddings: DataFrame): DataFrame = {
     val c = corpus(embeddings)
     val cents = ivfCents(c)
+    // r19 (§5, lineage): assigned feeds both salted builds, cellMin,
+    // emb and every hop's scoring join — left lazy, each of the ~15
+    // downstream exchanges re-plans (and without stage reuse,
+    // re-executes) the crossJoin-argmin subtree; the checkpoint
+    // truncates them all to an RDD scan. Same for the Σ|block|² edge
+    // build, which the three hops would otherwise each replay. The
+    // blocks are swept by Bench/Verify's per-entry cleanup (the
+    // returned frame stays lazy for the plan audits); a library caller
+    // holds them until the session's ContextCleaner runs.
     val assigned = ivfAssign(c, cents) // (vec_id, e, cid)
+      .localCheckpoint(true)
     // corpus-adaptive sub-bucket count (1-row bounded collect; the
     // oracle computes the identical scalar from count(*))
     val sub = math.max(1L, c.count() / GraphBlockTarget)
     val edges = blockedHalfEdges(assigned, "gb1", sub)
       .unionAll(blockedHalfEdges(assigned, "gb2", sub))
       .select(col("vec_id"), col("nbr"))
+      .localCheckpoint(true) // bounded: n·2·GraphDeg rows
     beamSearch(c, cents, assigned, edges)
   }
 
@@ -1908,7 +1919,9 @@ object Ann {
   def graphNndescent(embeddings: DataFrame): DataFrame = {
     val c = corpus(embeddings)
     val cents = ivfCents(c)
-    val assigned = ivfAssign(c, cents)
+    // checkpointed for the same reason as graphBeam's: every round and
+    // every hop replans (and may replay) the argmin subtree otherwise
+    val assigned = ivfAssign(c, cents).localCheckpoint(true)
     val sub = math.max(1L, c.count() / GraphBlockTarget)
     val emb = assigned.select(col("vec_id"), col("e"))
     // localCheckpoint per round (the C37b/§8 lineage discipline): a
@@ -1929,6 +1942,7 @@ object Ann {
     val edges = e.select(col("vec_id"), col("nbr"))
       .unionAll(e.select(col("nbr").as("vec_id"), col("vec_id").as("nbr")))
       .distinct()
+      .localCheckpoint(true) // bounded: ≤ 2·n·GraphDeg rows; 3 hops read it
     beamSearch(c, cents, assigned, edges)
   }
 
