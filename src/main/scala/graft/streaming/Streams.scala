@@ -62,6 +62,18 @@ object Streams {
     * `start()` (query planning captures the conf there), never for the
     * query's lifetime — concurrent RUNNING queries are fine. */
   private val statePartitionsLock = new Object
+
+  /** Cores-derived state/shuffle width for the CPU-bound sketch gates
+    * (D7/D8/D9 and their TTL forms): every stateful operator commits
+    * one state store per partition per micro-batch, so a fixed 32
+    * over-shards smaller hosts — the r18 driver read 3.5-6x slowdowns
+    * for this family at 8 cores, pure per-partition fixed cost. The
+    * width follows the session's core count (local[N] ⇒ N; on a
+    * cluster, the configured default parallelism), which is the same
+    * number the r18 A/B tuned the constant to on the 32-core host —
+    * 32-core behavior is unchanged by construction. */
+  private def coresWidth(spark: SparkSession): Int =
+    math.max(1, spark.sparkContext.defaultParallelism)
   private def withStatePartitions[A](spark: SparkSession, n: Int)(start: => A): A =
     statePartitionsLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
@@ -484,7 +496,7 @@ object Streams {
     // SPARK_GRAFT_TWS_PARTITIONS (A/B'd at sf1, see
     // OPTIMIZATION_r18.md).
     val twsParts = sys.env.get("SPARK_GRAFT_TWS_PARTITIONS")
-      .map(_.toInt).getOrElse(32)
+      .map(_.toInt).getOrElse(coresWidth(spark))
     val q = withTwsConfs(spark, twsParts) {
       bands.groupByKey(_.band_key)
         .transformWithState(new NearDupProcessor,
@@ -850,7 +862,7 @@ object Streams {
         text.split(" ", -1).iterator.filter(_.nonEmpty).map(Tok(src, _))
       }
     val sinkName = s"graft_d7_${System.nanoTime()}"
-    val q = withStatePartitions(spark, 32) {
+    val q = withStatePartitions(spark, coresWidth(spark)) {
       topkSketchStreaming(feed)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append())
@@ -948,7 +960,7 @@ object Streams {
       .as[(String, Long)]
       .map { case (t, u) => Tok(t, u.toString) }
     val sinkName = s"graft_d8_${System.nanoTime()}"
-    val q = withStatePartitions(spark, 32) {
+    val q = withStatePartitions(spark, coresWidth(spark)) {
       kmvStreaming(feed)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append())
@@ -1116,7 +1128,7 @@ object Streams {
       .withWatermark("ts", "0 seconds")
       .as[KmvTtlIn]
     val sinkName = s"graft_d8b_${System.nanoTime()}"
-    val q = withTwsConfs(spark, 32) {
+    val q = withTwsConfs(spark, coresWidth(spark)) {
       feed.groupByKey(_.event_type)
         .transformWithState(new KmvTtlProcessor(TtlGateWindowMs),
           org.apache.spark.sql.streaming.TimeMode.EventTime(),
@@ -1267,7 +1279,7 @@ object Streams {
       .withWatermark("ts", "0 seconds")
       .as[SketchTtlIn]
     val sinkName = s"graft_d7b_${System.nanoTime()}"
-    val q = withTwsConfs(spark, 32) {
+    val q = withTwsConfs(spark, coresWidth(spark)) {
       feed.groupByKey(_.g)
         .transformWithState(
           new CellTtlProcessor(d * w, TtlGateWindowMs, cmsCellsOf),
@@ -1339,7 +1351,7 @@ object Streams {
       .withWatermark("ts", "0 seconds")
       .as[SketchTtlIn]
     val sinkName = s"graft_d9b_${System.nanoTime()}"
-    val q = withTwsConfs(spark, 32) {
+    val q = withTwsConfs(spark, coresWidth(spark)) {
       feed.groupByKey(_.g)
         .transformWithState(
           new CellTtlProcessor(64, TtlGateWindowMs, histCellsOf),
@@ -1431,7 +1443,7 @@ object Streams {
       .as[(String, Long)]
       .map { case (g, v) => Tok(g, logBucketLocal(v).toString) }
     val sinkName = s"graft_d9_${System.nanoTime()}"
-    val q = withStatePartitions(spark, 32) {
+    val q = withStatePartitions(spark, coresWidth(spark)) {
       quantileSketchStreaming(feed)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode(OutputMode.Append())
