@@ -1468,10 +1468,14 @@ object Dedup {
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - (n - 1)),
+        // r19: hash the token SLICE directly — tokens are space-free
+        // (split on ' '), so array equality ≡ the joined string's, and
+        // the per-position string build (alloc + copy at corpus-token
+        // scale) disappears from the map side
         i => struct(i.as("pos"),
-          array_join(slice(col("toks"), i, lit(n)), " ").as("gram")))).as("pg"))
+          xxhash64(slice(col("toks"), i, lit(n))).as("gram")))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"),
-        xxhash64(col("pg.gram")).as("gram"))
+        col("pg.gram").as("gram"))
     val dup = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))
       .filter(col("ndocs") > 1)
@@ -1531,10 +1535,13 @@ object Dedup {
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - (n - 1)),
+        // r19: hash the token slice directly (see spanCoverage) — the
+        // same 64-bit-key equivalence classes without building a gram
+        // string per position
         i => struct(i.as("pos"),
-          array_join(slice(col("toks"), i, lit(n)), " ").as("gram")))).as("pg"))
+          xxhash64(slice(col("toks"), i, lit(n))).as("g")))).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"),
-        xxhash64(col("pg.gram")).as("g"))
+        col("pg.g").as("g"))
     // per duplicated gram: the corpus-wide first occurrence
     val winners = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("ndocs"),
