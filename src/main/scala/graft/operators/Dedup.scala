@@ -673,6 +673,12 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- C2
+  /** The near-dup Jaccard gate threshold, shared by the batch LSH
+    * verify ([[minhashLsh]]/[[minhashLshSql]]), the candidate verify
+    * behind the streaming gate ([[nearDupKept]]), and the D3c oracle —
+    * hoisted (r18 ADVICE) so the streaming gate's verify cannot
+    * silently desynchronize from the batch operator and oracle. */
+  private[graft] val NearDupThreshold = 0.8
   private val MinhashK = 64
   private val MinhashBands = 16
   private val MinhashRows = 4 // K / Bands
@@ -741,7 +747,7 @@ object Dedup {
         .withColumn("jacc",
           size(array_intersect(col("sa.shingles"), col("sb.shingles"))) /
           size(array_union(col("sa.shingles"), col("sb.shingles"))))
-        .filter(col("jacc") >= 0.8)
+        .filter(col("jacc") >= NearDupThreshold)
         .select(col("doc_b").as("doc_id")).distinct()
       sh.select(col("doc_id"))
         .join(dropped, Seq("doc_id"), "left_anti")
@@ -790,7 +796,7 @@ object Dedup {
       .withColumn("jacc",
         size(array_intersect(col("sa.shingles"), col("sb.shingles"))) /
         size(array_union(col("sa.shingles"), col("sb.shingles"))))
-      .filter(col("jacc") >= 0.8)
+      .filter(col("jacc") >= NearDupThreshold)
       .select(col("doc_a"), col("doc_b"), col("jacc").as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
       // eager-materialize (pairs only) → release both caches before
@@ -802,7 +808,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(docs(spark, dir))
 
-  val minhashLshSql: String = jaccardPairsSql(0.8)
+  val minhashLshSql: String = jaccardPairsSql(NearDupThreshold)
 
   // ---------------------------------------------------------------- C3
   private val SimhashBits = 60

@@ -890,7 +890,16 @@ object Pipeline {
     * (the paper resamples by Gumbel-top-k over `ln w`; a fixed
     * `n_pos/n_feats` floor is the deterministic analogue) — bundling a
     * hard flag here would freeze a threshold that degenerates on
-    * vocabulary-shared corpora like the gate fixture. */
+    * vocabulary-shared corpora like the gate fixture.
+    *
+    * CACHE LIFETIME (the r18 ADVICE note): the returned frame reads a
+    * MEMORY_AND_DISK-persisted feature projection that this function
+    * deliberately does NOT unpersist — the output is corpus-scaled
+    * (per-doc), so eager materialization would double-store it, and
+    * releasing before the caller's action would recompute the feature
+    * hashing twice. Library callers should release it after consuming
+    * the result (`spark.sparkContext.getPersistentRDDs` sweep or
+    * session teardown); Bench/Verify's per-entry cleanup already does. */
   def dsirWeights(documents: DataFrame): DataFrame = {
     val feats = documents
       .withColumn("toks", split(col("text"), " "))

@@ -907,11 +907,20 @@ object Text {
           .localCheckpoint(true)
         val toks =
           try {
+            // 2 s, down from 10 (r18 ADVICE): the metric fires during
+            // the checkpoint action that ALREADY completed, so a
+            // listener that hasn't delivered within 2 s is not coming —
+            // and the fallback is exact, one cheap scan of checkpointed
+            // blocks. Log the miss: a silently non-firing listener is a
+            // Spark-behavior change worth a visible signal.
             val row = scala.concurrent.Await.result(obs.future,
-              scala.concurrent.duration.Duration(10, "seconds"))
+              scala.concurrent.duration.Duration(2, "seconds"))
             row.getLong(row.fieldIndex("toks"))
           } catch {
             case _: java.util.concurrent.TimeoutException =>
+              System.err.println("[graft.Text] bpeLearnBatched round " +
+                s"$k token-count Observation did not fire; " +
+                "recomputing via scan")
               next.agg(sum(col("cnt") *
                 (length(col("s")) - length(replace(col("s"), lit(BD),
                   lit(""))) - 1)).cast("long"))

@@ -497,19 +497,34 @@ object Streams {
     // OPTIMIZATION_r18.md).
     val twsParts = sys.env.get("SPARK_GRAFT_TWS_PARTITIONS")
       .map(_.toInt).getOrElse(coresWidth(spark))
+    // r19 (the r18 ADVICE item): candidates go to a DISTRIBUTED file
+    // sink, not the driver-resident memory sink — a dup-dense corpus
+    // (the expected input of a dedup gate) makes per-bucket pair
+    // emission quadratic, and the memory sink would buffer all of it
+    // on the driver. The file sink spills to executor-written parquet;
+    // the verify pass reads it back distributed. Per-invocation tmp
+    // dirs (the zorderWrite precedent).
+    val outDir = java.nio.file.Files
+      .createTempDirectory(sinkName + "_out").toString
+    val ckDir = java.nio.file.Files
+      .createTempDirectory(sinkName + "_ck").toString
     val q = withTwsConfs(spark, twsParts) {
       bands.groupByKey(_.band_key)
         .transformWithState(new NearDupProcessor,
           org.apache.spark.sql.streaming.TimeMode.None(),
           OutputMode.Append())
-        .writeStream.format("memory").queryName(sinkName)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
         .outputMode(OutputMode.Append())
         .start()
     }
     try { q.processAllAvailable() } finally { q.stop() }
     // a pair can match in several buckets → distinct, then one
-    // codegen exact-verify + anti-join pass
-    val cand = spark.table(sinkName).distinct()
+    // codegen exact-verify + anti-join pass (schema given explicitly:
+    // a candidate-free corpus leaves no data files to infer from)
+    val cand = spark.read.schema("doc_a LONG, doc_b LONG")
+      .parquet(outDir).distinct()
     graft.operators.Dedup
       .nearDupKept(graft.Tables(spark, dir, "documents"), cand)
   }
@@ -520,7 +535,7 @@ object Streams {
   val streamDedupNeardupSql: String =
     s"""WITH sh2 AS (${graft.operators.Dedup.shinglesSql}),
        |dropped AS (SELECT DISTINCT doc_b FROM (
-       |${graft.operators.Dedup.jaccardPairsSql(0.8)}))
+       |${graft.operators.Dedup.jaccardPairsSql(graft.operators.Dedup.NearDupThreshold)}))
        |SELECT doc_id FROM sh2
        |WHERE doc_id NOT IN (SELECT doc_b FROM dropped)
        |ORDER BY doc_id""".stripMargin
