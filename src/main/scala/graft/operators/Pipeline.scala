@@ -1505,7 +1505,7 @@ object Pipeline {
       // (count, bucket delta) each replay the full tf-join scoring
       // pass. Carrying the persisted frame across those three uses
       // cuts the per-entry scoring passes from 3·rounds to rounds+1
-      // (measured 27.1 s → 12.5 s at sf0.1, OPTIMIZATION_r18 commit
+      // (measured 27.1 s → 12.5 s at sf0.1, r18 commit
       // 091d4b0 / OPTIMIZATION_r19.md) with bit-identical arithmetic —
       // the same values flow, they are just computed once.
       var ts = trainScores().persist() // scores under the current w

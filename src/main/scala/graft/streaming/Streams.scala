@@ -426,7 +426,7 @@ object Streams {
     * (doc, band), the shuffle carries two longs, and the verify is
     * one vectorized join over candidates whose volume LSH already
     * bounds (the same equi-join volume the batch operator plans).
-    * Measured solo-warm at sf1: 23.5 s → see OPTIMIZATION_r18.md.
+    * Measured solo-warm at sf1: 23.5 s → 9.2 s (r18 commit ab27b04; the round's account lives in OPTIMIZATION_r19.md — r18's document was never written).
     *
     * Determinism: arrival order within a micro-batch is an engine
     * detail, so each batch's bucket arrivals are processed in doc_id
@@ -494,7 +494,7 @@ object Streams {
     // shuffle/parallelism-bound — 32 matches the other TWS gates.
     // Scale-adaptive override for cluster deployments:
     // SPARK_GRAFT_TWS_PARTITIONS (A/B'd at sf1, see
-    // OPTIMIZATION_r18.md).
+    // OPTIMIZATION_r19.md; A/B committed in bench_points_r18/).
     val twsParts = sys.env.get("SPARK_GRAFT_TWS_PARTITIONS")
       .map(_.toInt).getOrElse(coresWidth(spark))
     // r19 (the r18 ADVICE item): candidates go to a DISTRIBUTED file
